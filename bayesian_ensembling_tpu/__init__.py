@@ -1,0 +1,22 @@
+"""Bayesian multi-model ensembling, rebuilt TPU-native on JAX/XLA/Pallas.
+
+Same capability surface as the reference ``bayesian_ensembling`` library
+(see SURVEY.md): wrap per-climate-model simulation output, emulate each model
+with a probabilistic model (DBA mean + heteroskedastic GP, or mean-field
+Gaussian), weight models against observations (log-likelihood, inverse-square,
+uniform, inter-model similarity, KSD, CRPS), and combine the posteriors via a
+Gaussian Wasserstein-2 barycentre — but with every hot loop expressed as
+batched/vmapped XLA programs shardable over a TPU mesh.
+
+Precision policy: explicit, *no* import-time global float64 switch (the
+reference flips ``jax_enable_x64`` on import, ``ensembles/__init__.py:8-10``).
+TPU paths default to float32; the float64 CPU oracle is opt-in via
+``jax.config.update("jax_enable_x64", True)`` in the caller or test harness.
+"""
+
+from bayesian_ensembling_tpu import ops
+from bayesian_ensembling_tpu.coords import DimArray
+
+__version__ = "0.1.0"
+
+__all__ = ["ops", "DimArray", "__version__"]

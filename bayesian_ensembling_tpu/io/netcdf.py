@@ -1,0 +1,88 @@
+"""Minimal netCDF4/HDF5 reader built on h5py.
+
+The reference loads data with ``xr.open_dataarray`` (e.g.
+``experiments/full_experiment_script.py:20,51``); xarray is not part of this
+framework's dependency set, and the bundled GMST files are netCDF4 (=HDF5,
+verified via h5py), so a small reader is all that's needed.  Returns
+:class:`~bayesian_ensembling_tpu.coords.DimArray` with decoded
+``datetime64[ns]`` time coordinates.
+"""
+
+from __future__ import annotations
+
+import typing as tp
+
+import h5py
+import numpy as np
+
+from bayesian_ensembling_tpu.coords import DimArray
+from bayesian_ensembling_tpu.io import timeutils
+
+__all__ = ["open_dataarray"]
+
+_DIM_SENTINELS = ("DIMENSION_LIST", "_Netcdf4Coordinates")
+
+
+def _is_dim_scale(ds: h5py.Dataset) -> bool:
+    return ds.attrs.get("CLASS", b"") == b"DIMENSION_SCALE"
+
+
+def _main_variable(f: h5py.File) -> tp.Tuple[str, h5py.Dataset]:
+    """Pick the (single) data variable: the non-dimension dataset with the
+    most dimensions, ignoring bounds variables."""
+    best = None
+    for name, ds in f.items():
+        if not isinstance(ds, h5py.Dataset) or _is_dim_scale(ds):
+            continue
+        if name.endswith("_bnds") or name.endswith("_bounds"):
+            continue
+        if best is None or ds.ndim > best[1].ndim:
+            best = (name, ds)
+    if best is None:
+        raise ValueError("no data variable found in file")
+    return best
+
+
+def _dim_names(f: h5py.File, var: h5py.Dataset) -> tp.Tuple[str, ...]:
+    names = []
+    if "DIMENSION_LIST" in var.attrs:
+        for ax_refs in var.attrs["DIMENSION_LIST"]:
+            ref = ax_refs[0]
+            names.append(f[ref].name.lstrip("/"))
+        return tuple(names)
+    # Fall back: match dimension-scale datasets by length.
+    scales = {n: d for n, d in f.items() if isinstance(d, h5py.Dataset) and _is_dim_scale(d)}
+    for size in var.shape:
+        match = [n for n, d in scales.items() if d.shape == (size,)]
+        names.append(match[0] if match else f"dim_{len(names)}")
+    return tuple(names)
+
+
+def open_dataarray(path: str, name: tp.Optional[str] = None) -> DimArray:
+    """Read the main variable of a netCDF4 file as a :class:`DimArray`.
+
+    Decodes CF time into ``datetime64[ns]`` and applies ``_FillValue`` as NaN
+    for floating data.
+    """
+    with h5py.File(path, "r") as f:
+        var_name, var = _main_variable(f)
+        dims = _dim_names(f, var)
+        values = var[...]
+        fill = var.attrs.get("_FillValue")
+        if fill is not None and np.issubdtype(values.dtype, np.floating):
+            fv = np.asarray(fill).ravel()[0]
+            if not np.isnan(fv):
+                values = np.where(values == fv, np.nan, values)
+        coords: tp.Dict[str, np.ndarray] = {}
+        for d in dims:
+            if d not in f:
+                continue
+            cv = f[d][...]
+            units = f[d].attrs.get("units", b"")
+            units = units.decode() if isinstance(units, bytes) else str(units)
+            if d == "time" and "since" in units:
+                cv = timeutils.decode_cf_time(cv, units)
+            elif cv.dtype == object or cv.dtype.kind in "SU":
+                cv = np.arange(len(cv))
+            coords[d] = cv
+    return DimArray(values, dims, coords, name=name or var_name)

@@ -1,0 +1,121 @@
+"""Calendar helpers: CF time decoding, monthly climatology, annual resampling.
+
+Replaces the xarray/pandas machinery the reference uses for
+``groupby("time.month")`` climatologies and ``resample(time='Y')``
+(``/root/reference/ensembles/data.py:225-261``).  All of this is cheap host
+preprocessing done once per dataset, so plain numpy is the right tool; the
+results feed device arrays.
+"""
+
+from __future__ import annotations
+
+import re
+import typing as tp
+
+import numpy as np
+
+__all__ = [
+    "decode_cf_time",
+    "months_of",
+    "years_of",
+    "monthly_climatology",
+    "apply_climatology",
+    "annual_mean",
+]
+
+_UNIT_NS = {
+    "seconds": np.timedelta64(1, "s").astype("timedelta64[ns]"),
+    "hours": np.timedelta64(1, "h").astype("timedelta64[ns]"),
+    "days": np.timedelta64(1, "D").astype("timedelta64[ns]"),
+}
+
+
+def decode_cf_time(values: np.ndarray, units: str) -> np.ndarray:
+    """Decode CF-convention numeric time to ``datetime64[ns]``.
+
+    Supports '<unit> since <timestamp>' for seconds/hours/days and
+    gregorian/proleptic_gregorian/standard calendars (all the bundled GMST
+    files use these; verified by h5py inspection of
+    ``experiments/data/*`` — e.g. 'days since 1850-01-01' for HadCRUT5 and
+    'hours since 1850-01-16 12:00:00' for CMIP6 members).
+    """
+    m = re.match(r"\s*(\w+)\s+since\s+(.+?)\s*$", units)
+    if not m:
+        raise ValueError(f"cannot parse CF time units: {units!r}")
+    unit, epoch_str = m.group(1).lower(), m.group(2)
+    if unit not in _UNIT_NS:
+        raise ValueError(f"unsupported CF time unit {unit!r}")
+    epoch_str = epoch_str.replace(" ", "T").split("T")
+    date = epoch_str[0]
+    time = epoch_str[1] if len(epoch_str) > 1 else "00:00:00"
+    epoch = np.datetime64(f"{date}T{time}", "ns")
+    # Use float seconds to keep fractional days exact enough (ns resolution).
+    vals = np.asarray(values, dtype=np.float64)
+    step_ns = _UNIT_NS[unit].astype(np.int64)
+    offsets = (vals * step_ns).astype("timedelta64[ns]")
+    return epoch + offsets
+
+
+def months_of(time: np.ndarray) -> np.ndarray:
+    """Month number (1-12) for each datetime64."""
+    t = time.astype("datetime64[M]")
+    return (t.astype(int) % 12) + 1
+
+
+def years_of(time: np.ndarray) -> np.ndarray:
+    """Calendar year for each datetime64."""
+    return time.astype("datetime64[Y]").astype(int) + 1970
+
+
+def monthly_climatology(
+    data: np.ndarray,
+    time: np.ndarray,
+    window: tp.Tuple[str, str] = ("1961-01-01", "1990-12-31"),
+) -> np.ndarray:
+    """Per-month climatology averaged over realisations and window years.
+
+    Equivalent to ``da.sel(time=slice(*window)).groupby("time.month").mean()
+    .mean("realisation")`` (data.py:246-247).
+
+    Args:
+      data: ``(realisation, time, *space)`` array.
+      time: ``(time,)`` datetime64 vector.
+      window: inclusive [start, end] of the climatological period.
+
+    Returns:
+      ``(12, *space)`` climatology (month index 0 = January).
+    """
+    lo, hi = np.datetime64(window[0]), np.datetime64(window[1])
+    in_win = (time >= lo) & (time <= hi)
+    months = months_of(time)
+    out_shape = (12,) + data.shape[2:]
+    clim = np.empty(out_shape, dtype=data.dtype)
+    for m in range(1, 13):
+        sel = in_win & (months == m)
+        if not sel.any():
+            raise ValueError(f"no samples for month {m} in climatology window")
+        clim[m - 1] = data[:, sel].mean(axis=(0, 1))
+    return clim
+
+
+def apply_climatology(data: np.ndarray, time: np.ndarray, clim: np.ndarray) -> np.ndarray:
+    """Subtract the per-month climatology: ``da.groupby('time.month') - clim``."""
+    months = months_of(time)
+    return data - clim[months - 1]
+
+
+def annual_mean(data: np.ndarray, time: np.ndarray, time_axis: int = 1):
+    """Yearly mean along the time axis (``resample(time='Y').mean()``).
+
+    Returns (resampled_data, year_end_times) where the new time coordinate is
+    the end of each year, matching pandas' 'Y' resampling convention.
+    """
+    years = years_of(time)
+    uniq = np.unique(years)
+    pieces = []
+    for y in uniq:
+        sel = np.nonzero(years == y)[0]
+        pieces.append(np.take(data, sel, axis=time_axis).mean(axis=time_axis))
+    out = np.stack(pieces, axis=time_axis)
+    new_time = np.array([np.datetime64(f"{y}-12-31", "ns") for y in uniq])
+    return out, new_time

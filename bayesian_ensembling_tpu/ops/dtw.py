@@ -1,0 +1,208 @@
+"""Dynamic Time Warping + DTW Barycenter Averaging (DBA), TPU-native.
+
+Re-design of ``/root/reference/ensembles/dtwa.py`` (pure-numpy triple loops)
+and of the tslearn DBA call inside the flagship emulator
+(``models.py:176-178``).  The O(T^2) DTW dynamic program has an anti-diagonal
+data dependency, so on TPU it becomes a **wavefront scan**: ``lax.scan`` over
+the 2T-1 anti-diagonals, each step doing O(T) vector work on the VPU.  Path
+decisions (2 bits/cell) are emitted per diagonal and the backtracking pass is
+a second T-bounded scan that *collects* (i, j) index trails, turning the
+reference's per-cell Python ``while`` (dtwa.py:130-141) into one segment-sum
+scatter.
+
+Everything is mask-aware so ragged realisation counts (1-25 members per CMIP6
+model, SURVEY SS7 "hard parts") batch as padded ``(R_max, T)`` blocks under
+``vmap``.
+
+Semantics match ``dtwa.py``:
+  * squared-Euclidean local cost (dtwa.py:81-85),
+  * move preference on ties: diag, then left, then top (dtwa.py:113-126),
+  * medoid initialisation over <=50 candidate series (dtwa.py:23-37),
+  * barycentre update = mean of aligned points along the warping path
+    (dtwa.py:87-143).
+"""
+
+from __future__ import annotations
+
+import functools
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "squared_dtw",
+    "squared_dtw_with_path",
+    "dtw_pairwise_sq",
+    "dba",
+]
+
+_BIG = jnp.inf
+
+
+def _diag_delta(center: jnp.ndarray, series: jnp.ndarray, k: jnp.ndarray) -> tp.Tuple[jnp.ndarray, jnp.ndarray]:
+    """Local cost along anti-diagonal k: delta[i] = (center[i]-series[k-i])^2."""
+    t = center.shape[0]
+    i = jnp.arange(t)
+    j = k - i
+    valid = (j >= 0) & (j < t)
+    sj = jnp.take(series, jnp.clip(j, 0, t - 1))
+    delta = jnp.square(center - sj)
+    return jnp.where(valid, delta, _BIG), valid
+
+
+def _shift_down(x: jnp.ndarray) -> jnp.ndarray:
+    """x[i] -> x[i-1], with +inf flowing into slot 0."""
+    return jnp.concatenate([jnp.full((1,), _BIG, x.dtype), x[:-1]])
+
+
+def _dtw_scan(center: jnp.ndarray, series: jnp.ndarray, want_path: bool):
+    """Wavefront DP over anti-diagonals.
+
+    Returns (total_cost, path) where path is an (2T-1, T) int8 array of move
+    codes indexed ``path[i + j, i]`` with 0=diag, 1=left, 2=top (the encoding
+    of dtwa.py:88) — or None when ``want_path`` is False.
+    """
+    t = center.shape[0]
+    dtype = jnp.result_type(center.dtype, jnp.float32)
+    center = center.astype(dtype)
+    series = series.astype(dtype)
+
+    d0 = jnp.full((t,), _BIG, dtype).at[0].set(jnp.square(center[0] - series[0]))
+    prev2 = jnp.full((t,), _BIG, dtype)  # diagonal k-2 (starts as virtual k=-1)
+
+    def step(carry, k):
+        prev2, prev1 = carry
+        delta, valid = _diag_delta(center, series, k)
+        diag = _shift_down(prev2)   # cost at (i-1, j-1)
+        left = prev1                # cost at (i,   j-1)
+        top = _shift_down(prev1)    # cost at (i-1, j)
+        #
+
+        # Tie-break exactly as the reference (dtwa.py:113-126).
+        take_diag = (diag <= left) & (diag <= top)
+        take_left = ~take_diag & (left <= top)
+        best = jnp.where(take_diag, diag, jnp.where(take_left, left, top))
+        move = jnp.where(take_diag, 0, jnp.where(take_left, 1, 2)).astype(jnp.int8)
+        cur = jnp.where(valid, best + delta, _BIG)
+        return (prev1, cur), (move if want_path else None)
+
+    ks = jnp.arange(1, 2 * t - 1)
+    (prev2, prev1), moves = jax.lax.scan(step, (prev2, d0), ks)
+    total = prev1[t - 1]
+    if not want_path:
+        return total, None
+    path = jnp.concatenate([jnp.full((1, t), -1, jnp.int8), moves], axis=0)
+    return total, path
+
+
+def squared_dtw(center: jnp.ndarray, series: jnp.ndarray) -> jnp.ndarray:
+    """Squared-DTW alignment cost between two equal-length 1-D series.
+
+    Matches ``dtwa.py:48-78`` (returns the summed squared local costs along
+    the optimal warping path).
+    """
+    total, _ = _dtw_scan(center, series, want_path=False)
+    return total
+
+
+def squared_dtw_with_path(center: jnp.ndarray, series: jnp.ndarray):
+    """Squared-DTW cost plus the (2T-1, T) move matrix for backtracking."""
+    return _dtw_scan(center, series, want_path=True)
+
+
+def dtw_pairwise_sq(series: jnp.ndarray, mask: tp.Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """All-pairs squared-DTW matrix over a stack of series ``(R, T)``.
+
+    Padded rows (mask False) get +inf rows/columns so they never win the
+    medoid argmin.
+    """
+    f = jax.vmap(jax.vmap(squared_dtw, in_axes=(None, 0)), in_axes=(0, None))
+    d = f(series, series)
+    if mask is not None:
+        valid = mask[:, None] & mask[None, :]
+        d = jnp.where(valid, d, _BIG)
+    return d
+
+
+def _backtrack_accumulate(path: jnp.ndarray, series: jnp.ndarray):
+    """Walk the warping path from (T-1, T-1) to (0, 0), accumulating the DBA
+    update: for every visited cell, ``series[j]`` contributes to centre slot
+    ``i`` (dtwa.py:130-141).
+
+    Implemented as a bounded ``lax.scan`` of 2T-1 steps that records the
+    visited (i, contribution, active) triples, followed by one segment-sum —
+    no per-step scatters.
+    """
+    t = series.shape[0]
+
+    def step(carry, _):
+        i, j, active = carry
+        contrib_idx = i
+        contrib_val = jnp.take(series, j)
+        move = path[i + j, i]
+        at_origin = (i == 0) & (j == 0)
+        di = jnp.where((move == 0) | (move == 2), 1, 0)
+        dj = jnp.where((move == 0) | (move == 1), 1, 0)
+        ni = jnp.where(active & ~at_origin, i - di, i)
+        nj = jnp.where(active & ~at_origin, j - dj, j)
+        emit = active
+        active = active & ~at_origin
+        return (ni, nj, active), (contrib_idx, contrib_val, emit)
+
+    init = (jnp.asarray(t - 1), jnp.asarray(t - 1), jnp.asarray(True))
+    _, (idx, vals, emit) = jax.lax.scan(step, init, None, length=2 * t - 1)
+    w = emit.astype(series.dtype)
+    sums = jnp.zeros((t,), series.dtype).at[idx].add(vals * w)
+    counts = jnp.zeros((t,), series.dtype).at[idx].add(w)
+    return sums, counts
+
+
+def _dba_update(center: jnp.ndarray, series: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """One DBA iteration: align every series to the centre, average aligned
+    points (dtwa.py:87-143), honouring the padding mask."""
+
+    def one(s):
+        _, path = squared_dtw_with_path(center, s)
+        return _backtrack_accumulate(path, s)
+
+    sums, counts = jax.vmap(one)(series)
+    m = mask.astype(center.dtype)[:, None]
+    tot = jnp.sum(sums * m, axis=0)
+    cnt = jnp.sum(counts * m, axis=0)
+    return tot / jnp.maximum(cnt, 1.0)
+
+
+@functools.partial(jax.jit, static_argnames=("n_iterations",))
+def dba(
+    series: jnp.ndarray,
+    mask: tp.Optional[jnp.ndarray] = None,
+    n_iterations: int = 10,
+) -> jnp.ndarray:
+    """DTW Barycenter Averaging of a stack of equal-length series.
+
+    Args:
+      series: ``(R, T)`` stack of realisations (padded rows allowed).
+      mask: optional ``(R,)`` bool validity of each row.
+      n_iterations: fixed DBA iterations (reference default: dtwa.py:6).
+
+    Returns:
+      ``(T,)`` barycentre series.  Medoid-initialised like dtwa.py:14
+      (all candidates considered; the reference samples 50 when R > 50, but
+      batched workloads here have R <= 200 and the medoid is exact).
+    """
+    r, t = series.shape
+    if mask is None:
+        mask = jnp.ones((r,), bool)
+
+    pair = dtw_pairwise_sq(series, mask)
+    finite = jnp.isfinite(pair)
+    ss = jnp.sum(jnp.where(finite, pair, 0.0), axis=1)
+    ss = jnp.where(mask, ss, jnp.inf)
+    center = series[jnp.argmin(ss)]
+
+    def body(c, _):
+        return _dba_update(c, series, mask), None
+
+    center, _ = jax.lax.scan(body, center, None, length=n_iterations)
+    return center

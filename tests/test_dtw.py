@@ -1,0 +1,144 @@
+"""Golden tests for the wavefront DTW/DBA kernels.
+
+The oracle is an independent textbook O(T^2) dynamic program written here in
+plain numpy (NOT imported from anywhere) using the same move preference
+(diag, then left, then top) as the semantics we target.
+"""
+
+import numpy as np
+import pytest
+
+from bayesian_ensembling_tpu.ops import dtw as dtw_ops
+
+
+def oracle_sq_dtw(a, b):
+    """Textbook squared-DTW cost DP (numpy, independent implementation)."""
+    n, m = len(a), len(b)
+    delta = np.subtract.outer(a, b) ** 2
+    cost = np.full((n, m), np.inf)
+    cost[0, 0] = delta[0, 0]
+    for i in range(1, n):
+        cost[i, 0] = cost[i - 1, 0] + delta[i, 0]
+    for j in range(1, m):
+        cost[0, j] = cost[0, j - 1] + delta[0, j]
+    for i in range(1, n):
+        for j in range(1, m):
+            cost[i, j] = delta[i, j] + min(
+                cost[i - 1, j - 1], cost[i, j - 1], cost[i - 1, j]
+            )
+    return cost[-1, -1]
+
+
+def oracle_dba_update(center, series_stack):
+    """One DBA iteration: average series points aligned to each centre slot,
+    with diag-then-left-then-top tie-breaking on the backtrack."""
+    T = len(center)
+    sums = np.zeros(T)
+    counts = np.zeros(T)
+    for s in series_stack:
+        delta = np.subtract.outer(center, s) ** 2
+        cost = np.full((T, T), np.inf)
+        move = np.full((T, T), -1, int)
+        cost[0, 0] = delta[0, 0]
+        for i in range(1, T):
+            cost[i, 0] = cost[i - 1, 0] + delta[i, 0]
+            move[i, 0] = 2
+        for j in range(1, T):
+            cost[0, j] = cost[0, j - 1] + delta[0, j]
+            move[0, j] = 1
+        for i in range(1, T):
+            for j in range(1, T):
+                diag, left, top = cost[i - 1, j - 1], cost[i, j - 1], cost[i - 1, j]
+                if diag <= left and diag <= top:
+                    best, mv = diag, 0
+                elif left <= top:
+                    best, mv = left, 1
+                else:
+                    best, mv = top, 2
+                cost[i, j] = best + delta[i, j]
+                move[i, j] = mv
+        i = j = T - 1
+        while True:
+            sums[i] += s[j]
+            counts[i] += 1
+            if move[i, j] == -1:
+                break
+            mv = move[i, j]
+            if mv == 0:
+                i, j = i - 1, j - 1
+            elif mv == 1:
+                j -= 1
+            else:
+                i -= 1
+        assert i == 0 and j == 0
+    return sums / counts
+
+
+@pytest.mark.parametrize("t", [5, 17, 64])
+def test_squared_dtw_matches_oracle(rng, t):
+    a = rng.normal(size=t)
+    b = rng.normal(size=t)
+    got = float(dtw_ops.squared_dtw(a, b))
+    want = oracle_sq_dtw(a, b)
+    np.testing.assert_allclose(got, want, rtol=1e-10)
+
+
+def test_squared_dtw_identical_series_zero(rng):
+    a = rng.normal(size=32)
+    assert float(dtw_ops.squared_dtw(a, a)) == pytest.approx(0.0, abs=1e-12)
+
+
+def test_pairwise_matrix(rng):
+    series = rng.normal(size=(4, 12))
+    mat = np.asarray(dtw_ops.dtw_pairwise_sq(series))
+    for i in range(4):
+        for j in range(4):
+            np.testing.assert_allclose(
+                mat[i, j], oracle_sq_dtw(series[i], series[j]), rtol=1e-10
+            )
+
+
+def test_pairwise_mask_infs(rng):
+    series = rng.normal(size=(4, 10))
+    mask = np.array([True, True, False, True])
+    mat = np.asarray(dtw_ops.dtw_pairwise_sq(series, mask))
+    assert np.isinf(mat[2]).all() and np.isinf(mat[:, 2]).all()
+    assert np.isfinite(mat[0, 1])
+
+
+def test_dba_update_matches_oracle(rng):
+    t, r = 20, 4
+    series = rng.normal(size=(r, t))
+    center = series[0]
+    got = np.asarray(
+        dtw_ops._dba_update(
+            np.asarray(center), np.asarray(series), np.ones(r, bool)
+        )
+    )
+    want = oracle_dba_update(center, series)
+    np.testing.assert_allclose(got, want, rtol=1e-8)
+
+
+def test_dba_constant_series_returns_constant(rng):
+    series = np.tile(np.linspace(0.0, 1.0, 15), (3, 1))
+    center = np.asarray(dtw_ops.dba(series, n_iterations=3))
+    np.testing.assert_allclose(center, series[0], atol=1e-10)
+
+
+def test_dba_mask_ignores_padding(rng):
+    t = 12
+    real = rng.normal(size=(3, t))
+    padded = np.concatenate([real, np.full((2, t), 777.0)], axis=0)
+    mask = np.array([True] * 3 + [False] * 2)
+    with_pad = np.asarray(dtw_ops.dba(padded, mask, n_iterations=4))
+    without = np.asarray(dtw_ops.dba(real, n_iterations=4))
+    np.testing.assert_allclose(with_pad, without, rtol=1e-8)
+
+
+def test_dba_reduces_alignment_cost(rng):
+    series = rng.normal(size=(5, 24)) + np.sin(np.linspace(0, 3, 24))
+    center0 = series[0]
+    center = np.asarray(dtw_ops.dba(series, n_iterations=8))
+    cost0 = sum(oracle_sq_dtw(center0, s) for s in series)
+    cost1 = sum(oracle_sq_dtw(center, s) for s in series)
+    assert cost1 <= cost0 + 1e-9

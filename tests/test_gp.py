@@ -1,0 +1,96 @@
+"""Tests for the batched exact heteroskedastic-noise GP."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from bayesian_ensembling_tpu.ops import gp
+
+
+def numpy_nlml(lengthscale, variance, x, y, noise_var):
+    """Independent numpy oracle for the Matern-3/2 heteroskedastic NLML."""
+    d2 = ((x[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    r = np.sqrt(d2) / lengthscale
+    k = variance * (1 + np.sqrt(3) * r) * np.exp(-np.sqrt(3) * r)
+    ky = k + np.diag(noise_var) + 1e-6 * np.eye(len(y))
+    sign, logdet = np.linalg.slogdet(ky)
+    alpha = np.linalg.solve(ky, y)
+    return 0.5 * (y @ alpha + logdet + len(y) * np.log(2 * np.pi))
+
+
+def make_problem(rng, t=24, d=3):
+    x = rng.normal(size=(t, d))
+    y = np.sin(x[:, 0]) + 0.1 * rng.normal(size=t)
+    noise = rng.uniform(0.05, 0.2, t)
+    return x, y, noise
+
+
+def test_nlml_matches_numpy_oracle(rng):
+    x, y, noise = make_problem(rng)
+    params = gp.init_params(lengthscale=1.0, variance=1.0, dtype=jnp.float64)
+    got = float(gp.nlml(params, jnp.asarray(x), jnp.asarray(y), jnp.asarray(noise)))
+    want = numpy_nlml(1.0, 1.0, x, y, noise)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_rbf_kernel_diag_is_variance(rng):
+    params = gp.init_params(lengthscale=0.7, variance=2.3, dtype=jnp.float64)
+    x = jnp.asarray(rng.normal(size=(10, 2)))
+    k = np.asarray(gp.rbf(params, x, x))
+    np.testing.assert_allclose(np.diag(k), 2.3, rtol=1e-6)
+
+
+def test_posterior_moments(rng):
+    x, y, noise = make_problem(rng)
+    params = gp.init_params(dtype=jnp.float64)
+    mean, cov = gp.posterior(params, jnp.asarray(x), jnp.asarray(y), jnp.asarray(noise))
+    mean, cov = np.asarray(mean), np.asarray(cov)
+    assert mean.shape == y.shape and cov.shape == (len(y), len(y))
+    # Posterior covariance is PSD and smaller than the prior.
+    eig = np.linalg.eigvalsh((cov + cov.T) / 2)
+    assert eig.min() > -1e-8
+    prior_var = float(gp.init_params(dtype=jnp.float64).variance)
+    assert (np.diag(cov) <= prior_var + 1e-8).all()
+    # With tiny noise, the posterior mean interpolates the targets.
+    mean2, _ = gp.posterior(
+        params, jnp.asarray(x), jnp.asarray(y), jnp.full(len(y), 1e-8)
+    )
+    np.testing.assert_allclose(np.asarray(mean2), y, atol=1e-3)
+
+
+def test_fit_gp_reduces_nlml(rng):
+    x, y, noise = make_problem(rng, t=32)
+    params, losses = gp.fit_gp(
+        jnp.asarray(x), jnp.asarray(y), jnp.asarray(noise), n_optim_nits=120
+    )
+    losses = np.asarray(losses)
+    assert losses[-1] < losses[0]
+    assert float(params.lengthscale) > 0
+
+
+def test_fit_gp_batch_independent(rng):
+    # Batch of 3 models: batched fit == per-model fits.
+    xs, ys, noises = [], [], []
+    for _ in range(3):
+        x, y, noise = make_problem(rng, t=16, d=2)
+        xs.append(x), ys.append(y), noises.append(noise)
+    xb = jnp.asarray(np.stack(xs))
+    yb = jnp.asarray(np.stack(ys))
+    nb = jnp.asarray(np.stack(noises))
+    bparams, blosses = gp.fit_gp_batch(xb, yb, nb, n_optim_nits=25)
+    for m in range(3):
+        p, l = gp.fit_gp(xb[m], yb[m], nb[m], n_optim_nits=25)
+        np.testing.assert_allclose(
+            float(bparams.lengthscale[m]), float(p.lengthscale), rtol=1e-6
+        )
+        np.testing.assert_allclose(np.asarray(blosses[m]), np.asarray(l), rtol=1e-6)
+
+
+def test_padding_columns_distance_neutral(rng):
+    # Constant (zero) padding feature columns must not change the kernel.
+    x, y, noise = make_problem(rng, t=12, d=2)
+    x_pad = np.concatenate([x, np.zeros((12, 3))], axis=1)
+    params = gp.init_params(dtype=jnp.float64)
+    k1 = np.asarray(gp.matern32(params, jnp.asarray(x), jnp.asarray(x)))
+    k2 = np.asarray(gp.matern32(params, jnp.asarray(x_pad), jnp.asarray(x_pad)))
+    np.testing.assert_allclose(k1, k2, rtol=1e-10)
