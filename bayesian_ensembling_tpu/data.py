@@ -1,0 +1,371 @@
+"""Data containers: posterior distributions, process models, collections.
+
+TPU-native analogue of ``/root/reference/ensembles/data.py``.  The containers
+are host-side bookkeeping (named dims, time axes, climatology); all heavy
+numerics live in :mod:`bayesian_ensembling_tpu.ops` and the emulators, which
+consume *batched padded device arrays* extracted from these containers.
+
+Key contracts preserved from the reference:
+  * model data dim 0 is ``realisation``, dim 1 is ``time`` (data.py:168);
+  * no NaNs allowed in model data (data.py:170);
+  * ``ModelCollection`` checks/repairs mismatched time axes with a warning
+    (data.py:542-562);
+  * a fitted emulator attaches a posterior ``distribution`` to each model
+    (data.py:324-337).
+
+Deliberate departures (documented in SURVEY SS7 "hard parts"):
+  * checkpointing is pickle-free — ``save``/``load`` write npz archives of
+    raw arrays (reference pickles live GPflow/TF objects, data.py:397-404);
+  * sampling takes an explicit PRNG key (reference uses unseeded numpy
+    randint, data.py:141-143).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import typing as tp
+import warnings
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bayesian_ensembling_tpu.coords import DimArray
+from bayesian_ensembling_tpu.io import timeutils
+from bayesian_ensembling_tpu.ops.distributions import (
+    DiagGaussian,
+    FullCovGaussian,
+    GaussianMoments,
+)
+
+__all__ = ["Posterior", "ProcessModel", "ModelCollection"]
+
+
+@dataclasses.dataclass
+class Posterior:
+    """A learnt Gaussian posterior plus the physical-coordinate template.
+
+    Plays the role of the reference's ``Distribution`` dataclass
+    (data.py:18-143): holds flat moments over all physical points and knows
+    how to fold them back into labelled (time[, lat, lon]) arrays.
+    """
+
+    gaussian: GaussianMoments
+    template: DimArray  # physical dims, no realisation axis
+
+    @property
+    def is_full_cov(self) -> bool:
+        return isinstance(self.gaussian, FullCovGaussian)
+
+    def reshape(self, vals, name: tp.Optional[str] = None) -> DimArray:
+        vals = np.asarray(vals).reshape(self.template.shape)
+        out = self.template.copy(values=vals)
+        if name:
+            out.name = name
+        return out
+
+    @property
+    def mean(self) -> DimArray:
+        return self.reshape(self.gaussian.mean, "posterior mean")
+
+    @property
+    def variance(self) -> DimArray:
+        return self.reshape(self.gaussian.variance, "posterior variance")
+
+    @property
+    def stddev(self) -> DimArray:
+        return self.reshape(np.sqrt(np.asarray(self.gaussian.variance)), "posterior stddev")
+
+    def sample(self, key: tp.Optional[jax.Array] = None) -> DimArray:
+        if key is None:
+            key = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
+        return self.reshape(self.gaussian.sample(key), "posterior sample")
+
+    def log_prob(self, x) -> jnp.ndarray:
+        return self.gaussian.log_prob(jnp.asarray(x))
+
+    # ------------------------------------------------------------ checkpoint
+    def to_arrays(self) -> tp.Dict[str, np.ndarray]:
+        d = {"mean": np.asarray(self.gaussian.mean)}
+        if self.is_full_cov:
+            d["cov"] = np.asarray(self.gaussian.cov)
+        else:
+            d["var"] = np.asarray(self.gaussian.var)
+        return d
+
+    @classmethod
+    def from_arrays(cls, arrays: tp.Mapping[str, np.ndarray], template: DimArray) -> "Posterior":
+        if "cov" in arrays:
+            g = FullCovGaussian(mean=jnp.asarray(arrays["mean"]), cov=jnp.asarray(arrays["cov"]))
+        else:
+            g = DiagGaussian(mean=jnp.asarray(arrays["mean"]), var=jnp.asarray(arrays["var"]))
+        return cls(gaussian=g, template=template)
+
+
+@dataclasses.dataclass
+class ProcessModel:
+    """One climate model's simulation output + (optionally) its emulator fit.
+
+    Mirrors the reference ``ProcessModel`` (data.py:146-352): realisation-
+    first data contract, anomaly/climatology computation, realisation stats.
+    """
+
+    data: DimArray
+    name: str
+    climatology: tp.Optional[np.ndarray] = None
+    _posterior: tp.Optional[Posterior] = dataclasses.field(default=None, repr=False)
+
+    def __post_init__(self):
+        if not isinstance(self.data, DimArray):
+            raise TypeError("ProcessModel data must be a DimArray")
+        if self.data.dims[0] != "realisation":
+            raise ValueError("dim 0 must be 'realisation' (reference contract data.py:168)")
+        if len(self.data.dims) > 1 and self.data.dims[1] != "time":
+            raise ValueError("dim 1 must be 'time'")
+        if np.isnan(self.data.values).any():
+            raise ValueError("model data must not contain NaN (data.py:170)")
+
+    # ------------------------------------------------------------ properties
+    @property
+    def model_data(self) -> DimArray:  # reference-familiar alias
+        return self.data
+
+    @property
+    def model_name(self) -> str:
+        return self.name
+
+    @property
+    def n_realisations(self) -> int:
+        return self.data.shape[0]
+
+    @property
+    def time(self) -> np.ndarray:
+        return self.data.time
+
+    @property
+    def ndim(self) -> int:
+        return self.data.ndim
+
+    @property
+    def max_val(self) -> float:
+        return float(self.data.values.max())
+
+    @property
+    def min_val(self) -> float:
+        return float(self.data.values.min())
+
+    @property
+    def mean_across_realisations(self) -> DimArray:
+        return self.data.mean("realisation")
+
+    @property
+    def std_across_realisations(self) -> DimArray:
+        return self.data.std("realisation")
+
+    @property
+    def distribution(self) -> tp.Optional[Posterior]:
+        return self._posterior
+
+    @distribution.setter
+    def distribution(self, post: Posterior):
+        self._posterior = post
+
+    posterior = distribution  # synonym
+
+    def realisations(self) -> tp.Iterator[DimArray]:
+        for r in range(self.n_realisations):
+            yield self.data.isel(realisation=r)
+
+    def __len__(self) -> int:
+        return self.n_realisations
+
+    def __iter__(self):
+        return self.realisations()
+
+    def blank_template(self) -> DimArray:
+        """Physical-dims template (NaN-filled) for posterior reshaping —
+        the reference's ``blank_array`` idiom (models.py:221-222)."""
+        first = self.data.isel(realisation=0)
+        return first.copy(values=np.full(first.shape, np.nan))
+
+    # -------------------------------------------------------------- anomaly
+    def calculate_anomaly(
+        self,
+        climatology_dates: tp.Tuple[str, str] = ("1961-01-01", "1990-12-31"),
+        climatology: tp.Optional[np.ndarray] = None,
+        resample_freq: tp.Optional[str] = None,
+    ) -> "ProcessModel":
+        """Anomaly vs a monthly climatology, optional annual resampling.
+
+        Matches reference semantics (data.py:225-261): the climatology is the
+        per-month mean over the window and realisations; if a precomputed
+        12-month climatology is given it is used instead; ``resample_freq='Y'``
+        takes yearly means afterwards.
+        """
+        vals = self.data.values
+        time = self.time
+        if climatology is None:
+            clim = timeutils.monthly_climatology(vals, time, climatology_dates)
+        else:
+            clim = np.asarray(climatology)
+            if clim.shape[0] != 12:
+                raise ValueError("climatology must have 12 monthly entries")
+        anom = timeutils.apply_climatology(vals, time, clim)
+        new_time = time
+        if resample_freq:
+            if resample_freq not in ("Y", "YE", "A"):
+                raise NotImplementedError(f"resample_freq={resample_freq!r}")
+            anom, new_time = timeutils.annual_mean(anom, time, time_axis=1)
+        coords = dict(self.data.coords)
+        coords["time"] = new_time
+        da = DimArray(anom, self.data.dims, coords, name=self.data.name)
+        out = ProcessModel(da, self.name + " anomaly")
+        out.climatology = clim
+        return out
+
+
+@dataclasses.dataclass
+class ModelCollection:
+    """An ordered set of :class:`ProcessModel`s (reference data.py:355-562)."""
+
+    models: tp.List[ProcessModel]
+
+    def __post_init__(self):
+        if not self.models:
+            raise ValueError("ModelCollection needs at least one model")
+        self.check_time_axes()
+
+    # ------------------------------------------------------------- protocol
+    def __len__(self) -> int:
+        return len(self.models)
+
+    def __iter__(self) -> tp.Iterator[ProcessModel]:
+        return iter(self.models)
+
+    def __getitem__(self, item: int) -> ProcessModel:
+        return self.models[item]
+
+    @property
+    def number_of_models(self) -> int:
+        return len(self.models)
+
+    @property
+    def model_names(self) -> tp.List[str]:
+        return [m.name for m in self.models]
+
+    @property
+    def time(self) -> np.ndarray:
+        return self.models[0].time
+
+    @property
+    def max_val(self) -> float:
+        return max(m.max_val for m in self.models)
+
+    @property
+    def min_val(self) -> float:
+        return min(m.min_val for m in self.models)
+
+    @property
+    def max_realisations(self) -> int:
+        return max(m.n_realisations for m in self.models)
+
+    def distributions(self) -> tp.Dict[str, tp.Optional[Posterior]]:
+        return {m.name: m.distribution for m in self.models}
+
+    def check_time_axes(self):
+        """Warn + naively repair mismatched time axes (data.py:542-562)."""
+        t0 = self.models[0].time
+        mismatch = any(
+            len(m.time) != len(t0) or np.any(m.time != t0) for m in self.models[1:]
+        )
+        if mismatch:
+            warnings.warn(
+                "Time axes of models don't match: applying naive fix. Check "
+                "models are collocated correctly in time!"
+            )
+            for m in self.models:
+                m.data.coords["time"] = t0
+
+    # ------------------------------------------------------------- batching
+    def padded_stack(self, dtype=np.float32):
+        """Stack all models into a padded ``(M, R_max, n_points)`` block.
+
+        Padded realisation rows repeat the model's first realisation so the
+        padding is value-neutral for distance-based kernels; the mask marks
+        real rows.  This is the device-side layout every batched emulator and
+        weighter consumes.
+        """
+        m = len(self.models)
+        r_max = self.max_realisations
+        flat = [mod.data.values.reshape(mod.n_realisations, -1) for mod in self.models]
+        n_points = flat[0].shape[1]
+        out = np.empty((m, r_max, n_points), dtype=dtype)
+        mask = np.zeros((m, r_max), dtype=bool)
+        for i, f in enumerate(flat):
+            r = f.shape[0]
+            out[i, :r] = f
+            out[i, r:] = f[0]
+            mask[i, :r] = True
+        return out, mask
+
+    def fit(self, model, **kwargs):
+        """Emulate every member (reference data.py:385-395).
+
+        TPU-first: if the emulator implements ``fit_collection`` the whole
+        collection is fitted as ONE batched/vmapped XLA program; otherwise
+        falls back to a per-model loop.
+        """
+        for pm in self.models:
+            if pm.distribution is not None:
+                warnings.warn("Removing the model's previously learnt distribution")
+        if hasattr(model, "fit_collection"):
+            posts = model.fit_collection(self, **kwargs)
+            for pm, post in zip(self.models, posts):
+                pm.distribution = post
+        else:
+            for pm in self.models:
+                pm.distribution = model.fit(pm, **kwargs)
+
+    # ----------------------------------------------------------- checkpoint
+    def save(self, path: str):
+        """Pickle-free checkpoint: raw arrays + metadata in one npz."""
+        blobs: tp.Dict[str, np.ndarray] = {
+            "__names__": np.array(self.model_names, dtype=object)
+        }
+        for i, m in enumerate(self.models):
+            blobs[f"m{i}/data"] = m.data.values
+            blobs[f"m{i}/dims"] = np.array(m.data.dims, dtype=object)
+            for d, c in m.data.coords.items():
+                blobs[f"m{i}/coord/{d}"] = c
+            if m.climatology is not None:
+                blobs[f"m{i}/climatology"] = m.climatology
+            if m.distribution is not None:
+                for k, v in m.distribution.to_arrays().items():
+                    blobs[f"m{i}/post/{k}"] = v
+        np.savez_compressed(path, **blobs)
+
+    @classmethod
+    def load(cls, path: str) -> "ModelCollection":
+        with np.load(path, allow_pickle=True) as z:
+            names = list(z["__names__"])
+            models = []
+            for i, name in enumerate(names):
+                dims = tuple(z[f"m{i}/dims"])
+                coords = {}
+                for key in z.files:
+                    pre = f"m{i}/coord/"
+                    if key.startswith(pre):
+                        coords[key[len(pre):]] = z[key]
+                da = DimArray(z[f"m{i}/data"], dims, coords)
+                pm = ProcessModel(da, str(name))
+                if f"m{i}/climatology" in z.files:
+                    pm.climatology = z[f"m{i}/climatology"]
+                post_keys = {
+                    key.split("/")[-1]: z[key]
+                    for key in z.files
+                    if key.startswith(f"m{i}/post/")
+                }
+                if post_keys:
+                    pm.distribution = Posterior.from_arrays(post_keys, pm.blank_template())
+                models.append(pm)
+        return cls(models)

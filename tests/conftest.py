@@ -8,7 +8,10 @@ imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the ambient environment pins JAX_PLATFORMS to the tunnelled TPU
+# plugin, which is both slow for unit tests and float32-only.  Tests are the
+# float64 oracle; set BET_TEST_PLATFORM to override deliberately.
+os.environ["JAX_PLATFORMS"] = os.environ.get("BET_TEST_PLATFORM", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,6 +19,10 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+
+# The tunnelled TPU plugin ignores the JAX_PLATFORMS env var, so pin the
+# platform through the config API as well.
+jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 # Float64 on CPU gives the high-precision oracle used by parity tests; the
 # TPU production path runs float32 (see bayesian_ensembling_tpu.utils.config).

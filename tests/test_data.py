@@ -1,0 +1,156 @@
+"""Container-behaviour tests (model: reference tests/test_data.py strategy —
+dims/stats/anomaly round-trips, realisation iteration, collection wiring)."""
+
+import numpy as np
+import pytest
+
+from bayesian_ensembling_tpu.coords import DimArray
+from bayesian_ensembling_tpu.data import ModelCollection, Posterior, ProcessModel
+from bayesian_ensembling_tpu.ops.distributions import DiagGaussian
+
+
+def make_da(rng, n_reals=3, n_months=48, spatial=(), start="2000-01"):
+    shape = (n_reals, n_months) + spatial
+    dims = ("realisation", "time") + tuple(f"dim{i}" for i in range(len(spatial)))
+    time = (
+        np.datetime64(start, "M") + np.arange(n_months)
+    ).astype("datetime64[ns]") + np.timedelta64(14, "D")
+    vals = rng.normal(size=shape)
+    return DimArray(vals, dims, {"time": time}, name="tas")
+
+
+def make_collection(rng, n_models=3, n_reals=(2, 3, 4), n_months=48):
+    models = [
+        ProcessModel(make_da(rng, n_reals=n_reals[i % len(n_reals)], n_months=n_months), f"model{i}")
+        for i in range(n_models)
+    ]
+    return ModelCollection(models)
+
+
+def test_process_model_contract(rng):
+    da = make_da(rng)
+    pm = ProcessModel(da, "m")
+    assert pm.n_realisations == 3
+    assert pm.ndim == 2
+    assert len(list(pm.realisations())) == 3
+    assert pm.mean_across_realisations.dims == ("time",)
+    np.testing.assert_allclose(
+        pm.mean_across_realisations.values, da.values.mean(0)
+    )
+
+
+def test_process_model_rejects_bad_dims(rng):
+    da = make_da(rng)
+    bad = DimArray(da.values.T, ("time", "realisation"), {})
+    with pytest.raises(ValueError):
+        ProcessModel(bad, "bad")
+
+
+def test_process_model_rejects_nan(rng):
+    da = make_da(rng)
+    da.values[0, 0] = np.nan
+    with pytest.raises(ValueError):
+        ProcessModel(da, "bad")
+
+
+@pytest.mark.parametrize("spatial", [(), (4,), (3, 5)])
+def test_anomaly_roundtrip(rng, spatial):
+    # Anomaly of data relative to its own climatology window has ~zero
+    # monthly means inside the window.
+    n_months = 120
+    da = make_da(rng, n_reals=4, n_months=n_months, spatial=spatial, start="1961-01")
+    pm = ProcessModel(da, "m")
+    anom = pm.calculate_anomaly(climatology_dates=("1961-01-01", "1970-12-31"))
+    assert anom.climatology.shape == (12,) + spatial
+    vals = anom.data.values
+    months = (np.arange(n_months) % 12) + 1
+    for m in range(1, 13):
+        sel = vals[:, months == m]
+        np.testing.assert_allclose(sel.mean(axis=(0, 1)), 0.0, atol=1e-10)
+
+
+def test_anomaly_precomputed_climatology(rng):
+    da = make_da(rng, n_months=60, start="1961-01")
+    pm = ProcessModel(da, "m")
+    a1 = pm.calculate_anomaly(climatology_dates=("1961-01-01", "1965-12-31"))
+    a2 = pm.calculate_anomaly(climatology=a1.climatology)
+    np.testing.assert_allclose(a1.data.values, a2.data.values)
+
+
+def test_anomaly_annual_resample(rng):
+    da = make_da(rng, n_months=36, start="1961-01")
+    pm = ProcessModel(da, "m")
+    anom = pm.calculate_anomaly(
+        climatology_dates=("1961-01-01", "1963-12-31"), resample_freq="Y"
+    )
+    assert anom.data.sizes()["time"] == 3
+
+
+def test_collection_basics(rng):
+    mc = make_collection(rng)
+    assert mc.number_of_models == 3
+    assert mc.model_names == ["model0", "model1", "model2"]
+    assert mc.max_realisations == 4
+    assert len(list(iter(mc))) == 3
+    assert mc[1].name == "model1"
+
+
+def test_collection_time_repair(rng):
+    m1 = ProcessModel(make_da(rng), "a")
+    da2 = make_da(rng)
+    da2.coords["time"] = da2.coords["time"] + np.timedelta64(1, "D")
+    m2 = ProcessModel(da2, "b")
+    with pytest.warns(UserWarning, match="naive fix"):
+        mc = ModelCollection([m1, m2])
+    np.testing.assert_array_equal(mc[0].time, mc[1].time)
+
+
+def test_padded_stack(rng):
+    mc = make_collection(rng, n_models=2, n_reals=(2, 4))
+    block, mask = mc.padded_stack()
+    assert block.shape == (2, 4, 48)
+    assert mask.tolist() == [[True, True, False, False], [True] * 4]
+    # Padding repeats realisation 0.
+    np.testing.assert_allclose(block[0, 2], block[0, 0])
+
+
+def test_save_load_roundtrip(tmp_path, rng):
+    mc = make_collection(rng, n_models=2)
+    # Attach a posterior to model 0.
+    pm = mc[0]
+    n = pm.data.values[0].size
+    import jax.numpy as jnp
+
+    pm.distribution = Posterior(
+        gaussian=DiagGaussian(mean=jnp.arange(n, dtype=jnp.float64), var=jnp.ones(n)),
+        template=pm.blank_template(),
+    )
+    path = str(tmp_path / "mc.npz")
+    mc.save(path)
+    back = ModelCollection.load(path)
+    assert back.model_names == mc.model_names
+    np.testing.assert_allclose(back[1].data.values, mc[1].data.values)
+    assert back[0].distribution is not None
+    np.testing.assert_allclose(
+        np.asarray(back[0].distribution.gaussian.mean), np.arange(n)
+    )
+    assert back[1].distribution is None
+
+
+def test_posterior_reshape_and_moments(rng):
+    pm = ProcessModel(make_da(rng, n_reals=2, n_months=24), "m")
+    n = 24
+    import jax.numpy as jnp
+
+    post = Posterior(
+        gaussian=DiagGaussian(mean=jnp.arange(n, dtype=jnp.float64), var=2 * jnp.ones(n)),
+        template=pm.blank_template(),
+    )
+    assert post.mean.dims == ("time",)
+    np.testing.assert_allclose(post.mean.values, np.arange(n))
+    np.testing.assert_allclose(post.variance.values, 2.0)
+    np.testing.assert_allclose(post.stddev.values, np.sqrt(2.0))
+    import jax
+
+    s = post.sample(jax.random.PRNGKey(0))
+    assert s.shape == (n,)

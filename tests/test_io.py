@@ -1,0 +1,72 @@
+"""IO tests: CF time decoding, netCDF reading of the bundled GMST files."""
+
+import os
+
+import numpy as np
+import pytest
+
+from bayesian_ensembling_tpu.io import netcdf, timeutils
+
+REF_DATA = "/root/reference/experiments/data"
+OBS = os.path.join(REF_DATA, "obs/gmst/HadCRUT.5.0.1.0.analysis.anomalies_gmst.nc")
+
+needs_data = pytest.mark.skipif(not os.path.exists(OBS), reason="reference data absent")
+
+
+def test_decode_cf_time_days():
+    t = timeutils.decode_cf_time(np.array([0.0, 31.0]), "days since 1850-01-01")
+    assert t[0] == np.datetime64("1850-01-01", "ns")
+    assert t[1] == np.datetime64("1850-02-01", "ns")
+
+
+def test_decode_cf_time_hours_with_clock():
+    t = timeutils.decode_cf_time(np.array([0, 708]), "hours since 2015-01-16 12:00:00")
+    assert t[0] == np.datetime64("2015-01-16T12:00:00", "ns")
+    assert t[1] == np.datetime64("2015-02-15T00:00:00", "ns")
+
+
+def test_months_years():
+    t = np.array(["2000-01-15", "2000-12-31", "2001-06-01"], dtype="datetime64[ns]")
+    np.testing.assert_array_equal(timeutils.months_of(t), [1, 12, 6])
+    np.testing.assert_array_equal(timeutils.years_of(t), [2000, 2000, 2001])
+
+
+def test_monthly_climatology_and_anomaly(rng):
+    n_months = 240
+    time = (np.datetime64("1961-01", "M") + np.arange(n_months)).astype("datetime64[ns]")
+    seasonal = np.sin(2 * np.pi * (np.arange(n_months) % 12) / 12)
+    data = seasonal[None, :] + rng.normal(scale=0.01, size=(5, n_months))
+    clim = timeutils.monthly_climatology(data, time, ("1961-01-01", "1980-12-31"))
+    assert clim.shape == (12,)
+    np.testing.assert_allclose(clim, seasonal[:12], atol=0.02)
+    anom = timeutils.apply_climatology(data, time, clim)
+    assert abs(anom.mean()) < 0.02
+
+
+def test_annual_mean(rng):
+    time = (np.datetime64("2000-01", "M") + np.arange(24)).astype("datetime64[ns]")
+    data = rng.normal(size=(2, 24))
+    out, new_time = timeutils.annual_mean(data, time)
+    assert out.shape == (2, 2)
+    np.testing.assert_allclose(out[:, 0], data[:, :12].mean(1))
+    assert timeutils.years_of(new_time).tolist() == [2000, 2001]
+
+
+@needs_data
+def test_open_obs_file():
+    da = netcdf.open_dataarray(OBS)
+    assert da.dims == ("realisation", "time")
+    assert da.shape == (200, 1980)
+    assert da.time[0] == np.datetime64("1850-01-16T12:00:00", "ns")
+    assert not np.isnan(da.values).all()
+
+
+@needs_data
+def test_open_model_file():
+    path = os.path.join(REF_DATA, "gmst/historical/CCCma_CanESM5-p1_historical_gmst.nc")
+    da = netcdf.open_dataarray(path, name="CanESM5-p1")
+    assert da.dims == ("realisation", "time")
+    assert da.shape == (25, 1980)
+    assert da.name == "CanESM5-p1"
+    years = timeutils.years_of(da.time)
+    assert years[0] == 1850 and years[-1] == 2014

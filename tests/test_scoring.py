@@ -37,14 +37,21 @@ def test_fullcov_constant_vector_ll(rng):
 
 
 def test_gaussian_crps_closed_form(rng):
-    # Oracle: numerical integral of (F(x) - 1{x >= obs})^2 dx.
+    # Oracle: numerical integral of (F(x) - 1{x >= obs})^2 dx, split at the
+    # Heaviside jump so quadrature sees smooth integrands.
+    import scipy.integrate
+
     mu, sigma, obs = 0.3, 1.2, -0.4
-    xs = np.linspace(mu - 12 * sigma, mu + 12 * sigma, 400001)
-    cdf = scipy.stats.norm.cdf(xs, mu, sigma)
-    heav = (xs >= obs).astype(float)
-    want = np.trapezoid((cdf - heav) ** 2, xs)
+    lo, hi = mu - 14 * sigma, mu + 14 * sigma
+    below, _ = scipy.integrate.quad(
+        lambda x: scipy.stats.norm.cdf(x, mu, sigma) ** 2, lo, obs
+    )
+    above, _ = scipy.integrate.quad(
+        lambda x: (scipy.stats.norm.cdf(x, mu, sigma) - 1.0) ** 2, obs, hi
+    )
+    want = below + above
     got = float(scoring.gaussian_crps(jnp.asarray(obs), mu, sigma))
-    np.testing.assert_allclose(got, want, rtol=1e-6)
+    np.testing.assert_allclose(got, want, rtol=1e-8)
 
 
 def test_mean_gaussian_crps_shape(rng):
