@@ -16,7 +16,46 @@ TPU paths default to float32; the float64 CPU oracle is opt-in via
 
 from bayesian_ensembling_tpu import ops
 from bayesian_ensembling_tpu.coords import DimArray
+from bayesian_ensembling_tpu.data import ModelCollection, Posterior, ProcessModel
+from bayesian_ensembling_tpu.models.gp_dtw import GPDTW1D
+from bayesian_ensembling_tpu.models.mean_field import MeanField, MeanFieldApproximation
+from bayesian_ensembling_tpu.ops.dtw import dba
+from bayesian_ensembling_tpu.schemes import (
+    Barycentre,
+    MultiModelMean,
+    WeightedModelMean,
+)
+from bayesian_ensembling_tpu.weights import (
+    AbstractWeight,
+    CRPSWeight,
+    InverseSquareWeight,
+    KSDWeight,
+    LogLikelihoodWeight,
+    ModelSimilarityWeight,
+    UniformWeight,
+)
 
 __version__ = "0.1.0"
 
-__all__ = ["ops", "DimArray", "__version__"]
+__all__ = [
+    "ops",
+    "DimArray",
+    "ModelCollection",
+    "Posterior",
+    "ProcessModel",
+    "GPDTW1D",
+    "MeanField",
+    "MeanFieldApproximation",
+    "dba",
+    "Barycentre",
+    "MultiModelMean",
+    "WeightedModelMean",
+    "AbstractWeight",
+    "CRPSWeight",
+    "InverseSquareWeight",
+    "KSDWeight",
+    "LogLikelihoodWeight",
+    "ModelSimilarityWeight",
+    "UniformWeight",
+    "__version__",
+]

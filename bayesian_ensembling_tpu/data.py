@@ -290,21 +290,21 @@ class ModelCollection:
     def padded_stack(self, dtype=np.float32):
         """Stack all models into a padded ``(M, R_max, n_points)`` block.
 
-        Padded realisation rows repeat the model's first realisation so the
-        padding is value-neutral for distance-based kernels; the mask marks
-        real rows.  This is the device-side layout every batched emulator and
-        weighter consumes.
+        Padding rows are ZERO and flagged False in the mask.  Zero padding is
+        the right choice for both consumers: mask-aware reductions ignore the
+        rows entirely, and when realisations become GP feature *columns*
+        (models/gp_dtw.py) a constant column contributes zero to every
+        pairwise distance, leaving the kernel unchanged.
         """
         m = len(self.models)
         r_max = self.max_realisations
         flat = [mod.data.values.reshape(mod.n_realisations, -1) for mod in self.models]
         n_points = flat[0].shape[1]
-        out = np.empty((m, r_max, n_points), dtype=dtype)
+        out = np.zeros((m, r_max, n_points), dtype=dtype)
         mask = np.zeros((m, r_max), dtype=bool)
         for i, f in enumerate(flat):
             r = f.shape[0]
             out[i, :r] = f
-            out[i, r:] = f[0]
             mask[i, :r] = True
         return out, mask
 

@@ -110,8 +110,8 @@ def test_padded_stack(rng):
     block, mask = mc.padded_stack()
     assert block.shape == (2, 4, 48)
     assert mask.tolist() == [[True, True, False, False], [True] * 4]
-    # Padding repeats realisation 0.
-    np.testing.assert_allclose(block[0, 2], block[0, 0])
+    # Padding rows are zero.
+    np.testing.assert_allclose(block[0, 2:], 0.0)
 
 
 def test_save_load_roundtrip(tmp_path, rng):

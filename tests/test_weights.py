@@ -1,0 +1,155 @@
+"""Weighting-layer tests, modelled on the reference strategy
+(tests/test_weights.py there: shape + sum-to-one invariants over the model
+dim, parametrised over obs realisations and model counts), plus golden checks
+of the vectorised scorers."""
+
+import numpy as np
+import pytest
+import scipy.stats
+
+import bayesian_ensembling_tpu as bet
+from bayesian_ensembling_tpu.models.mean_field import MeanField
+from bayesian_ensembling_tpu.models.gp_dtw import GPDTW1D
+
+from test_data import make_collection, make_da
+from bayesian_ensembling_tpu.data import ProcessModel
+
+ALL_WEIGHTERS = [
+    bet.LogLikelihoodWeight,
+    bet.InverseSquareWeight,
+    bet.UniformWeight,
+    bet.KSDWeight,
+    bet.CRPSWeight,
+]
+
+
+def setup_fitted(rng, n_models=3, obs_reals=4, n_months=20, emulator=None):
+    mc = make_collection(rng, n_models=n_models, n_reals=(2, 3), n_months=n_months)
+    obs = ProcessModel(make_da(rng, n_reals=obs_reals, n_months=n_months), "obs")
+    emulator = emulator or MeanField(dtype=np.float64)
+    mc.fit(emulator)
+    return mc, obs
+
+
+@pytest.mark.parametrize("weighter", ALL_WEIGHTERS)
+@pytest.mark.parametrize("obs_reals", [1, 5])
+@pytest.mark.parametrize("n_models", [2, 5])
+def test_weight_invariants(rng, weighter, obs_reals, n_models):
+    mc, obs = setup_fitted(rng, n_models=n_models, obs_reals=obs_reals)
+    w = weighter()(mc, obs)
+    assert w.dims[0] == "model"
+    assert w.shape == (n_models, 20)
+    np.testing.assert_allclose(w.values.sum(axis=0), 1.0, rtol=1e-6)
+    assert (w.values >= 0).all()
+
+
+def test_weight_time_mismatch_raises(rng):
+    mc, _ = setup_fitted(rng)
+    obs_bad = ProcessModel(make_da(rng, n_reals=2, n_months=20, start="1999-01"), "o")
+    with pytest.raises(ValueError, match="Time coordinates"):
+        bet.UniformWeight()(mc, obs_bad)
+
+
+def test_weight_requires_fit(rng):
+    mc = make_collection(rng, n_models=2, n_months=12)
+    obs = ProcessModel(make_da(rng, n_reals=2, n_months=12), "obs")
+    with pytest.raises(ValueError, match="fit models first"):
+        bet.LogLikelihoodWeight()(mc, obs)
+
+
+def test_loglik_weight_prefers_matching_model(rng):
+    n_months = 24
+    signal = np.sin(np.linspace(0, 4, n_months))
+    da_good = make_da(rng, n_reals=4, n_months=n_months)
+    da_good.values[:] = signal + 0.1 * rng.normal(size=da_good.shape)
+    da_bad = make_da(rng, n_reals=4, n_months=n_months)
+    da_bad.values[:] = signal + 5.0 + 0.1 * rng.normal(size=da_bad.shape)
+    mc = bet.ModelCollection([ProcessModel(da_good, "good"), ProcessModel(da_bad, "bad")])
+    obs_da = make_da(rng, n_reals=3, n_months=n_months)
+    obs_da.values[:] = signal + 0.1 * rng.normal(size=obs_da.shape)
+    obs = ProcessModel(obs_da, "obs")
+    mc.fit(MeanField(dtype=np.float64))
+    w = bet.LogLikelihoodWeight()(mc, obs)
+    assert (w.values[0] > w.values[1]).all()
+
+
+def test_crps_weight_prefers_matching_model(rng):
+    mc, obs = None, None
+    n_months = 24
+    signal = np.cos(np.linspace(0, 3, n_months))
+    def mk(offset, name):
+        da = make_da(rng, n_reals=4, n_months=n_months)
+        da.values[:] = signal + offset + 0.1 * rng.normal(size=da.shape)
+        return ProcessModel(da, name)
+    mc = bet.ModelCollection([mk(0.0, "good"), mk(3.0, "bad")])
+    obs_da = make_da(rng, n_reals=5, n_months=n_months)
+    obs_da.values[:] = signal + 0.1 * rng.normal(size=obs_da.shape)
+    obs = ProcessModel(obs_da, "obs")
+    mc.fit(MeanField(dtype=np.float64))
+    for W in (bet.CRPSWeight, bet.KSDWeight, bet.InverseSquareWeight):
+        w = W()(mc, obs)
+        assert w.values[0].mean() > w.values[1].mean(), W.__name__
+
+
+def test_loglik_weight_diag_matches_scipy(rng):
+    mc, obs = setup_fitted(rng, n_models=2, obs_reals=3, n_months=10)
+    w, lls = bet.LogLikelihoodWeight()(mc, obs, return_lls=True)
+    obs_flat = obs.data.values.reshape(3, -1)
+    for i, pm in enumerate(mc):
+        mean = np.asarray(pm.distribution.gaussian.mean)
+        var = np.asarray(pm.distribution.gaussian.var)
+        want = scipy.stats.norm.logpdf(obs_flat, mean, np.sqrt(var)).mean(0)
+        np.testing.assert_allclose(lls.values[i], want, rtol=1e-6)
+
+
+def test_loglik_weight_fullcov_branch(rng):
+    mc, obs = setup_fitted(
+        rng, n_models=2, obs_reals=2, n_months=16,
+        emulator=GPDTW1D(dtype=np.float64),
+    )
+    w = bet.LogLikelihoodWeight()(mc, obs, standardisation_constant=0.01)
+    np.testing.assert_allclose(w.values.sum(axis=0), 1.0, rtol=1e-6)
+    assert np.isfinite(w.values).all()
+
+
+def test_uniform_weight_values(rng):
+    mc, obs = setup_fitted(rng, n_models=4)
+    w = bet.UniformWeight()(mc, obs)
+    np.testing.assert_allclose(w.values, 0.25)
+
+
+def test_model_similarity_single(rng):
+    mc, obs = setup_fitted(rng, n_models=3)
+    w = bet.ModelSimilarityWeight()(mc, mode="single")
+    assert w.dims == ("model", "time")
+    assert w.shape == (3, 1)
+    np.testing.assert_allclose(w.values.sum(), 1.0, rtol=1e-6)
+
+
+def test_model_similarity_temporal(rng):
+    mc, obs = setup_fitted(rng, n_models=3, n_months=20)
+    w = bet.ModelSimilarityWeight()(mc, mode="temporal")
+    assert w.shape == (3, 20)
+    np.testing.assert_allclose(w.values.sum(axis=0), 1.0, rtol=1e-6)
+
+
+def test_model_similarity_outlier_gets_weight(rng):
+    # A model far from the others is "dissimilar" => higher weight.
+    n_months = 12
+    def mk(offset, name):
+        da = make_da(rng, n_reals=3, n_months=n_months)
+        da.values[:] = offset + 0.1 * rng.normal(size=da.shape)
+        return ProcessModel(da, name)
+    mc = bet.ModelCollection([mk(0.0, "a"), mk(0.1, "b"), mk(8.0, "outlier")])
+    mc.fit(MeanField(dtype=np.float64))
+    w = bet.ModelSimilarityWeight()(mc, mode="single")
+    assert w.values[2, 0] > w.values[0, 0]
+    assert w.values[2, 0] > w.values[1, 0]
+
+
+def test_similarity_fullcov_single(rng):
+    mc, _ = setup_fitted(
+        rng, n_models=2, n_months=14, emulator=GPDTW1D(dtype=np.float64)
+    )
+    w = bet.ModelSimilarityWeight()(mc, mode="single")
+    np.testing.assert_allclose(w.values.sum(), 1.0, rtol=1e-6)
