@@ -149,6 +149,29 @@ def posterior(
     return mean, cov
 
 
+def posterior_marginals(
+    params: GPParams,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    noise_var: jnp.ndarray,
+    kernel: KernelFn = matern32,
+    jitter: float = 1e-6,
+) -> tp.Tuple[jnp.ndarray, jnp.ndarray]:
+    """Marginal posterior (mean, variance) without forming the full covariance.
+
+    ``var_i = k_ii - |L^-1 k_:i|^2`` — O(T^2) memory instead of O(T^2) output,
+    the right shape for the fused weighting/barycentre step where only
+    marginals are consumed (weights.py + ensemble_scheme.py touch marginals
+    only)."""
+    chol = _chol_ky(params, kernel, x, noise_var, jitter)
+    k = kernel(params, x, x)
+    alpha = jax.scipy.linalg.cho_solve((chol, True), y)
+    mean = k @ alpha
+    v = jax.scipy.linalg.solve_triangular(chol, k, lower=True)
+    var = jnp.diagonal(k) - jnp.sum(jnp.square(v), axis=0)
+    return mean, jnp.clip(var, 1e-12, None)
+
+
 @functools.partial(
     jax.jit, static_argnames=("kernel_name", "n_optim_nits", "learning_rate")
 )

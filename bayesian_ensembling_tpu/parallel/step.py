@@ -1,0 +1,178 @@
+"""The fused ensemble step: fit -> weight -> combine as ONE XLA program.
+
+This is the TPU performance path and the multi-chip sharding surface.  The
+reference runs the same logic as three separate Python stages with nested
+loops (SURVEY SS3.1-3.3); here the entire scenario —
+
+    DBA barycentres -> batched GP hyperparameter optimisation -> posterior
+    marginals -> CRPS (or log-likelihood) weights -> sum-to-one normalisation
+    -> time-mean broadcast -> W2 barycentre
+
+— is a single jitted function of device arrays.  Sharding: the *model* axis
+is the data-parallel axis (one climate model's emulation is independent of
+the others until the weight normalisation), so inputs are sharded
+``P('model', ...)`` over the mesh and XLA inserts the only two collectives
+where the math actually couples models: the weight-normalisation sum and the
+barycentre weighted sums (reference couplings at weights.py:123,511 and
+wasserstein.py:86,98).
+"""
+
+from __future__ import annotations
+
+import functools
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from bayesian_ensembling_tpu.ops import dtw as dtw_ops
+from bayesian_ensembling_tpu.ops import gp as gp_ops
+from bayesian_ensembling_tpu.ops import scoring
+
+__all__ = ["emulate_marginals", "ensemble_scenario_step", "make_sharded_step"]
+
+
+def emulate_marginals(
+    block: jnp.ndarray,  # (M, R, T) zero-padded realisations
+    mask: jnp.ndarray,  # (M, R)
+    kernel_name: str = "matern32",
+    n_optim_nits: int = 500,
+    learning_rate: float = 0.01,
+    dba_iterations: int = 10,
+    jitter: float = 1e-6,
+) -> tp.Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched GPDTW1D emulation returning posterior marginals (M, T) x2.
+
+    Same math as models/gp_dtw.emulate_batch but marginal-only (no full
+    covariance materialised) — the fused pipeline consumes marginals only.
+    Marginal variance includes the heteroskedastic noise (models.py:220).
+    """
+    w = mask.astype(block.dtype)
+    n = jnp.maximum(jnp.sum(w, axis=1), 1.0)
+
+    y_mean = jax.vmap(
+        functools.partial(dtw_ops.dba, n_iterations=dba_iterations)
+    )(block, mask)
+    mu_r = jnp.einsum("mrt,mr->mt", block, w) / n[:, None]
+    y_var = (
+        jnp.einsum("mrt,mr->mt", jnp.square(block - mu_r[:, None, :]), w)
+        / n[:, None]
+    )
+    y_var = jnp.maximum(y_var, 1e-8)
+    x = jnp.swapaxes(block, 1, 2)
+
+    fit = functools.partial(
+        gp_ops.fit_gp,
+        kernel_name=kernel_name,
+        n_optim_nits=n_optim_nits,
+        learning_rate=learning_rate,
+        jitter=jitter,
+    )
+    params, _ = jax.vmap(fit)(x, y_mean, y_var)
+
+    kernel = gp_ops.get_kernel(kernel_name)
+    marg = functools.partial(gp_ops.posterior_marginals, kernel=kernel, jitter=jitter)
+    mean, var = jax.vmap(marg)(params, x, y_mean, y_var)
+    return mean, var + y_var
+
+
+def ensemble_scenario_step(
+    hist_block: jnp.ndarray,  # (M, R, T_hist)
+    hist_mask: jnp.ndarray,  # (M, R)
+    ssp_block: jnp.ndarray,  # (M, R, T_ssp)
+    ssp_mask: jnp.ndarray,  # (M, R)
+    obs: jnp.ndarray,  # (R_obs, T_hist)
+    model_mask: tp.Optional[jnp.ndarray] = None,  # (M,) for padded models
+    *,
+    kernel_name: str = "matern32",
+    n_optim_nits: int = 500,
+    learning_rate: float = 0.01,
+    dba_iterations: int = 10,
+    weight_kind: str = "crps",
+) -> tp.Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One full scenario: emulate hist+ssp, weight vs obs, W2 barycentre.
+
+    Returns (bary_mean (T_ssp,), bary_std (T_ssp,), weights (M,)).
+    Pure JAX: jit/shard at the call site (see make_sharded_step).
+    """
+    em = functools.partial(
+        emulate_marginals,
+        kernel_name=kernel_name,
+        n_optim_nits=n_optim_nits,
+        learning_rate=learning_rate,
+        dba_iterations=dba_iterations,
+    )
+    hist_mean, hist_var = em(hist_block, hist_mask)
+    ssp_mean, ssp_var = em(ssp_block, ssp_mask)
+
+    if weight_kind == "crps":
+        score = jax.vmap(scoring.mean_gaussian_crps, in_axes=(0, 0, None))(
+            hist_mean, jnp.sqrt(hist_var), obs
+        )
+        raw = 1.0 / score  # (M, T_hist)
+    elif weight_kind == "loglik":
+        ll = jax.vmap(scoring.diag_log_likelihood, in_axes=(0, 0, None))(
+            hist_mean, hist_var, obs
+        )  # (M, R_obs, T)
+        raw = jnp.exp(jnp.mean(ll, axis=1))
+    else:
+        raise ValueError(f"unknown weight_kind {weight_kind!r}")
+
+    if model_mask is not None:
+        raw = raw * model_mask[:, None]
+    # The one cross-model reduction -> psum when the model axis is sharded.
+    weights_t = raw / jnp.sum(raw, axis=0, keepdims=True)
+    weights = jnp.mean(weights_t, axis=1)  # time-mean, one weight per model
+
+    ssp_std = jnp.sqrt(ssp_var)
+    bary_mean = jnp.sum(weights[:, None] * ssp_mean, axis=0)
+    bary_std = jnp.sum(weights[:, None] * ssp_std, axis=0)
+    return bary_mean, bary_std, weights
+
+
+def make_sharded_step(
+    mesh: Mesh,
+    model_axis: str = "model",
+    **step_kwargs,
+):
+    """jit ``ensemble_scenario_step`` with the model axis sharded over ``mesh``.
+
+    Inputs arrive ``P(model_axis)`` on their leading (model) dim; obs is
+    replicated; outputs are replicated.  XLA turns the weight-normalisation
+    and barycentre sums into mesh collectives over ICI.
+    """
+    model_sharded = NamedSharding(mesh, P(model_axis))
+    replicated = NamedSharding(mesh, P())
+
+    fn = functools.partial(ensemble_scenario_step, **step_kwargs)
+    return jax.jit(
+        fn,
+        in_shardings=(
+            model_sharded,  # hist_block
+            model_sharded,  # hist_mask
+            model_sharded,  # ssp_block
+            model_sharded,  # ssp_mask
+            replicated,  # obs
+            model_sharded,  # model_mask
+        ),
+        out_shardings=(replicated, replicated, replicated),
+    )
+
+
+def pad_models(
+    block: np.ndarray, mask: np.ndarray, m_target: int
+) -> tp.Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Pad the model axis to ``m_target`` (for divisibility by the mesh size).
+
+    Padded entries replicate model 0 (their fit is wasted but numerically
+    safe) and are zeroed out of the weights via the returned model_mask.
+    """
+    m = block.shape[0]
+    if m_target < m:
+        raise ValueError(f"m_target {m_target} < {m}")
+    reps = [block] + [block[:1]] * (m_target - m)
+    mreps = [mask] + [mask[:1]] * (m_target - m)
+    model_mask = np.concatenate([np.ones(m), np.zeros(m_target - m)]).astype(block.dtype)
+    return np.concatenate(reps, 0), np.concatenate(mreps, 0), model_mask

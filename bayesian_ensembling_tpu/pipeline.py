@@ -1,0 +1,161 @@
+"""End-to-end GMST experiment pipeline.
+
+Library form of the reference's flagship experiment
+(``/root/reference/experiments/full_experiment_script.py``): load HadCRUT5
+observations and per-SSP CMIP6 members, anomalise against the 1961-1990
+monthly climatology with annual resampling, emulate every model with
+:class:`~bayesian_ensembling_tpu.models.gp_dtw.GPDTW1D`, weight against
+observations (CRPS by default), and combine with the W2
+:class:`~bayesian_ensembling_tpu.schemes.Barycentre`.
+
+The emulation step — the compute-dominant stage (SURVEY SS3.1) — runs as one
+batched XLA program per collection; on TPU the historical and SSP collections
+of a scenario fit in two compiled calls instead of the reference's
+~2 x M x 2000 Python-level optimiser steps.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import glob
+import os
+import time as _time
+import typing as tp
+
+import numpy as np
+
+from bayesian_ensembling_tpu.data import ModelCollection, Posterior, ProcessModel
+from bayesian_ensembling_tpu.io import netcdf
+from bayesian_ensembling_tpu.models.gp_dtw import GPDTW1D
+from bayesian_ensembling_tpu.schemes import Barycentre
+from bayesian_ensembling_tpu.weights import CRPSWeight
+
+__all__ = [
+    "DEFAULT_DATA_DIR",
+    "ScenarioResult",
+    "load_observations",
+    "load_scenario",
+    "run_scenario",
+    "warming_summary",
+]
+
+DEFAULT_DATA_DIR = "/root/reference/experiments/data"
+ALL_SSPS = ("ssp119", "ssp126", "ssp245", "ssp370", "ssp434", "ssp460", "ssp585")
+
+
+def _model_name(path: str) -> str:
+    return "_".join(os.path.basename(path).split("_")[:2])
+
+
+def load_observations(data_dir: str = DEFAULT_DATA_DIR) -> ProcessModel:
+    """HadCRUT5 GMST anomalies, annually resampled (script :20-23)."""
+    path = os.path.join(data_dir, "obs/gmst/HadCRUT.5.0.1.0.analysis.anomalies_gmst.nc")
+    da = netcdf.open_dataarray(path, name="tas")
+    from bayesian_ensembling_tpu.coords import DimArray
+    from bayesian_ensembling_tpu.io import timeutils
+
+    vals, new_time = timeutils.annual_mean(da.values, da.time, time_axis=1)
+    coords = dict(da.coords)
+    coords["time"] = new_time
+    return ProcessModel(DimArray(vals, da.dims, coords, name=da.name), "Observations")
+
+
+def load_scenario(
+    ssp: str, data_dir: str = DEFAULT_DATA_DIR
+) -> tp.Tuple[ModelCollection, ModelCollection]:
+    """Load (historical, ssp) anomaly collections for one scenario.
+
+    Mirrors the reference's loader (full_experiment_script.py:28-75): only
+    models present in BOTH the historical and the SSP directory are kept;
+    historical anomalies define each model's climatology, which is then
+    applied to its SSP run.
+    """
+    hist_files = {
+        _model_name(p): p
+        for p in sorted(glob.glob(os.path.join(data_dir, "gmst/historical/*.nc")))
+    }
+    ssp_files = {
+        _model_name(p): p
+        for p in sorted(glob.glob(os.path.join(data_dir, f"gmst/{ssp}/*.nc")))
+    }
+    common = sorted(set(hist_files) & set(ssp_files))
+    if not common:
+        raise FileNotFoundError(f"no overlapping models for {ssp} under {data_dir}")
+
+    hist_models, ssp_models = [], []
+    for name in common:
+        hist_da = netcdf.open_dataarray(hist_files[name], name="tas")
+        hist_pm = ProcessModel(hist_da, name)
+        hist_anom = hist_pm.calculate_anomaly(resample_freq="Y")
+        hist_models.append(hist_anom)
+
+        ssp_da = netcdf.open_dataarray(ssp_files[name], name="tas")
+        ssp_pm = ProcessModel(ssp_da, name)
+        ssp_anom = ssp_pm.calculate_anomaly(
+            climatology=hist_anom.climatology, resample_freq="Y"
+        )
+        ssp_models.append(ssp_anom)
+
+    return ModelCollection(hist_models), ModelCollection(ssp_models)
+
+
+@dataclasses.dataclass
+class ScenarioResult:
+    ssp: str
+    weights: tp.Any  # DimArray (model, time)
+    barycentre: Posterior
+    fit_seconds: float
+    total_seconds: float
+
+
+def run_scenario(
+    hist: ModelCollection,
+    ssp_collection: ModelCollection,
+    observations: ProcessModel,
+    ssp_name: str = "ssp",
+    weighter: tp.Optional[tp.Any] = None,
+    emulator: tp.Optional[tp.Any] = None,
+    n_optim_nits: int = 2000,
+    dba_iterations: int = 10,
+) -> ScenarioResult:
+    """Fit + weight + combine one scenario (script :87-143)."""
+    weighter = weighter or CRPSWeight()
+    emulator = emulator or GPDTW1D()
+
+    t0 = _time.perf_counter()
+    hist.fit(emulator, n_optim_nits=n_optim_nits, dba_iterations=dba_iterations)
+    ssp_collection.fit(
+        emulator, n_optim_nits=n_optim_nits, dba_iterations=dba_iterations
+    )
+    t_fit = _time.perf_counter() - t0
+
+    w = weighter(hist, observations)
+    # One weight per model: time-mean, broadcast over the forecast period
+    # (script :127-133).
+    w_mean = w.mean("time")
+    w_fore = w_mean.expand_dims(
+        "time", size=len(ssp_collection.time), coord=ssp_collection.time, axis=1
+    )
+    barycentre = Barycentre()(ssp_collection, w_fore)
+    total = _time.perf_counter() - t0
+    return ScenarioResult(ssp_name, w_fore, barycentre, t_fit, total)
+
+
+def warming_summary(result: ScenarioResult, years=(2050, 2100)) -> tp.Dict[int, tp.Tuple[float, float, float]]:
+    """Mean and 95% credible interval of warming at selected years
+    (script :146-214 prints these per SSP)."""
+    from bayesian_ensembling_tpu.io import timeutils
+
+    post = result.barycentre
+    t_years = timeutils.years_of(post.template.time)
+    mean = np.asarray(post.gaussian.mean)
+    sd = np.sqrt(np.asarray(post.gaussian.variance))
+    out = {}
+    for y in years:
+        idx = int(np.argmin(np.abs(t_years - y)))
+        out[y] = (
+            float(mean[idx]),
+            float(mean[idx] - 2 * sd[idx]),
+            float(mean[idx] + 2 * sd[idx]),
+        )
+    return out

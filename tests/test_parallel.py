@@ -1,0 +1,97 @@
+"""Sharded fused-step tests on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh
+
+from bayesian_ensembling_tpu.parallel.step import (
+    ensemble_scenario_step,
+    make_sharded_step,
+    pad_models,
+)
+
+
+def toy(m=8, r=3, t_hist=20, t_ssp=10, r_obs=4, seed=0):
+    rng = np.random.default_rng(seed)
+    hb = rng.normal(size=(m, r, t_hist))
+    hm = np.ones((m, r), dtype=bool)
+    sb = rng.normal(size=(m, r, t_ssp))
+    sm = hm.copy()
+    obs = rng.normal(size=(r_obs, t_hist))
+    return hb, hm, sb, sm, obs
+
+
+def test_unsharded_step(rng):
+    hb, hm, sb, sm, obs = toy()
+    mean, std, w = ensemble_scenario_step(
+        jnp.asarray(hb), jnp.asarray(hm), jnp.asarray(sb), jnp.asarray(sm),
+        jnp.asarray(obs), n_optim_nits=3, dba_iterations=2,
+    )
+    assert mean.shape == (10,) and std.shape == (10,) and w.shape == (8,)
+    np.testing.assert_allclose(float(w.sum()), 1.0, rtol=1e-6)
+    assert np.isfinite(np.asarray(mean)).all()
+
+
+def test_sharded_step_matches_unsharded():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    hb, hm, sb, sm, obs = toy()
+    mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("model",))
+    mm = np.ones(8)
+    step = make_sharded_step(mesh, n_optim_nits=3, dba_iterations=2)
+    got = step(
+        jnp.asarray(hb), jnp.asarray(hm), jnp.asarray(sb), jnp.asarray(sm),
+        jnp.asarray(obs), jnp.asarray(mm),
+    )
+    want = ensemble_scenario_step(
+        jnp.asarray(hb), jnp.asarray(hm), jnp.asarray(sb), jnp.asarray(sm),
+        jnp.asarray(obs), jnp.asarray(mm), n_optim_nits=3, dba_iterations=2,
+    )
+    for g, w_ in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w_), rtol=2e-4, atol=1e-7)
+
+
+def test_model_padding_neutral():
+    hb, hm, sb, sm, obs = toy(m=6)
+    base = ensemble_scenario_step(
+        jnp.asarray(hb), jnp.asarray(hm), jnp.asarray(sb), jnp.asarray(sm),
+        jnp.asarray(obs), n_optim_nits=3, dba_iterations=2,
+    )
+    hb8, hm8, mmask = pad_models(hb, hm, 8)
+    sb8, sm8, _ = pad_models(sb, sm, 8)
+    padded = ensemble_scenario_step(
+        jnp.asarray(hb8), jnp.asarray(hm8), jnp.asarray(sb8), jnp.asarray(sm8),
+        jnp.asarray(obs), jnp.asarray(mmask), n_optim_nits=3, dba_iterations=2,
+    )
+    np.testing.assert_allclose(np.asarray(base[0]), np.asarray(padded[0]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(base[1]), np.asarray(padded[1]), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(base[2]), np.asarray(padded[2][:6]), rtol=1e-6
+    )
+    np.testing.assert_allclose(np.asarray(padded[2][6:]), 0.0, atol=1e-12)
+
+
+def test_loglik_weight_kind():
+    hb, hm, sb, sm, obs = toy(m=4)
+    mean, std, w = ensemble_scenario_step(
+        jnp.asarray(hb), jnp.asarray(hm), jnp.asarray(sb), jnp.asarray(sm),
+        jnp.asarray(obs), n_optim_nits=3, dba_iterations=2, weight_kind="loglik",
+    )
+    np.testing.assert_allclose(float(w.sum()), 1.0, rtol=1e-6)
+
+
+def test_graft_entry_single_chip():
+    import importlib.util, os
+
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__", os.path.join(os.path.dirname(__file__), "..", "__graft_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fn, args = mod.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+
+    mod.dryrun_multichip(min(8, len(jax.devices())))
