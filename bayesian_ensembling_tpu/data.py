@@ -287,7 +287,7 @@ class ModelCollection:
                 m.data.coords["time"] = t0
 
     # ------------------------------------------------------------- batching
-    def padded_stack(self, dtype=np.float32):
+    def padded_stack(self, dtype=np.float32, r_target: tp.Optional[int] = None):
         """Stack all models into a padded ``(M, R_max, n_points)`` block.
 
         Padding rows are ZERO and flagged False in the mask.  Zero padding is
@@ -297,7 +297,9 @@ class ModelCollection:
         pairwise distance, leaving the kernel unchanged.
         """
         m = len(self.models)
-        r_max = self.max_realisations
+        r_max = r_target if r_target is not None else self.max_realisations
+        if r_max < self.max_realisations:
+            raise ValueError("r_target smaller than the largest realisation count")
         flat = [mod.data.values.reshape(mod.n_realisations, -1) for mod in self.models]
         n_points = flat[0].shape[1]
         out = np.zeros((m, r_max, n_points), dtype=dtype)

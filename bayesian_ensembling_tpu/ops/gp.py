@@ -76,10 +76,16 @@ def init_params(lengthscale: float = 1.0, variance: float = 1.0, dtype=jnp.float
 
 
 def _sq_dists(x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
-    """Pairwise squared Euclidean distances between rows of x1 (N,D), x2 (M,D)."""
+    """Pairwise squared Euclidean distances between rows of x1 (N,D), x2 (M,D).
+
+    The Gram matrix feeds a Cholesky, so the matmul runs at HIGHEST precision:
+    the TPU default (one-pass bfloat16) introduces ~1e-3 errors that make
+    K + D lose positive-definiteness at float32 jitter levels.
+    """
     n1 = jnp.sum(jnp.square(x1), axis=-1)
     n2 = jnp.sum(jnp.square(x2), axis=-1)
-    d2 = n1[:, None] + n2[None, :] - 2.0 * (x1 @ x2.T)
+    cross = jnp.matmul(x1, x2.T, precision=jax.lax.Precision.HIGHEST)
+    d2 = n1[:, None] + n2[None, :] - 2.0 * cross
     return jnp.clip(d2, 0.0, None)
 
 
@@ -143,9 +149,9 @@ def posterior(
     chol = _chol_ky(params, kernel, x, noise_var, jitter)
     k = kernel(params, x, x)
     alpha = jax.scipy.linalg.cho_solve((chol, True), y)
-    mean = k @ alpha
+    mean = jnp.matmul(k, alpha[..., None], precision=jax.lax.Precision.HIGHEST)[..., 0]
     v = jax.scipy.linalg.solve_triangular(chol, k, lower=True)
-    cov = k - v.T @ v
+    cov = k - jnp.matmul(v.T, v, precision=jax.lax.Precision.HIGHEST)
     return mean, cov
 
 
@@ -166,7 +172,7 @@ def posterior_marginals(
     chol = _chol_ky(params, kernel, x, noise_var, jitter)
     k = kernel(params, x, x)
     alpha = jax.scipy.linalg.cho_solve((chol, True), y)
-    mean = k @ alpha
+    mean = jnp.matmul(k, alpha[..., None], precision=jax.lax.Precision.HIGHEST)[..., 0]
     v = jax.scipy.linalg.solve_triangular(chol, k, lower=True)
     var = jnp.diagonal(k) - jnp.sum(jnp.square(v), axis=0)
     return mean, jnp.clip(var, 1e-12, None)

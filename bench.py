@@ -1,0 +1,117 @@
+"""Headline benchmark: full 7-SSP GMST experiment on the accelerator.
+
+Workload = the reference's flagship experiment
+(``/root/reference/experiments/full_experiment_script.py``): for each of the
+7 SSP scenarios, emulate every CMIP6 member (DBA barycentre + heteroskedastic
+GP, 2000 optimisation iterations), weight against HadCRUT5 (CRPS), and
+combine with the W2 barycentre.  Here each scenario runs as ONE fused XLA
+program (bayesian_ensembling_tpu/parallel/step.py); all scenarios share one
+compiled executable via global (model, realisation) padding.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": seconds, "unit": "s", "vs_baseline": speedup}
+where vs_baseline = CPU-float64 reference-path seconds / this run's seconds
+(the reference publishes no numbers — BASELINE.md records the self-measured
+CPU anchor, benchmarks/cpu_baseline.json).
+"""
+
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+
+from bayesian_ensembling_tpu import pipeline
+from bayesian_ensembling_tpu.parallel.step import ensemble_scenario_step, pad_models
+
+N_ITERS = int(os.environ.get("BENCH_N_ITERS", "2000"))
+DBA_ITERS = int(os.environ.get("BENCH_DBA_ITERS", "10"))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    log("devices:", jax.devices())
+    obs_pm = pipeline.load_observations()
+    obs = jnp.asarray(obs_pm.data.values, dtype=jnp.float32)
+
+    scenarios = []
+    for ssp in pipeline.ALL_SSPS:
+        hist, ssp_mc = pipeline.load_scenario(ssp)
+        scenarios.append((ssp, hist, ssp_mc))
+
+    m_max = max(len(h) for _, h, _ in scenarios)
+    r_max = max(max(h.max_realisations, s.max_realisations) for _, h, s in scenarios)
+    log(f"padding all scenarios to M={m_max}, R={r_max}")
+
+    packed = []
+    for ssp, hist, ssp_mc in scenarios:
+        hb, hm = hist.padded_stack(r_target=r_max)
+        sb, sm = ssp_mc.padded_stack(r_target=r_max)
+        hb, hm, mmask = pad_models(hb, hm, m_max)
+        sb, sm, _ = pad_models(sb, sm, m_max)
+        packed.append(
+            tuple(jnp.asarray(a) for a in (hb, hm, sb, sm, mmask))
+        )
+
+    step = jax.jit(
+        functools.partial(
+            ensemble_scenario_step,
+            n_optim_nits=N_ITERS,
+            dba_iterations=DBA_ITERS,
+        )
+    )
+
+    def sync(tree):
+        # On the tunnelled TPU backend block_until_ready is a no-op; a
+        # device->host fetch is the only reliable synchronisation point.
+        for leaf in jax.tree_util.tree_leaves(tree):
+            np.asarray(leaf)
+
+    # Warmup: session init + compile on the first scenario's shapes
+    # (shared by all scenarios thanks to global (M, R) padding).
+    hb, hm, sb, sm, mmask = packed[0]
+    t0 = time.perf_counter()
+    sync(step(hb, hm, sb, sm, obs, mmask))
+    log(f"warmup (session init + compile + first run): {time.perf_counter() - t0:.1f}s")
+
+    t0 = time.perf_counter()
+    outs = []
+    for hb, hm, sb, sm, mmask in packed:
+        outs.append(step(hb, hm, sb, sm, obs, mmask))
+    sync(outs)
+    elapsed = time.perf_counter() - t0
+
+    for (ssp, hist, _), (bmean, bstd, w) in zip(scenarios, outs):
+        m = np.asarray(bmean)
+        s = np.asarray(bstd)
+        log(f"{ssp}: 2100 warming {m[-1]:.3f} (+-2sd {m[-1]-2*s[-1]:.3f}..{m[-1]+2*s[-1]:.3f})")
+
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "benchmarks", "cpu_baseline.json")
+    vs = None
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            cpu = json.load(f)
+        if cpu.get("n_optim_nits") == N_ITERS:
+            vs = cpu["total_seconds"] / elapsed
+
+    print(json.dumps({
+        "metric": "gmst_full_experiment_7ssp_fit2000_weight_barycentre",
+        "value": round(elapsed, 3),
+        "unit": "s",
+        "vs_baseline": round(vs, 2) if vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

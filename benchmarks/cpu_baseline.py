@@ -1,0 +1,55 @@
+"""Measure the CPU reference path for the full 7-SSP GMST experiment.
+
+This records the self-measured baseline demanded by BASELINE.md (the
+reference publishes no numbers): the float64 CPU path of this framework,
+run with the reference experiment's settings (GPDTW1D, 2000 optimisation
+iterations, CRPS weights, barycentre; full_experiment_script.py:87-143).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np
+
+from bayesian_ensembling_tpu import pipeline
+from bayesian_ensembling_tpu.models.gp_dtw import GPDTW1D
+
+N_ITERS = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
+
+obs = pipeline.load_observations()
+results = {}
+t_all = time.time()
+for ssp in pipeline.ALL_SSPS:
+    hist, ssp_mc = pipeline.load_scenario(ssp)
+    t0 = time.time()
+    res = pipeline.run_scenario(
+        hist, ssp_mc, obs, ssp,
+        emulator=GPDTW1D(dtype=np.float64),
+        n_optim_nits=N_ITERS,
+    )
+    dt = time.time() - t0
+    summ = pipeline.warming_summary(res)
+    results[ssp] = {
+        "seconds": dt,
+        "n_models": len(hist),
+        "warming_2050": summ[2050],
+        "warming_2100": summ[2100],
+        "bary_mean_head": np.asarray(res.barycentre.gaussian.mean)[:5].tolist(),
+        "bary_var_head": np.asarray(res.barycentre.gaussian.variance)[:5].tolist(),
+    }
+    print(ssp, f"{dt:.1f}s", summ[2100], flush=True)
+
+total = time.time() - t_all
+out = {"n_optim_nits": N_ITERS, "total_seconds": total, "scenarios": results}
+with open(os.path.join(os.path.dirname(__file__), "cpu_baseline.json"), "w") as f:
+    json.dump(out, f, indent=1)
+print(json.dumps({"total_seconds": total}))
