@@ -1,0 +1,230 @@
+"""GPDTW3D: spatiotemporal emulator for (realisation, time, lat, lon) fields.
+
+Capability match for the reference ``GPDTW3D``
+(``/root/reference/ensembles/models.py:233-424``), which runs a per-(lat,lon)
+DBA double loop and then ONE sparse variational GP (400 inducing points,
+minibatch 500) over unit-sphere + scaled-time features, returning a *diagonal*
+posterior with the DTW variance added (models.py:408-423).
+
+TPU-native re-design, two modes:
+
+  * ``mode="batched"`` (default): every grid cell is an independent
+    DBA + exact heteroskedastic GP over its own realisation features — the
+    1-D flagship pipeline vmapped over (model x cell).  This is
+    embarrassingly parallel, marginal-only (O(cells * T^2) memory), shards
+    over a ``cells`` mesh axis, and is *more* faithful per cell than the
+    reference's single global SVGP approximation (SURVEY SS7 item 7 blesses
+    exactly this design).
+  * ``mode="svgp"``: a JAX sparse variational GP on the reference's feature
+    engineering (unit-sphere x,y,z + scaled continuous time + realisation
+    columns, additive Matern-3/2 kernels — models.py:270-319,358-364) with
+    whitened variational parameters and minibatched Adam.  This keeps the
+    reference's model family available when a single joint spatiotemporal
+    fit is wanted (see ops/svgp.py).
+
+Both modes return a diagonal posterior over the flattened
+(time, latitude, longitude) points, matching the reference contract.
+"""
+
+from __future__ import annotations
+
+import functools
+import typing as tp
+import warnings
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bayesian_ensembling_tpu.data import ModelCollection, Posterior, ProcessModel
+from bayesian_ensembling_tpu.ops.distributions import DiagGaussian
+from bayesian_ensembling_tpu.parallel.step import emulate_marginals
+
+__all__ = ["GPDTW3D", "spherical_time_features"]
+
+
+def _check_dims(pm: ProcessModel):
+    if pm.ndim != 4:
+        raise NotImplementedError(
+            "GPDTW3D needs exactly (realisation, time, latitude, longitude) "
+            "data (reference guard models.py:330-348)"
+        )
+    if pm.data.dims[2] != "latitude" or pm.data.dims[3] != "longitude":
+        raise IndexError(
+            "Coordinate order should be realisation, time, latitude, longitude"
+        )
+
+
+def spherical_time_features(
+    lat: np.ndarray, lon: np.ndarray, n_time: int
+) -> np.ndarray:
+    """Unit-sphere embedding + scaled continuous time, flattened (N, 4).
+
+    Mirrors the reference's feature engineering (models.py:277-292):
+    x = cos(lat)cos(lon), y = cos(lat)sin(lon), z = sin(lat),
+    t scaled to [-1, 1]; flattened in (time, lat, lon) order.
+    """
+    lat_r = np.deg2rad(lat)
+    lon_r = np.deg2rad(lon)
+    lon_g, lat_g = np.meshgrid(lon_r, lat_r)  # (La, Lo)
+    x = np.cos(lat_g) * np.cos(lon_g)
+    y = np.cos(lat_g) * np.sin(lon_g)
+    z = np.sin(lat_g)
+    t = np.arange(n_time, dtype=np.float64)
+    t = 2.0 * t / max(t.max(), 1.0) - 1.0
+    n_cells = x.size
+    feats = np.empty((n_time * n_cells, 4))
+    sp = np.stack([x.ravel(), y.ravel(), z.ravel()], axis=1)  # (C, 3)
+    feats[:, 0:3] = np.tile(sp, (n_time, 1))
+    feats[:, 3] = np.repeat(t, n_cells)
+    return feats
+
+
+class GPDTW3D:
+    """Spatiotemporal DBA + GP emulator (batched-exact or SVGP mode)."""
+
+    def __init__(
+        self,
+        name: str = "GP3DRegressor",
+        mode: str = "batched",
+        kernel: str = "matern32",
+        dtype=jnp.float32,
+    ) -> None:
+        self.name = name
+        self.mode = mode
+        self.kernel = kernel
+        self.dtype = dtype
+        if mode == "svgp":
+            warnings.warn(
+                "GPDTW3D svgp mode is a joint approximation over all cells "
+                "(reference semantics); batched mode is exact per cell."
+            )
+
+    # ----------------------------------------------------------- batched mode
+    def _fit_batched(
+        self,
+        collection: ModelCollection,
+        n_optim_nits: int,
+        learning_rate: float,
+        dba_iterations: int,
+    ) -> tp.List[Posterior]:
+        posts = []
+        for pm in collection:  # models may have different R; cells batch inside
+            r, t, la, lo = pm.data.shape
+            c = la * lo
+            # (R, T, La, Lo) -> (C, R, T): every cell an independent problem.
+            block = np.transpose(
+                pm.data.values.reshape(r, t, c), (2, 0, 1)
+            ).astype(np.dtype(self.dtype))
+            mask = np.ones((c, r), dtype=bool)
+            mean, var = emulate_marginals(
+                jnp.asarray(block),
+                jnp.asarray(mask),
+                kernel_name=self.kernel,
+                n_optim_nits=n_optim_nits,
+                learning_rate=learning_rate,
+                dba_iterations=dba_iterations,
+            )  # (C, T) each
+            # Back to flattened (time, lat, lon) order for the template.
+            mean_f = np.asarray(mean).T.reshape(-1)
+            var_f = np.asarray(var).T.reshape(-1)
+            posts.append(
+                Posterior(
+                    gaussian=DiagGaussian(
+                        mean=jnp.asarray(mean_f), var=jnp.asarray(var_f)
+                    ),
+                    template=pm.blank_template(),
+                )
+            )
+        return posts
+
+    # -------------------------------------------------------------- svgp mode
+    def _fit_svgp(
+        self,
+        collection: ModelCollection,
+        n_optim_nits: int,
+        learning_rate: float,
+        dba_iterations: int,
+        n_inducing: int,
+        minibatch_size: int,
+    ) -> tp.List[Posterior]:
+        from bayesian_ensembling_tpu.ops import svgp as svgp_ops
+        from bayesian_ensembling_tpu.ops import dtw as dtw_ops
+
+        posts = []
+        for pm in collection:
+            r, t, la, lo = pm.data.shape
+            c = la * lo
+            vals = pm.data.values.astype(np.dtype(self.dtype))
+            cell_block = np.transpose(vals.reshape(r, t, c), (2, 0, 1))
+            # Per-cell DBA mean + variance targets (models.py:238-268).
+            y_mean = np.asarray(
+                jax.jit(
+                    jax.vmap(functools.partial(dtw_ops.dba, n_iterations=dba_iterations))
+                )(jnp.asarray(cell_block), jnp.ones((c, r), bool))
+            )  # (C, T)
+            y_var = cell_block.var(axis=1)  # (C, T)
+            y_mean_f = y_mean.T.reshape(-1)  # (T*C,) in (time, cell) order
+            y_var_f = np.maximum(y_var.T.reshape(-1), 1e-8)
+
+            feats = spherical_time_features(
+                pm.data.get_coord("latitude"),
+                pm.data.get_coord("longitude"),
+                t,
+            )
+            # Realisation columns (models.py:298-306).
+            real_cols = vals.reshape(r, t * c).T  # (T*C, R)
+            x = np.concatenate([feats, real_cols], axis=1).astype(
+                np.dtype(self.dtype)
+            )
+
+            mean_f, var_f = svgp_ops.fit_predict_svgp(
+                jnp.asarray(x),
+                jnp.asarray(y_mean_f.astype(np.dtype(self.dtype))),
+                jnp.asarray(y_var_f.astype(np.dtype(self.dtype))),
+                n_inducing=n_inducing,
+                minibatch_size=minibatch_size,
+                n_optim_nits=n_optim_nits,
+                learning_rate=learning_rate,
+            )
+            var_out = np.asarray(var_f) + y_var_f  # add DTW variance (models.py:411)
+            posts.append(
+                Posterior(
+                    gaussian=DiagGaussian(
+                        mean=jnp.asarray(np.asarray(mean_f)),
+                        var=jnp.asarray(var_out),
+                    ),
+                    template=pm.blank_template(),
+                )
+            )
+        return posts
+
+    def fit_collection(
+        self,
+        collection: ModelCollection,
+        n_optim_nits: int = 500,
+        learning_rate: float = 0.01,
+        dba_iterations: int = 10,
+        n_inducing: int = 400,
+        minibatch_size: int = 500,
+        **_: tp.Any,
+    ) -> tp.List[Posterior]:
+        for pm in collection:
+            _check_dims(pm)
+        if self.mode == "batched":
+            return self._fit_batched(
+                collection, n_optim_nits, learning_rate, dba_iterations
+            )
+        if self.mode == "svgp":
+            return self._fit_svgp(
+                collection,
+                n_optim_nits,
+                learning_rate,
+                dba_iterations,
+                n_inducing,
+                minibatch_size,
+            )
+        raise ValueError(f"unknown mode {self.mode!r}")
+
+    def fit(self, model: ProcessModel, **kwargs) -> Posterior:
+        return self.fit_collection(ModelCollection([model]), **kwargs)[0]

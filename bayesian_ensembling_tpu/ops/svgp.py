@@ -1,0 +1,178 @@
+"""Sparse variational GP (SVGP) with known heteroskedastic noise.
+
+JAX re-design of the reference's GPflow SVGP usage
+(``/root/reference/ensembles/models.py:358-399``): additive Matern-3/2
+kernels over feature groups (time / xy / z / realisations), ~400 inducing
+points initialised on a linspace through feature space, minibatched ELBO
+ascent.  Differences that make it TPU-native:
+
+  * whitened variational parameterisation (u = Lz v) so plain Adam on all
+    parameters is well-conditioned — no natural-gradient alternation needed;
+  * the known per-point noise makes the variational expectation closed-form
+    (the reference's ``_HeteroskedasticGaussian._variational_expectations``,
+    models.py:142-149);
+  * the whole optimisation is one ``lax.scan`` of fused steps; minibatches
+    are drawn on-device with a folded PRNG — zero host round-trips;
+  * every step is dominated by (B,P)x(P,P) matmuls -> MXU work.
+"""
+
+from __future__ import annotations
+
+import functools
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+import optax
+
+__all__ = ["fit_predict_svgp", "default_feature_groups"]
+
+_LOG_2PI = 1.8378770664093453
+_SQRT3 = 1.7320508075688772
+
+
+def default_feature_groups(n_features: int) -> tp.Tuple[tp.Tuple[int, ...], ...]:
+    """Reference grouping (models.py:358-364): xy, z, time, realisations."""
+    groups: tp.List[tp.Tuple[int, ...]] = [(0, 1), (2,), (3,)]
+    if n_features > 4:
+        groups.append(tuple(range(4, n_features)))
+    return tuple(groups)
+
+
+def _additive_matern32(params, x1, x2, groups):
+    """Sum of Matern-3/2 kernels over feature groups."""
+    total = 0.0
+    for g, idx in enumerate(groups):
+        ls = jax.nn.softplus(params["raw_ls"][g])
+        var = jax.nn.softplus(params["raw_var"][g])
+        a = x1[:, idx]
+        b = x2[:, idx]
+        n1 = jnp.sum(jnp.square(a), axis=-1)
+        n2 = jnp.sum(jnp.square(b), axis=-1)
+        cross = jnp.matmul(a, b.T, precision=jax.lax.Precision.HIGHEST)
+        d2 = jnp.clip(n1[:, None] + n2[None, :] - 2.0 * cross, 0.0, None)
+        r = jnp.sqrt(d2 + 1e-36) / ls
+        total = total + var * (1.0 + _SQRT3 * r) * jnp.exp(-_SQRT3 * r)
+    return total
+
+
+def _kdiag(params, x, groups):
+    total = 0.0
+    for g, _ in enumerate(groups):
+        total = total + jax.nn.softplus(params["raw_var"][g])
+    return jnp.full((x.shape[0],), 0.0) + total
+
+
+def _marginals(params, x, groups, jitter):
+    """Whitened SVGP predictive marginals at x: (mean, var)."""
+    z = params["z"]
+    p = z.shape[0]
+    kzz = _additive_matern32(params, z, z, groups) + jitter * jnp.eye(p, dtype=z.dtype)
+    lz = jnp.linalg.cholesky(kzz)
+    kzx = _additive_matern32(params, z, x, groups)  # (P, B)
+    a = jax.scipy.linalg.solve_triangular(lz, kzx, lower=True).T  # (B, P)
+    mean = a @ params["m"]
+    ls_mat = _ls_matrix(params)
+    asl = jnp.matmul(a, ls_mat, precision=jax.lax.Precision.HIGHEST)
+    var = (
+        _kdiag(params, x, groups)
+        - jnp.sum(jnp.square(a), axis=1)
+        + jnp.sum(jnp.square(asl), axis=1)
+    )
+    return mean, jnp.clip(var, 1e-12, None)
+
+
+def _ls_matrix(params):
+    """Lower-triangular sqrt of the whitened variational covariance."""
+    p = params["m"].shape[0]
+    tri = jnp.zeros((p, p), params["m"].dtype).at[jnp.tril_indices(p)].set(
+        params["ls_flat"]
+    )
+    diag = jax.nn.softplus(jnp.diagonal(tri))
+    return tri - jnp.diag(jnp.diagonal(tri)) + jnp.diag(diag)
+
+
+def _kl(params):
+    """KL(q(v) || N(0, I)) in whitened coordinates."""
+    ls_mat = _ls_matrix(params)
+    p = params["m"].shape[0]
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(ls_mat)))
+    return 0.5 * (
+        jnp.sum(jnp.square(params["m"]))
+        + jnp.sum(jnp.square(ls_mat))
+        - p
+        - logdet
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_inducing", "minibatch_size", "n_optim_nits", "learning_rate"),
+)
+def fit_predict_svgp(
+    x: jnp.ndarray,  # (N, D)
+    y: jnp.ndarray,  # (N,)
+    noise_var: jnp.ndarray,  # (N,) known heteroskedastic noise
+    n_inducing: int = 400,
+    minibatch_size: int = 500,
+    n_optim_nits: int = 500,
+    learning_rate: float = 0.01,
+    jitter: float = 1e-5,
+    seed: int = 0,
+) -> tp.Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fit the SVGP and return latent posterior marginals at the training x.
+
+    (The caller adds the DTW noise variance back, mirroring models.py:411.)
+    """
+    n, d = x.shape
+    groups = default_feature_groups(d)
+    ng = len(groups)
+    p = min(n_inducing, n)
+
+    # Inducing points on a linspace through feature space (models.py:370).
+    lo = jnp.min(x, axis=0)
+    hi = jnp.max(x, axis=0)
+    frac = jnp.linspace(0.0, 1.0, p)[:, None]
+    z0 = lo[None, :] + frac * (hi - lo)[None, :]
+
+    p_tri = p * (p + 1) // 2
+    eye_flat = jnp.zeros((p, p), x.dtype).at[jnp.diag_indices(p)].set(
+        jnp.log(jnp.expm1(1.0))
+    )[jnp.tril_indices(p)]
+    params = {
+        "raw_ls": jnp.full((ng,), jnp.log(jnp.expm1(1.0)), x.dtype),
+        "raw_var": jnp.full((ng,), jnp.log(jnp.expm1(1.0)), x.dtype),
+        "z": z0.astype(x.dtype),
+        "m": jnp.zeros((p,), x.dtype),
+        "ls_flat": eye_flat,
+    }
+
+    opt = optax.adam(learning_rate)
+    opt_state = opt.init(params)
+    key = jax.random.PRNGKey(seed)
+    scale = n / minibatch_size
+
+    def neg_elbo(prm, idx):
+        xb = x[idx]
+        yb = y[idx]
+        nv = noise_var[idx]
+        mean, fvar = _marginals(prm, xb, groups, jitter)
+        varexp = -0.5 * (
+            _LOG_2PI + jnp.log(nv) + (jnp.square(yb - mean) + fvar) / nv
+        )
+        return -(scale * jnp.sum(varexp) - _kl(prm))
+
+    def step(carry, i):
+        prm, opt_state = carry
+        idx = jax.random.randint(
+            jax.random.fold_in(key, i), (minibatch_size,), 0, n
+        )
+        loss, grads = jax.value_and_grad(neg_elbo)(prm, idx)
+        updates, opt_state = opt.update(grads, opt_state)
+        prm = optax.apply_updates(prm, updates)
+        return (prm, opt_state), loss
+
+    (params, _), _ = jax.lax.scan(
+        step, (params, opt_state), jnp.arange(n_optim_nits)
+    )
+    return _marginals(params, x, groups, jitter)
