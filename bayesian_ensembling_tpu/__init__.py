@@ -14,12 +14,14 @@ TPU paths default to float32; the float64 CPU oracle is opt-in via
 ``jax.config.update("jax_enable_x64", True)`` in the caller or test harness.
 """
 
-from bayesian_ensembling_tpu import ops
+from bayesian_ensembling_tpu import metrics, ops, pipeline, plotters
 from bayesian_ensembling_tpu.coords import DimArray
 from bayesian_ensembling_tpu.data import ModelCollection, Posterior, ProcessModel
+from bayesian_ensembling_tpu.models.gp_3d import GPDTW3D
 from bayesian_ensembling_tpu.models.gp_dtw import GPDTW1D
 from bayesian_ensembling_tpu.models.mean_field import MeanField, MeanFieldApproximation
 from bayesian_ensembling_tpu.ops.dtw import dba
+from bayesian_ensembling_tpu.validation import PerfectModelTest, load_model_collection
 from bayesian_ensembling_tpu.schemes import (
     Barycentre,
     MultiModelMean,
@@ -39,7 +41,13 @@ __version__ = "0.1.0"
 
 __all__ = [
     "ops",
+    "metrics",
+    "pipeline",
+    "plotters",
     "DimArray",
+    "GPDTW3D",
+    "PerfectModelTest",
+    "load_model_collection",
     "ModelCollection",
     "Posterior",
     "ProcessModel",

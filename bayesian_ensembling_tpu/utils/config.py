@@ -1,0 +1,93 @@
+"""Typed configuration layer.
+
+The reference once shipped a dataclass config module whose contract survives
+only in its (stale) test file (``/root/reference/tests/test_config.py:6-36``:
+``Parameters``/``GPRParameters``/``SGPRParameters``/``ReconstructionParameters``
+each exposing ``to_dict()``, with a float ``learning_rate`` and positive
+integer step counts).  SURVEY SS5.6 asks the rebuild to reinstate it; these
+frozen dataclasses are the single source of defaults for the emulators and
+the experiment pipeline, plus an explicit precision policy (the reference
+instead flips global float64 at import, ``ensembles/__init__.py:8-10``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import typing as tp
+
+__all__ = [
+    "Parameters",
+    "GPRParameters",
+    "SGPRParameters",
+    "ReconstructionParameters",
+    "PrecisionPolicy",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class Parameters:
+    """Base optimisation parameters."""
+
+    learning_rate: float = 0.01
+    n_optim_nits: int = 500
+
+    def __post_init__(self):
+        if self.learning_rate <= 0:
+            raise ValueError("learning_rate must be positive")
+        if self.n_optim_nits < 0:
+            raise ValueError("n_optim_nits must be non-negative")
+
+    def to_dict(self) -> tp.Dict[str, tp.Any]:
+        return dataclasses.asdict(self)
+
+
+@dataclasses.dataclass(frozen=True)
+class GPRParameters(Parameters):
+    """Exact-GP emulator knobs (models/gp_dtw.py)."""
+
+    kernel: str = "matern32"
+    dba_iterations: int = 10
+    jitter: float = 1e-6
+
+    def __post_init__(self):
+        super().__post_init__()
+        if self.dba_iterations <= 0:
+            raise ValueError("dba_iterations must be positive")
+
+
+@dataclasses.dataclass(frozen=True)
+class SGPRParameters(Parameters):
+    """Sparse variational GP knobs (ops/svgp.py; reference models.py:321-327)."""
+
+    n_inducing: int = 400
+    minibatch_size: int = 500
+
+    def __post_init__(self):
+        super().__post_init__()
+        if self.n_inducing <= 0 or self.minibatch_size <= 0:
+            raise ValueError("n_inducing and minibatch_size must be positive")
+
+
+@dataclasses.dataclass(frozen=True)
+class ReconstructionParameters(Parameters):
+    """Ensemble-combination knobs (schemes.py / ops.wasserstein)."""
+
+    tolerance: float = 1e-6
+    max_barycentre_iters: int = 200
+    compat_fixed_point: bool = False
+
+    def __post_init__(self):
+        super().__post_init__()
+        if self.tolerance <= 0 or self.max_barycentre_iters <= 0:
+            raise ValueError("tolerance and max_barycentre_iters must be positive")
+
+
+@dataclasses.dataclass(frozen=True)
+class PrecisionPolicy:
+    """Explicit dtype policy: float32 on TPU, float64 for the CPU oracle."""
+
+    compute_dtype: str = "float32"
+    oracle_dtype: str = "float64"
+
+    def to_dict(self) -> tp.Dict[str, tp.Any]:
+        return dataclasses.asdict(self)

@@ -1,0 +1,100 @@
+"""Full GMST experiment: all 7 SSP scenarios, warming projections + figures.
+
+CLI equivalent of ``/root/reference/experiments/full_experiment_script.py``:
+loads HadCRUT5 + CMIP6 GMST members, anomalises (1961-1990, annual), fits
+GPDTW1D emulators (2000 iterations), CRPS-weights against observations,
+combines with the W2 barycentre, prints 2050/2100 credible intervals and
+saves per-scenario figures.
+
+Usage:
+    python experiments/full_experiment.py [--data-dir DIR] [--out-dir DIR]
+        [--n-optim-nits N] [--ssps ssp119,ssp245,...] [--cpu]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data-dir", default=None)
+    ap.add_argument("--out-dir", default="figures")
+    ap.add_argument("--n-optim-nits", type=int, default=2000)
+    ap.add_argument("--dba-iterations", type=int, default=10)
+    ap.add_argument("--ssps", default=None, help="comma-separated subset")
+    ap.add_argument("--cpu", action="store_true", help="run the float64 CPU path")
+    args = ap.parse_args()
+
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    from bayesian_ensembling_tpu import pipeline
+    from bayesian_ensembling_tpu.models.gp_dtw import GPDTW1D
+    from bayesian_ensembling_tpu.plotters import cmap, plot_posterior_temporal
+
+    data_dir = args.data_dir or pipeline.DEFAULT_DATA_DIR
+    ssps = args.ssps.split(",") if args.ssps else list(pipeline.ALL_SSPS)
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    dtype = np.float64 if args.cpu else np.float32
+    obs = pipeline.load_observations(data_dir)
+    results = {}
+    for ssp in ssps:
+        hist, ssp_mc = pipeline.load_scenario(ssp, data_dir)
+        t0 = time.time()
+        res = pipeline.run_scenario(
+            hist, ssp_mc, obs, ssp,
+            emulator=GPDTW1D(dtype=dtype),
+            n_optim_nits=args.n_optim_nits,
+            dba_iterations=args.dba_iterations,
+        )
+        results[ssp] = res
+        summ = pipeline.warming_summary(res)
+        for year, (mean, lo, hi) in summ.items():
+            print(
+                f"{ssp} mean at {year}: {mean:.3f} ({lo:.3f}-{hi:.3f}) "
+                "95% credible interval"
+            )
+        print(f"{ssp}: {time.time() - t0:.1f}s", flush=True)
+
+        fig, ax = plt.subplots(figsize=(6.5, 4))
+        plot_posterior_temporal(res.barycentre, ax=ax, color=cmap()[0], label=ssp, n_sigma=(2,))
+        ax.set_xlabel("Time")
+        ax.set_ylabel("Temperature anomaly (degC)\nrelative to 1961-1990")
+        ax.legend()
+        fig.savefig(
+            os.path.join(args.out_dir, f"{ssp}_with_95percent_credible_interval.pdf")
+        )
+        plt.close(fig)
+
+    # Combined headline figure (ssp245/370/585 like the reference's figure 1).
+    head = [s for s in ("ssp245", "ssp370", "ssp585") if s in results]
+    if head:
+        fig, ax = plt.subplots(figsize=(6.5, 4))
+        for i, ssp in enumerate(head):
+            plot_posterior_temporal(
+                results[ssp].barycentre, ax=ax, color=cmap()[i], label=ssp, n_sigma=(2,)
+            )
+        ax.set_xlabel("Time")
+        ax.set_ylabel("Temperature anomaly (degC)\nrelative to 1961-1990")
+        ax.legend()
+        fig.savefig(
+            os.path.join(args.out_dir, "figure1_with_95percent_credible_interval.pdf")
+        )
+        plt.close(fig)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,67 @@
+"""Perfect-model-test driver over SSPs x weighting schemes.
+
+CLI equivalent of
+``/root/reference/experiments/PMT/template_pmt/perfect_model_tests.py``:
+for each requested scenario and weight class, run the leave-one-out
+PerfectModelTest with the barycentre scheme and write CSVs/figures.
+
+Usage:
+    python experiments/perfect_model_tests.py [--data-dir DIR] [--out-dir DIR]
+        [--ssps ssp370] [--weights CRPSWeight,LogLikelihoodWeight]
+        [--n-optim-nits N] [--prefit-dir DIR]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data-dir", default=None)
+    ap.add_argument("--out-dir", default="pmt_results")
+    ap.add_argument("--ssps", default="ssp119,ssp434,ssp460")
+    ap.add_argument(
+        "--weights",
+        default="LogLikelihoodWeight,InverseSquareWeight,UniformWeight,KSDWeight,CRPSWeight",
+    )
+    ap.add_argument("--n-optim-nits", type=int, default=1000)
+    ap.add_argument("--prefit-dir", default=None, help="use checkpointed fits")
+    ap.add_argument("--include-sim", action="store_true")
+    args = ap.parse_args()
+
+    import bayesian_ensembling_tpu as bet
+    from bayesian_ensembling_tpu import pipeline
+    from bayesian_ensembling_tpu.models.gp_dtw import GPDTW1D
+    from bayesian_ensembling_tpu.validation import PerfectModelTest, load_model_collection
+
+    data_dir = args.data_dir or pipeline.DEFAULT_DATA_DIR
+
+    for ssp in args.ssps.split(","):
+        if args.prefit_dir:
+            hist = load_model_collection(os.path.join(args.prefit_dir, f"hist_{ssp}.npz"))
+            fore = load_model_collection(os.path.join(args.prefit_dir, f"{ssp}.npz"))
+            use_prefit = True
+        else:
+            hist, fore = pipeline.load_scenario(ssp, data_dir)
+            use_prefit = False
+        for wname in args.weights.split(","):
+            weight_cls = getattr(bet, wname)
+            pmt = PerfectModelTest(
+                hindcast_models=hist,
+                forecast_models=fore,
+                emulate_method=GPDTW1D,
+                weight_method=weight_cls,
+                ensemble_method=bet.Barycentre,
+                ssp=ssp,
+                include_sim=args.include_sim,
+                save_dir=os.path.join(args.out_dir, ssp),
+            )
+            df = pmt.run(n_optim_nits=args.n_optim_nits, use_prefit_models=use_prefit)
+            print(f"{ssp} / {wname}:\n{df.describe().loc[['mean']]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,49 @@
+"""Pre-fit emulators and checkpoint the collections (pickle-free).
+
+CLI equivalent of ``/root/reference/experiments/pre_fitting_cmip6models.py``:
+fits GPDTW1D on the historical + SSP collections and saves them so perfect
+model tests can reuse the (expensive) fits.  Checkpoints are npz archives
+(ModelCollection.save) instead of pickles of live TF objects.
+
+Usage:
+    python experiments/pre_fit_models.py [--data-dir DIR] [--out-dir DIR]
+        [--n-optim-nits N] [--ssps ssp119,...]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data-dir", default=None)
+    ap.add_argument("--out-dir", default="pre_fit_models")
+    ap.add_argument("--n-optim-nits", type=int, default=2500)
+    ap.add_argument("--ssps", default="ssp119,ssp434,ssp460")
+    args = ap.parse_args()
+
+    import numpy as np
+
+    from bayesian_ensembling_tpu import pipeline
+    from bayesian_ensembling_tpu.models.gp_dtw import GPDTW1D
+
+    data_dir = args.data_dir or pipeline.DEFAULT_DATA_DIR
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    for ssp in args.ssps.split(","):
+        hist, ssp_mc = pipeline.load_scenario(ssp, data_dir)
+        t0 = time.time()
+        hist.fit(GPDTW1D(), n_optim_nits=args.n_optim_nits)
+        ssp_mc.fit(GPDTW1D(), n_optim_nits=args.n_optim_nits)
+        print(f"{ssp}: fitted in {time.time() - t0:.1f}s", flush=True)
+        hist.save(os.path.join(args.out_dir, f"hist_{ssp}.npz"))
+        ssp_mc.save(os.path.join(args.out_dir, f"{ssp}.npz"))
+        print(f"{ssp}: saved", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,98 @@
+"""Config layer, profiling seams, and plotter smoke tests.
+
+The config contract mirrors the reference's surviving test surface
+(tests/test_config.py there): every parameter class exposes to_dict(),
+learning_rate is a positive float, counts are positive ints.
+"""
+
+import numpy as np
+import pytest
+
+from bayesian_ensembling_tpu.utils.config import (
+    GPRParameters,
+    Parameters,
+    PrecisionPolicy,
+    ReconstructionParameters,
+    SGPRParameters,
+)
+from bayesian_ensembling_tpu.utils.profiling import StepTimer, report_loss_trace
+
+
+@pytest.mark.parametrize(
+    "cls", [Parameters, GPRParameters, SGPRParameters, ReconstructionParameters]
+)
+def test_config_to_dict_and_positivity(cls):
+    p = cls()
+    d = p.to_dict()
+    assert isinstance(d, dict)
+    assert isinstance(d["learning_rate"], float) and d["learning_rate"] > 0
+    for k, v in d.items():
+        if isinstance(v, int) and not isinstance(v, bool):
+            assert v >= 0, k
+
+
+def test_config_validation():
+    with pytest.raises(ValueError):
+        Parameters(learning_rate=-1.0)
+    with pytest.raises(ValueError):
+        GPRParameters(dba_iterations=0)
+    with pytest.raises(ValueError):
+        SGPRParameters(n_inducing=0)
+    with pytest.raises(ValueError):
+        ReconstructionParameters(tolerance=0.0)
+
+
+def test_precision_policy():
+    pol = PrecisionPolicy()
+    assert pol.to_dict() == {"compute_dtype": "float32", "oracle_dtype": "float64"}
+
+
+def test_step_timer():
+    import jax.numpy as jnp
+
+    t = StepTimer()
+    with t.stage("a", sync=jnp.ones(4)):
+        _ = jnp.ones(4) * 2
+    assert "a" in t.timings and t.timings["a"] >= 0
+    assert "a:" in t.report()
+
+
+def test_report_loss_trace(capsys):
+    report_loss_trace(np.linspace(10, 1, 100), every=50)
+    out = capsys.readouterr().out
+    assert "step 0" in out and "step 50" in out
+
+
+def test_plotters_smoke(rng, tmp_path):
+    import matplotlib.pyplot as plt
+
+    import bayesian_ensembling_tpu as bet
+    from bayesian_ensembling_tpu import plotters
+    from bayesian_ensembling_tpu.models.mean_field import MeanField
+    from test_data import make_collection
+
+    assert len(plotters.cmap()) == 8
+    cyc = list(plotters.get_style_cycler())
+    assert len(cyc) == 32
+
+    mc = make_collection(rng, n_models=3, n_months=12)
+    plotters.plot_process_model(mc[0])
+    plotters.plot_collection(mc, legend=True)
+    plotters.plot_collection_grid(mc)
+    mc.fit(MeanField(dtype=np.float64))
+    post = bet.MultiModelMean()(mc)
+    plotters.plot_posterior_temporal(post)
+    plt.close("all")
+
+
+def test_plot_posterior_spatial(rng):
+    import matplotlib.pyplot as plt
+
+    from bayesian_ensembling_tpu import plotters
+    from bayesian_ensembling_tpu.models.gp_3d import GPDTW3D
+    from test_gp3d import make_gridded
+
+    pm = make_gridded(rng, r=2, t=6, la=2, lo=3)
+    post = GPDTW3D(dtype=np.float64).fit(pm, n_optim_nits=5, dba_iterations=2)
+    fig = plotters.plot_posterior_spatial(post)
+    plt.close(fig)

@@ -1,0 +1,115 @@
+"""PerfectModelTest harness + metrics tests."""
+
+import numpy as np
+import scipy.stats
+
+import bayesian_ensembling_tpu as bet
+from bayesian_ensembling_tpu import metrics
+from bayesian_ensembling_tpu.data import ModelCollection, Posterior, ProcessModel
+from bayesian_ensembling_tpu.models.mean_field import MeanField
+from bayesian_ensembling_tpu.ops.distributions import DiagGaussian
+from bayesian_ensembling_tpu.validation import PerfectModelTest, load_model_collection
+
+from test_data import make_collection, make_da
+
+import jax.numpy as jnp
+
+
+def test_nll_matches_scipy(rng):
+    n = 10
+    mean = rng.normal(size=n)
+    var = rng.uniform(0.5, 1.5, n)
+    obs = rng.normal(size=(4, n))
+    tmpl_pm = ProcessModel(make_da(rng, n_reals=2, n_months=n), "t")
+    post = Posterior(
+        gaussian=DiagGaussian(mean=jnp.asarray(mean), var=jnp.asarray(var)),
+        template=tmpl_pm.blank_template(),
+    )
+    got = metrics.nll(post, obs)
+    want = -scipy.stats.norm.logpdf(obs, mean, np.sqrt(var)).mean()
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_rmse_zero_for_perfect_mean(rng):
+    n = 8
+    obs = np.tile(rng.normal(size=n), (3, 1))
+    tmpl_pm = ProcessModel(make_da(rng, n_reals=2, n_months=n), "t")
+    post = Posterior(
+        gaussian=DiagGaussian(mean=jnp.asarray(obs[0]), var=jnp.ones(n)),
+        template=tmpl_pm.blank_template(),
+    )
+    assert metrics.rmse(post, obs) == 0.0
+
+
+def test_w2_between_posteriors_identity(rng):
+    tmpl_pm = ProcessModel(make_da(rng, n_reals=2, n_months=6), "t")
+    g = DiagGaussian(mean=jnp.arange(6.0), var=jnp.ones(6))
+    p = Posterior(gaussian=g, template=tmpl_pm.blank_template())
+    assert abs(metrics.w2_between_posteriors(p, p)) < 1e-8
+
+
+def test_pmt_runs_and_scores(rng, tmp_path):
+    n_months = 16
+    hind = make_collection(rng, n_models=3, n_reals=(3,), n_months=n_months)
+    fore = make_collection(rng, n_models=3, n_reals=(3,), n_months=n_months)
+    pmt = PerfectModelTest(
+        hindcast_models=hind,
+        forecast_models=fore,
+        emulate_method=lambda: MeanField(dtype=np.float64),
+        weight_method=bet.LogLikelihoodWeight,
+        ensemble_method=bet.Barycentre,
+        ssp="testssp",
+        save_dir=str(tmp_path / "pmt"),
+    )
+    df = pmt.run(n_optim_nits=0)
+    assert len(df) == 3
+    for col in df.columns[1:]:
+        assert np.isfinite(df[col].to_numpy(dtype=float)).all()
+    # Figures + CSV written.
+    import glob, os
+
+    assert glob.glob(str(tmp_path / "pmt/csvs/*.csv"))
+    assert len(glob.glob(str(tmp_path / "pmt/figs/weights/*.png"))) == 3
+    assert len(glob.glob(str(tmp_path / "pmt/figs/projs/*.png"))) == 3
+
+
+def test_pmt_include_sim(rng, tmp_path):
+    n_months = 12
+    hind = make_collection(rng, n_models=3, n_reals=(2,), n_months=n_months)
+    fore = make_collection(rng, n_models=3, n_reals=(2,), n_months=n_months)
+    pmt = PerfectModelTest(
+        hindcast_models=hind,
+        forecast_models=fore,
+        emulate_method=lambda: MeanField(dtype=np.float64),
+        weight_method=bet.CRPSWeight,
+        ensemble_method=bet.Barycentre,
+        ssp="s",
+        include_sim=True,
+        save_dir=None,
+    )
+    df = pmt.run(n_optim_nits=0)
+    assert len(df) == 3
+
+
+def test_pmt_leaves_source_collections_unfitted(rng):
+    hind = make_collection(rng, n_models=2, n_reals=(2,), n_months=10)
+    fore = make_collection(rng, n_models=2, n_reals=(2,), n_months=10)
+    pmt = PerfectModelTest(
+        hind, fore,
+        emulate_method=lambda: MeanField(dtype=np.float64),
+        weight_method=bet.UniformWeight,
+        ensemble_method=bet.MultiModelMean,
+        ssp="s",
+    )
+    pmt.run(n_optim_nits=0)
+    # copy.copy isolation: originals keep no posterior.
+    assert all(m.distribution is None for m in hind)
+
+
+def test_prefit_checkpoint_roundtrip(rng, tmp_path):
+    mc = make_collection(rng, n_models=2, n_months=10)
+    mc.fit(MeanField(dtype=np.float64))
+    path = str(tmp_path / "prefit.npz")
+    mc.save(path)
+    back = load_model_collection(path)
+    assert all(m.distribution is not None for m in back)
