@@ -1,0 +1,20 @@
+.PHONY: test bench clean format
+
+test:
+	python -m pytest tests/ -q
+
+test-par:
+	python -m pytest -n auto -q tests/
+
+bench:
+	python bench.py
+
+cpu-baseline:
+	python benchmarks/cpu_baseline.py
+
+format:
+	python -m black bayesian_ensembling_tpu tests experiments 2>/dev/null || true
+	python -m isort bayesian_ensembling_tpu tests experiments 2>/dev/null || true
+
+clean:
+	find . -name __pycache__ -type d -exec rm -rf {} + 2>/dev/null || true

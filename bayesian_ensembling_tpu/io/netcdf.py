@@ -18,7 +18,7 @@ import numpy as np
 from bayesian_ensembling_tpu.coords import DimArray
 from bayesian_ensembling_tpu.io import timeutils
 
-__all__ = ["open_dataarray"]
+__all__ = ["open_dataarray", "save_dataarray"]
 
 _DIM_SENTINELS = ("DIMENSION_LIST", "_Netcdf4Coordinates")
 
@@ -86,3 +86,33 @@ def open_dataarray(path: str, name: tp.Optional[str] = None) -> DimArray:
                 cv = np.arange(len(cv))
             coords[d] = cv
     return DimArray(values, dims, coords, name=name or var_name)
+
+
+_NS_PER_HOUR = 3600 * 10**9
+
+
+def save_dataarray(path: str, da: DimArray, var_name: tp.Optional[str] = None):
+    """Write a DimArray as a netCDF4-flavoured HDF5 file (h5py dimension
+    scales; CF time encoded as 'hours since <epoch>').  Round-trips through
+    :func:`open_dataarray`."""
+    var_name = var_name or da.name or "data"
+    with h5py.File(path, "w") as f:
+        v = f.create_dataset(var_name, data=np.asarray(da.values))
+        for ax, d in enumerate(da.dims):
+            coord = da.get_coord(d)
+            if d == "time" and np.issubdtype(coord.dtype, np.datetime64):
+                epoch = coord[0].astype("datetime64[ns]")
+                hours = (
+                    (coord.astype("datetime64[ns]") - epoch).astype("int64")
+                    // _NS_PER_HOUR
+                )
+                ds = f.create_dataset(d, data=hours.astype(np.int64))
+                epoch_s = np.datetime_as_string(
+                    epoch.astype("datetime64[s]"), unit="s"
+                ).replace("T", " ")
+                ds.attrs["units"] = np.bytes_(f"hours since {epoch_s}")
+                ds.attrs["calendar"] = np.bytes_("proleptic_gregorian")
+            else:
+                ds = f.create_dataset(d, data=np.asarray(coord))
+            ds.make_scale(d)
+            v.dims[ax].attach_scale(ds)
