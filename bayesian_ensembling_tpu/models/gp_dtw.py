@@ -75,15 +75,17 @@ def emulate_batch(
     # feature columns, which are distance-neutral (models.py:182).
     x = jnp.swapaxes(block, 1, 2)  # (M, T, R)
 
-    # (d)+(e) hyperparameter optimisation on the exact NLML.
-    fit = functools.partial(
-        gp_ops.fit_gp,
+    # (d)+(e) hyperparameter optimisation on the exact NLML — one batched
+    # scan through the Pallas cholesky/solve kernels (ops/linalg_pallas.py).
+    params, losses = gp_ops.fit_gp_batch(
+        x,
+        y_mean,
+        y_var,
         kernel_name=kernel_name,
         n_optim_nits=n_optim_nits,
         learning_rate=learning_rate,
         jitter=jitter,
     )
-    params, losses = jax.vmap(fit)(x, y_mean, y_var)
 
     # (f) exact posterior + noise diagonal.
     kernel = gp_ops.get_kernel(kernel_name)

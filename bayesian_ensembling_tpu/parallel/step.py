@@ -63,14 +63,15 @@ def emulate_marginals(
     y_var = jnp.maximum(y_var, 1e-8)
     x = jnp.swapaxes(block, 1, 2)
 
-    fit = functools.partial(
-        gp_ops.fit_gp,
+    params, _ = gp_ops.fit_gp_batch(
+        x,
+        y_mean,
+        y_var,
         kernel_name=kernel_name,
         n_optim_nits=n_optim_nits,
         learning_rate=learning_rate,
         jitter=jitter,
     )
-    params, _ = jax.vmap(fit)(x, y_mean, y_var)
 
     kernel = gp_ops.get_kernel(kernel_name)
     marg = functools.partial(gp_ops.posterior_marginals, kernel=kernel, jitter=jitter)
@@ -129,6 +130,72 @@ def ensemble_scenario_step(
     ssp_std = jnp.sqrt(ssp_var)
     bary_mean = jnp.sum(weights[:, None] * ssp_mean, axis=0)
     bary_std = jnp.sum(weights[:, None] * ssp_std, axis=0)
+    return bary_mean, bary_std, weights
+
+
+def ensemble_multi_scenario_step(
+    hist_blocks: jnp.ndarray,  # (S, M, R, T_hist)
+    hist_masks: jnp.ndarray,  # (S, M, R)
+    ssp_blocks: jnp.ndarray,  # (S, M, R, T_ssp)
+    ssp_masks: jnp.ndarray,  # (S, M, R)
+    obs: jnp.ndarray,  # (R_obs, T_hist)
+    model_masks: jnp.ndarray,  # (S, M)
+    *,
+    kernel_name: str = "matern32",
+    n_optim_nits: int = 500,
+    learning_rate: float = 0.01,
+    dba_iterations: int = 10,
+    weight_kind: str = "crps",
+):
+    """All scenarios in ONE program by merging the (scenario, model) axes.
+
+    The emulation stage — the compute-dominant 2000-step optimisation scan —
+    runs once over the merged ``S*M`` batch (both collections), instead of S
+    sequential scenario programs; the per-scenario weighting/barycentre tail
+    is cheap elementwise work.  Returns (bary_mean (S, T_ssp), bary_std,
+    weights (S, M)).
+    """
+    s, m, r, t_hist = hist_blocks.shape
+    t_ssp = ssp_blocks.shape[-1]
+    em = functools.partial(
+        emulate_marginals,
+        kernel_name=kernel_name,
+        n_optim_nits=n_optim_nits,
+        learning_rate=learning_rate,
+        dba_iterations=dba_iterations,
+    )
+    hist_mean, hist_var = em(
+        hist_blocks.reshape(s * m, r, t_hist), hist_masks.reshape(s * m, r)
+    )
+    ssp_mean, ssp_var = em(
+        ssp_blocks.reshape(s * m, r, t_ssp), ssp_masks.reshape(s * m, r)
+    )
+    hist_mean = hist_mean.reshape(s, m, t_hist)
+    hist_var = hist_var.reshape(s, m, t_hist)
+    ssp_mean = ssp_mean.reshape(s, m, t_ssp)
+    ssp_var = ssp_var.reshape(s, m, t_ssp)
+
+    if weight_kind == "crps":
+        score = jax.vmap(
+            jax.vmap(scoring.mean_gaussian_crps, in_axes=(0, 0, None)),
+            in_axes=(0, 0, None),
+        )(hist_mean, jnp.sqrt(hist_var), obs)
+        raw = 1.0 / score  # (S, M, T_hist)
+    elif weight_kind == "loglik":
+        ll = jax.vmap(
+            jax.vmap(scoring.diag_log_likelihood, in_axes=(0, 0, None)),
+            in_axes=(0, 0, None),
+        )(hist_mean, hist_var, obs)  # (S, M, R_obs, T)
+        raw = jnp.exp(jnp.mean(ll, axis=2))
+    else:
+        raise ValueError(f"unknown weight_kind {weight_kind!r}")
+
+    raw = raw * model_masks[:, :, None]
+    weights_t = raw / jnp.sum(raw, axis=1, keepdims=True)
+    weights = jnp.mean(weights_t, axis=2)  # (S, M)
+
+    bary_mean = jnp.sum(weights[:, :, None] * ssp_mean, axis=1)
+    bary_std = jnp.sum(weights[:, :, None] * jnp.sqrt(ssp_var), axis=1)
     return bary_mean, bary_std, weights
 
 

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from bayesian_ensembling_tpu import pipeline
-from bayesian_ensembling_tpu.parallel.step import ensemble_scenario_step, pad_models
+from bayesian_ensembling_tpu.parallel.step import ensemble_multi_scenario_step, pad_models
 
 N_ITERS = int(os.environ.get("BENCH_N_ITERS", "2000"))
 DBA_ITERS = int(os.environ.get("BENCH_DBA_ITERS", "10"))
@@ -59,13 +59,15 @@ def main():
         sb, sm = ssp_mc.padded_stack(r_target=r_max)
         hb, hm, mmask = pad_models(hb, hm, m_max)
         sb, sm, _ = pad_models(sb, sm, m_max)
-        packed.append(
-            tuple(jnp.asarray(a) for a in (hb, hm, sb, sm, mmask))
-        )
+        packed.append((hb, hm, sb, sm, mmask))
+    # Merge the scenario axis into the batch: all 7 scenarios' emulations run
+    # in ONE fused program through the Pallas batched-cholesky NLML path.
+    stacked = [jnp.asarray(np.stack([p[i] for p in packed])) for i in range(5)]
+    hb, hm, sb, sm, mmask = stacked
 
     step = jax.jit(
         functools.partial(
-            ensemble_scenario_step,
+            ensemble_multi_scenario_step,
             n_optim_nits=N_ITERS,
             dba_iterations=DBA_ITERS,
         )
@@ -77,23 +79,19 @@ def main():
         for leaf in jax.tree_util.tree_leaves(tree):
             np.asarray(leaf)
 
-    # Warmup: session init + compile on the first scenario's shapes
-    # (shared by all scenarios thanks to global (M, R) padding).
-    hb, hm, sb, sm, mmask = packed[0]
     t0 = time.perf_counter()
     sync(step(hb, hm, sb, sm, obs, mmask))
     log(f"warmup (session init + compile + first run): {time.perf_counter() - t0:.1f}s")
 
     t0 = time.perf_counter()
-    outs = []
-    for hb, hm, sb, sm, mmask in packed:
-        outs.append(step(hb, hm, sb, sm, obs, mmask))
-    sync(outs)
+    out = step(hb, hm, sb, sm, obs, mmask)
+    sync(out)
     elapsed = time.perf_counter() - t0
 
-    for (ssp, hist, _), (bmean, bstd, w) in zip(scenarios, outs):
-        m = np.asarray(bmean)
-        s = np.asarray(bstd)
+    bmean, bstd, _ = out
+    for i, (ssp, hist, _) in enumerate(scenarios):
+        m = np.asarray(bmean[i])
+        s = np.asarray(bstd[i])
         log(f"{ssp}: 2100 warming {m[-1]:.3f} (+-2sd {m[-1]-2*s[-1]:.3f}..{m[-1]+2*s[-1]:.3f})")
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
