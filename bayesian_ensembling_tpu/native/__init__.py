@@ -1,0 +1,107 @@
+"""ctypes bindings to the native C++ DTW/DBA engine (native/dtw.cpp).
+
+The shared library is built on demand with g++ (``make native`` does the same
+thing); when no compiler or prebuilt library is available every entry point
+reports unavailable and callers fall back to the JAX kernels.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import typing as tp
+
+import numpy as np
+
+__all__ = ["available", "squared_dtw", "dtw_pairwise", "dba"]
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_REPO = os.path.dirname(os.path.dirname(_HERE))
+_SRC = os.path.join(_REPO, "native", "dtw.cpp")
+_LIB = os.path.join(_HERE, "libbetdtw.so")
+
+_lib: tp.Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    if not os.path.exists(_SRC):
+        return False
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", _LIB, _SRC],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return True
+    except (OSError, subprocess.SubprocessError):
+        return False
+
+
+def _load() -> tp.Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB) and not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(_LIB)
+    except OSError:
+        return None
+    dptr = ctypes.POINTER(ctypes.c_double)
+    lib.bet_squared_dtw.restype = ctypes.c_double
+    lib.bet_squared_dtw.argtypes = [dptr, dptr, ctypes.c_int]
+    lib.bet_dtw_pairwise.restype = None
+    lib.bet_dtw_pairwise.argtypes = [dptr, ctypes.c_int, ctypes.c_int, dptr]
+    lib.bet_dba.restype = None
+    lib.bet_dba.argtypes = [dptr, ctypes.c_int, ctypes.c_int, ctypes.c_int, dptr]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _as_c(a: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(a, dtype=np.float64)
+
+
+def squared_dtw(a: np.ndarray, b: np.ndarray) -> float:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native DTW library unavailable")
+    a, b = _as_c(a), _as_c(b)
+    if a.shape != b.shape or a.ndim != 1:
+        raise ValueError("equal-length 1-D series required")
+    dp = ctypes.POINTER(ctypes.c_double)
+    return float(
+        lib.bet_squared_dtw(a.ctypes.data_as(dp), b.ctypes.data_as(dp), len(a))
+    )
+
+
+def dtw_pairwise(series: np.ndarray) -> np.ndarray:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native DTW library unavailable")
+    s = _as_c(series)
+    r, t = s.shape
+    out = np.empty((r, r), dtype=np.float64)
+    dp = ctypes.POINTER(ctypes.c_double)
+    lib.bet_dtw_pairwise(s.ctypes.data_as(dp), r, t, out.ctypes.data_as(dp))
+    return out
+
+
+def dba(series: np.ndarray, n_iterations: int = 10) -> np.ndarray:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native DTW library unavailable")
+    s = _as_c(series)
+    r, t = s.shape
+    out = np.empty((t,), dtype=np.float64)
+    dp = ctypes.POINTER(ctypes.c_double)
+    lib.bet_dba(s.ctypes.data_as(dp), r, t, n_iterations, out.ctypes.data_as(dp))
+    return out
