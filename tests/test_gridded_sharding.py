@@ -1,0 +1,37 @@
+"""Cells-sharded gridded emulation on the virtual 8-device mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh
+
+from bayesian_ensembling_tpu.parallel.gridded import pad_cells, sharded_gridded_marginals
+from bayesian_ensembling_tpu.parallel.step import emulate_marginals
+
+
+def test_pad_cells(rng):
+    block = rng.normal(size=(10, 2, 6))
+    mask = np.ones((10, 2), bool)
+    pb, pm, orig = pad_cells(block, mask, 8)
+    assert pb.shape == (16, 2, 6) and orig == 10
+    np.testing.assert_allclose(pb[10:], np.repeat(block[:1], 6, axis=0))
+    pb2, _, _ = pad_cells(block[:8], mask[:8], 8)
+    assert pb2.shape == (8, 2, 6)
+
+
+def test_sharded_matches_unsharded(rng):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    c, r, t = 16, 3, 10
+    block = jnp.asarray(rng.normal(size=(c, r, t)))
+    mask = jnp.ones((c, r), bool)
+    mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("cells",))
+    got_mean, got_var = sharded_gridded_marginals(
+        mesh, block, mask, n_optim_nits=4, dba_iterations=2
+    )
+    want_mean, want_var = emulate_marginals(
+        block, mask, n_optim_nits=4, dba_iterations=2
+    )
+    np.testing.assert_allclose(np.asarray(got_mean), np.asarray(want_mean), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_var), np.asarray(want_var), rtol=2e-5)
