@@ -60,7 +60,7 @@ def emulate_batch(
     # (a) DBA barycentre per model (reference uses tslearn subgradient DBA,
     # models.py:176-178; semantics here follow the repo's own dtwa.py).
     y_mean = jax.vmap(
-        functools.partial(dtw_ops.dba, n_iterations=dba_iterations)
+        functools.partial(dtw_ops.dba, n_iterations=dba_iterations, init="mean")
     )(block, mask)
 
     # (b) across-realisation variance as known noise (models.py:179).

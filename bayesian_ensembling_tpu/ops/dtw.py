@@ -173,11 +173,12 @@ def _dba_update(center: jnp.ndarray, series: jnp.ndarray, mask: jnp.ndarray) -> 
     return tot / jnp.maximum(cnt, 1.0)
 
 
-@functools.partial(jax.jit, static_argnames=("n_iterations",))
+@functools.partial(jax.jit, static_argnames=("n_iterations", "init"))
 def dba(
     series: jnp.ndarray,
     mask: tp.Optional[jnp.ndarray] = None,
     n_iterations: int = 10,
+    init: str = "medoid",
 ) -> jnp.ndarray:
     """DTW Barycenter Averaging of a stack of equal-length series.
 
@@ -185,21 +186,31 @@ def dba(
       series: ``(R, T)`` stack of realisations (padded rows allowed).
       mask: optional ``(R,)`` bool validity of each row.
       n_iterations: fixed DBA iterations (reference default: dtwa.py:6).
+      init: ``"medoid"`` — the dtwa.py:14 initialisation (exact over all
+        candidates; the reference samples 50 when R > 50, workloads here
+        have R <= 200) — or ``"mean"``, the masked euclidean mean, which is
+        tslearn's default init for the subgradient DBA the flagship emulator
+        actually calls (models.py:176) and skips the O(R^2 T^2) pairwise
+        medoid search entirely.
 
     Returns:
-      ``(T,)`` barycentre series.  Medoid-initialised like dtwa.py:14
-      (all candidates considered; the reference samples 50 when R > 50, but
-      batched workloads here have R <= 200 and the medoid is exact).
+      ``(T,)`` barycentre series.
     """
     r, t = series.shape
     if mask is None:
         mask = jnp.ones((r,), bool)
 
-    pair = dtw_pairwise_sq(series, mask)
-    finite = jnp.isfinite(pair)
-    ss = jnp.sum(jnp.where(finite, pair, 0.0), axis=1)
-    ss = jnp.where(mask, ss, jnp.inf)
-    center = series[jnp.argmin(ss)]
+    if init == "medoid":
+        pair = dtw_pairwise_sq(series, mask)
+        finite = jnp.isfinite(pair)
+        ss = jnp.sum(jnp.where(finite, pair, 0.0), axis=1)
+        ss = jnp.where(mask, ss, jnp.inf)
+        center = series[jnp.argmin(ss)]
+    elif init == "mean":
+        w = mask.astype(series.dtype)[:, None]
+        center = jnp.sum(series * w, axis=0) / jnp.maximum(jnp.sum(w), 1.0)
+    else:
+        raise ValueError(f"unknown init {init!r}")
 
     def body(c, _):
         return _dba_update(c, series, mask), None

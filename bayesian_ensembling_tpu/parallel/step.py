@@ -53,7 +53,7 @@ def emulate_marginals(
     n = jnp.maximum(jnp.sum(w, axis=1), 1.0)
 
     y_mean = jax.vmap(
-        functools.partial(dtw_ops.dba, n_iterations=dba_iterations)
+        functools.partial(dtw_ops.dba, n_iterations=dba_iterations, init="mean")
     )(block, mask)
     mu_r = jnp.einsum("mrt,mr->mt", block, w) / n[:, None]
     y_var = (
