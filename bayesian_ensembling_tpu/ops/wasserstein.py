@@ -125,7 +125,8 @@ def gaussian_barycentre_1d_fixed_point(
     tolerance: float = 1e-6,
     init_var: float = 1.0,
     max_iters: int = 200,
-) -> tp.Tuple[jnp.ndarray, jnp.ndarray]:
+    return_iters: bool = False,
+):
     """Reference-faithful fixed-point barycentre (parity/compat path).
 
     Replicates wasserstein.py:61-100 exactly, including the *signed*
@@ -147,8 +148,10 @@ def gaussian_barycentre_1d_fixed_point(
         return candidate, n_iters + 1, done
 
     init = (jnp.asarray(init_var, dtype=means.dtype), jnp.asarray(0), jnp.asarray(False))
-    var, _, _ = jax.lax.while_loop(cond, body, init)
+    var, n_iters, _ = jax.lax.while_loop(cond, body, init)
     mu = jnp.sum(weights * means)
+    if return_iters:
+        return mu, jnp.sqrt(var), n_iters
     return mu, jnp.sqrt(var)
 
 
@@ -177,8 +180,12 @@ def batched_gaussian_barycentre(
     if mask is not None:
         weights = weights * mask
     if compat_fixed_point:
-        fn = jax.vmap(gaussian_barycentre_1d_fixed_point, in_axes=(1, 1, 1))
-        return fn(means, std_devs, weights)
+        fn = jax.vmap(
+            functools.partial(gaussian_barycentre_1d_fixed_point, return_iters=True),
+            in_axes=(1, 1, 1),
+        )
+        mu, sigma, n_iters = fn(means, std_devs, weights)
+        return mu, sigma, n_iters
     mu = jnp.sum(weights * means, axis=0)
     sigma = jnp.sum(weights * std_devs, axis=0)
     return mu, sigma

@@ -91,9 +91,20 @@ class Barycentre(AbstractEnsembleScheme):
             [jnp.sqrt(jnp.asarray(pm.distribution.gaussian.variance)) for pm in process_models]
         )
         w = jnp.asarray(_weights_block(process_models, weights), dtype=means.dtype)
-        mu, sigma = batched_gaussian_barycentre(
-            means, stds, w, compat_fixed_point=compat_fixed_point
-        )
+        if compat_fixed_point:
+            mu, sigma, n_iters = batched_gaussian_barycentre(
+                means, stds, w, compat_fixed_point=True
+            )
+            n_bad = int(np.sum(np.asarray(n_iters) > 200))
+            if n_bad:
+                import warnings
+
+                warnings.warn(
+                    f"Barycentre not converged for {n_bad} point(s) "
+                    "(fixed-point cap reached; reference wasserstein.py:94-97)"
+                )
+        else:
+            mu, sigma = batched_gaussian_barycentre(means, stds, w)
         template = process_models[0].blank_template()
         return Posterior(
             gaussian=DiagGaussian(mean=mu, var=jnp.square(sigma)), template=template
