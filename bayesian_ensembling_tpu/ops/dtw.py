@@ -40,13 +40,19 @@ __all__ = [
 _BIG = jnp.inf
 
 
-def _diag_delta(center: jnp.ndarray, series: jnp.ndarray, k: jnp.ndarray) -> tp.Tuple[jnp.ndarray, jnp.ndarray]:
-    """Local cost along anti-diagonal k: delta[i] = (center[i]-series[k-i])^2."""
+def _diag_delta(center: jnp.ndarray, series_rev: jnp.ndarray, k: jnp.ndarray) -> tp.Tuple[jnp.ndarray, jnp.ndarray]:
+    """Local cost along anti-diagonal k: delta[i] = (center[i]-series[k-i])^2.
+
+    ``series_rev`` is the series reversed once outside the scan; the diagonal
+    slice is then a cyclic roll (``s[k-i] = rev[(T-1-k)+i]``), which lowers to
+    cheap dynamic slices instead of a general gather per step — gathers were
+    ~50x the cost of the arithmetic on TPU.
+    """
     t = center.shape[0]
     i = jnp.arange(t)
     j = k - i
     valid = (j >= 0) & (j < t)
-    sj = jnp.take(series, jnp.clip(j, 0, t - 1))
+    sj = jnp.roll(series_rev, k - (t - 1))
     delta = jnp.square(center - sj)
     return jnp.where(valid, delta, _BIG), valid
 
@@ -67,13 +73,14 @@ def _dtw_scan(center: jnp.ndarray, series: jnp.ndarray, want_path: bool):
     dtype = jnp.result_type(center.dtype, jnp.float32)
     center = center.astype(dtype)
     series = series.astype(dtype)
+    series_rev = series[::-1]
 
     d0 = jnp.full((t,), _BIG, dtype).at[0].set(jnp.square(center[0] - series[0]))
     prev2 = jnp.full((t,), _BIG, dtype)  # diagonal k-2 (starts as virtual k=-1)
 
     def step(carry, k):
         prev2, prev1 = carry
-        delta, valid = _diag_delta(center, series, k)
+        delta, valid = _diag_delta(center, series_rev, k)
         diag = _shift_down(prev2)   # cost at (i-1, j-1)
         left = prev1                # cost at (i,   j-1)
         top = _shift_down(prev1)    # cost at (i-1, j)
@@ -126,35 +133,60 @@ def dtw_pairwise_sq(series: jnp.ndarray, mask: tp.Optional[jnp.ndarray] = None) 
 
 
 def _backtrack_accumulate(path: jnp.ndarray, series: jnp.ndarray):
-    """Walk the warping path from (T-1, T-1) to (0, 0), accumulating the DBA
-    update: for every visited cell, ``series[j]`` contributes to centre slot
-    ``i`` (dtwa.py:130-141).
+    """Accumulate the DBA update along the optimal warping path.
 
-    Implemented as a bounded ``lax.scan`` of 2T-1 steps that records the
-    visited (i, contribution, active) triples, followed by one segment-sum —
-    no per-step scatters.
+    Instead of walking the path cell-by-cell with per-step gathers
+    (dtwa.py:130-141 does this in Python; a scalar-gather scan was ~50x
+    slower than the arithmetic on TPU), the path membership is propagated
+    *backward over anti-diagonals*: a cell is on the path iff one of its
+    successors is on the path and chose it.  Every step is a masked vector
+    op over a T-wide diagonal — no gathers, no scatters — and the
+    contributions ``series[j] -> centre slot i`` accumulate in the scan
+    carry via the same reversed-series roll trick as the forward DP.
+
+    Args:
+      path: ``(2T-1, T)`` move codes, row k = anti-diagonal k, indexed by i.
+      series: ``(T,)``.
+
+    Returns:
+      (sums, counts): ``(T,)`` aligned-value sums and visit counts per slot.
     """
     t = series.shape[0]
+    dtype = jnp.result_type(series.dtype, jnp.float32)
+    series_rev = series[::-1].astype(dtype)
+    i_idx = jnp.arange(t)
 
-    def step(carry, _):
-        i, j, active = carry
-        contrib_idx = i
-        contrib_val = jnp.take(series, j)
-        move = path[i + j, i]
-        at_origin = (i == 0) & (j == 0)
-        di = jnp.where((move == 0) | (move == 2), 1, 0)
-        dj = jnp.where((move == 0) | (move == 1), 1, 0)
-        ni = jnp.where(active & ~at_origin, i - di, i)
-        nj = jnp.where(active & ~at_origin, j - dj, j)
-        emit = active
-        active = active & ~at_origin
-        return (ni, nj, active), (contrib_idx, contrib_val, emit)
+    def shift_up(x, pad):
+        return jnp.concatenate([x[1:], jnp.full((1,), pad, x.dtype)])
 
-    init = (jnp.asarray(t - 1), jnp.asarray(t - 1), jnp.asarray(True))
-    _, (idx, vals, emit) = jax.lax.scan(step, init, None, length=2 * t - 1)
-    w = emit.astype(series.dtype)
-    sums = jnp.zeros((t,), series.dtype).at[idx].add(vals * w)
-    counts = jnp.zeros((t,), series.dtype).at[idx].add(w)
+    def diag_vals(k):
+        return jnp.roll(series_rev, k - (t - 1))  # value s[k-i] at slot i
+
+    # Initial state: diagonal 2T-2 holds only the corner (T-1, T-1), which is
+    # always on the path.
+    on_k1 = (i_idx == t - 1)
+    on_k2 = jnp.zeros((t,), bool)
+    moves_k2 = jnp.full((t,), -1, jnp.int8)
+    sums0 = jnp.where(on_k1, diag_vals(2 * t - 2), 0.0)
+    counts0 = on_k1.astype(dtype)
+
+    def step(carry, inp):
+        on_k1, on_k2, moves_k2, sums, counts = carry
+        moves_k1, k = inp
+        diag_t = shift_up(on_k2 & (moves_k2 == 0), False)
+        left_t = on_k1 & (moves_k1 == 1)
+        top_t = shift_up(on_k1 & (moves_k1 == 2), False)
+        valid = (k - i_idx >= 0) & (i_idx <= k)
+        on_k = (diag_t | left_t | top_t) & valid
+        sums = sums + jnp.where(on_k, diag_vals(k), 0.0)
+        counts = counts + on_k.astype(dtype)
+        return (on_k, on_k1, moves_k1, sums, counts), None
+
+    ks = jnp.arange(2 * t - 3, -1, -1)
+    moves_rows = path[ks + 1]  # moves for diagonal k+1, k descending
+    (_, _, _, sums, counts), _ = jax.lax.scan(
+        step, (on_k1, on_k2, moves_k2, sums0, counts0), (moves_rows, ks)
+    )
     return sums, counts
 
 
