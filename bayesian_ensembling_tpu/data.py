@@ -84,6 +84,18 @@ class Posterior:
     def log_prob(self, x) -> jnp.ndarray:
         return self.gaussian.log_prob(jnp.asarray(x))
 
+    def plot_temporally(self, **kwargs):
+        """Mean +- k sigma bands over time (reference data.py:58-98)."""
+        from bayesian_ensembling_tpu.plotters import plot_posterior_temporal
+
+        return plot_posterior_temporal(self, **kwargs)
+
+    def plot_spatially(self, **kwargs):
+        """Time-mean posterior maps (reference data.py:100-131)."""
+        from bayesian_ensembling_tpu.plotters import plot_posterior_spatial
+
+        return plot_posterior_spatial(self, **kwargs)
+
     # ------------------------------------------------------------ checkpoint
     def to_arrays(self) -> tp.Dict[str, np.ndarray]:
         d = {"mean": np.asarray(self.gaussian.mean)}
@@ -187,6 +199,12 @@ class ProcessModel:
         the reference's ``blank_array`` idiom (models.py:221-222)."""
         first = self.data.isel(realisation=0)
         return first.copy(values=np.full(first.shape, np.nan))
+
+    def plot(self, **kwargs):
+        """Realisations + mean over time (reference data.py:263-294)."""
+        from bayesian_ensembling_tpu.plotters import plot_process_model
+
+        return plot_process_model(self, **kwargs)
 
     # -------------------------------------------------------------- anomaly
     def calculate_anomaly(
@@ -327,6 +345,19 @@ class ModelCollection:
         else:
             for pm in self.models:
                 pm.distribution = model.fit(pm, **kwargs)
+
+    # --------------------------------------------------------------- plots
+    def plot_all(self, **kwargs):
+        """All model means on one axes (reference data.py:468-505)."""
+        from bayesian_ensembling_tpu.plotters import plot_collection
+
+        return plot_collection(self, **kwargs)
+
+    def plot_grid(self, **kwargs):
+        """One panel per model (reference data.py:507-540)."""
+        from bayesian_ensembling_tpu.plotters import plot_collection_grid
+
+        return plot_collection_grid(self, **kwargs)
 
     # ----------------------------------------------------------- checkpoint
     def save(self, path: str):

@@ -27,6 +27,7 @@ from bayesian_ensembling_tpu.ops.scoring import (
 )
 from bayesian_ensembling_tpu.ops.wasserstein import (
     batched_gaussian_barycentre,
+    bures_covariance_distance,
     gaussian_barycentre_1d,
     gaussian_barycentre_1d_fixed_point,
     gaussian_w2_distance,
@@ -56,6 +57,7 @@ __all__ = [
     "imq_ksd_1d",
     "mean_gaussian_crps",
     "batched_gaussian_barycentre",
+    "bures_covariance_distance",
     "gaussian_barycentre_1d",
     "gaussian_barycentre_1d_fixed_point",
     "gaussian_w2_distance",

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 
 __all__ = [
     "sqrtm_psd",
+    "bures_covariance_distance",
     "gaussian_w2_distance",
     "gaussian_w2_distance_diag",
     "gaussian_barycentre_1d",
@@ -50,6 +51,15 @@ def sqrtm_psd(a: jnp.ndarray) -> jnp.ndarray:
     w, v = jnp.linalg.eigh(a)
     w = jnp.clip(w, 0.0, None)
     return (v * jnp.sqrt(w)[..., None, :]) @ jnp.swapaxes(v, -1, -2)
+
+
+def bures_covariance_distance(cov_a: jnp.ndarray, cov_b: jnp.ndarray) -> jnp.ndarray:
+    """Bures metric between covariance matrices, means ignored
+    (the reference's ``wasserstien_distance`` [sic], wasserstein.py:15-19):
+    ``tr(A) + tr(B) - 2 tr((A^1/2 B A^1/2)^1/2)``."""
+    root_a = sqrtm_psd(cov_a)
+    cross = sqrtm_psd(root_a @ cov_b @ root_a)
+    return jnp.trace(cov_a) + jnp.trace(cov_b) - 2.0 * jnp.trace(cross)
 
 
 def gaussian_w2_distance(

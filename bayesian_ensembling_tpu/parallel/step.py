@@ -202,30 +202,72 @@ def ensemble_multi_scenario_step(
 def make_sharded_step(
     mesh: Mesh,
     model_axis: str = "model",
-    **step_kwargs,
+    *,
+    kernel_name: str = "matern32",
+    n_optim_nits: int = 500,
+    learning_rate: float = 0.01,
+    dba_iterations: int = 10,
+    weight_kind: str = "crps",
 ):
-    """jit ``ensemble_scenario_step`` with the model axis sharded over ``mesh``.
+    """One scenario step with the model axis sharded over ``mesh``.
 
-    Inputs arrive ``P(model_axis)`` on their leading (model) dim; obs is
-    replicated; outputs are replicated.  XLA turns the weight-normalisation
-    and barycentre sums into mesh collectives over ICI.
+    Built with ``shard_map`` + explicit ``psum`` so each device runs the
+    whole fused emulation program (including the Pallas kernels, which stay
+    device-local) on its shard of the models; the only collectives are the
+    weight-normalisation sum and the barycentre weighted sums — exactly the
+    reference's cross-model couplings (weights.py:123,511,
+    wasserstein.py:86,98).  Inputs arrive sharded on the leading model dim;
+    obs replicated; barycentre outputs replicated, weights sharded.
     """
-    model_sharded = NamedSharding(mesh, P(model_axis))
-    replicated = NamedSharding(mesh, P())
-
-    fn = functools.partial(ensemble_scenario_step, **step_kwargs)
-    return jax.jit(
-        fn,
-        in_shardings=(
-            model_sharded,  # hist_block
-            model_sharded,  # hist_mask
-            model_sharded,  # ssp_block
-            model_sharded,  # ssp_mask
-            replicated,  # obs
-            model_sharded,  # model_mask
-        ),
-        out_shardings=(replicated, replicated, replicated),
+    em = functools.partial(
+        emulate_marginals,
+        kernel_name=kernel_name,
+        n_optim_nits=n_optim_nits,
+        learning_rate=learning_rate,
+        dba_iterations=dba_iterations,
     )
+
+    def body(hist_block, hist_mask, ssp_block, ssp_mask, obs, model_mask):
+        hist_mean, hist_var = em(hist_block, hist_mask)
+        ssp_mean, ssp_var = em(ssp_block, ssp_mask)
+
+        if weight_kind == "crps":
+            score = jax.vmap(scoring.mean_gaussian_crps, in_axes=(0, 0, None))(
+                hist_mean, jnp.sqrt(hist_var), obs
+            )
+            raw = 1.0 / score
+        elif weight_kind == "loglik":
+            ll = jax.vmap(scoring.diag_log_likelihood, in_axes=(0, 0, None))(
+                hist_mean, hist_var, obs
+            )
+            raw = jnp.exp(jnp.mean(ll, axis=1))
+        else:
+            raise ValueError(f"unknown weight_kind {weight_kind!r}")
+        raw = raw * model_mask[:, None]
+
+        total = jax.lax.psum(jnp.sum(raw, axis=0), model_axis)
+        weights_t = raw / total
+        weights = jnp.mean(weights_t, axis=1)
+
+        bary_mean = jax.lax.psum(
+            jnp.sum(weights[:, None] * ssp_mean, axis=0), model_axis
+        )
+        bary_std = jax.lax.psum(
+            jnp.sum(weights[:, None] * jnp.sqrt(ssp_var), axis=0), model_axis
+        )
+        return bary_mean, bary_std, weights
+
+    from jax import shard_map
+
+    p_model = P(model_axis)
+    smapped = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(p_model, p_model, p_model, p_model, P(), p_model),
+        out_specs=(P(), P(), p_model),
+        check_vma=False,
+    )
+    return jax.jit(smapped)
 
 
 def pad_models(

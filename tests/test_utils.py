@@ -96,3 +96,21 @@ def test_plot_posterior_spatial(rng):
     post = GPDTW3D(dtype=np.float64).fit(pm, n_optim_nits=5, dba_iterations=2)
     fig = plotters.plot_posterior_spatial(post)
     plt.close(fig)
+
+
+def test_container_plot_methods(rng):
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    import bayesian_ensembling_tpu as bet
+    from bayesian_ensembling_tpu.models.mean_field import MeanField
+    from test_data import make_collection
+
+    mc = make_collection(rng, n_models=2, n_months=10)
+    mc[0].plot()
+    mc.plot_all()
+    mc.plot_grid()
+    mc.fit(MeanField(dtype=np.float64))
+    post = bet.MultiModelMean()(mc)
+    post.plot_temporally()
+    plt.close("all")

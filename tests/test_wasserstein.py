@@ -147,3 +147,14 @@ def test_batched_barycentre_mask(rng):
         jnp.asarray(means), jnp.asarray(stds), jnp.asarray(w), jnp.asarray(mask)
     )
     np.testing.assert_allclose(np.asarray(mu), np.mean(means[:-1], 0), rtol=1e-6)
+
+
+def test_bures_covariance_distance(rng):
+    a = random_psd(rng, 5)
+    d0 = float(ws.bures_covariance_distance(a, a))
+    assert abs(d0) < 1e-6
+    b = random_psd(rng, 5)
+    d = float(ws.bures_covariance_distance(a, b))
+    # Equals the covariance term of the W2 with equal means.
+    w2 = float(ws.gaussian_w2_distance(np.zeros(5), a, np.zeros(5), b))
+    np.testing.assert_allclose(d, w2, rtol=1e-6, atol=1e-8)
