@@ -53,6 +53,24 @@ def _row_ids(t: int) -> jnp.ndarray:
     return jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0)
 
 
+def _pad_t(t: int) -> int:
+    """Row slices of multi-lane-tile VMEM buffers must be 8-aligned."""
+    return -(-t // 8) * 8
+
+
+def _pad_spd_t(ky_tlb: jnp.ndarray) -> jnp.ndarray:
+    """Pad a (T, T, B) SPD stack to (T8, T8, B) with a unit-diagonal block —
+    the Cholesky/solve/inverse of the extension is the identity, so results
+    for the first T rows/columns are unchanged."""
+    t = ky_tlb.shape[0]
+    t8 = _pad_t(t)
+    if t8 == t:
+        return ky_tlb
+    out = jnp.pad(ky_tlb, ((0, t8 - t), (0, t8 - t), (0, 0)))
+    idx = jnp.arange(t, t8)
+    return out.at[idx, idx, :].set(1.0)
+
+
 # --------------------------------------------------------------- cholesky
 def _chol_kernel(a_hbm, out_ref, sem):
     """Single-VMEM-buffer right-looking Cholesky.
@@ -87,27 +105,63 @@ def _chol_kernel(a_hbm, out_ref, sem):
 
 def _cholesky_batched_tpu(ky_tlb: jnp.ndarray) -> jnp.ndarray:
     t, _, b = ky_tlb.shape
-    return pl.pallas_call(
+    ky_tlb = _pad_spd_t(ky_tlb)
+    t8 = ky_tlb.shape[0]
+    out = pl.pallas_call(
         _chol_kernel,
-        out_shape=jax.ShapeDtypeStruct((t, t, b), ky_tlb.dtype),
+        out_shape=jax.ShapeDtypeStruct((t8, t8, b), ky_tlb.dtype),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.SemaphoreType.DMA(())],
         interpret=INTERPRET,
     )(ky_tlb)
+    return out[:t, :t]
+
+
+def _max_lanes(t: int, budget_bytes: int = 12 * 2**20) -> int:
+    """Largest 128-multiple batch whose (T, T, lanes) f32 buffer fits VMEM."""
+    sub = -(-t // 8) * 8
+    per_lane = t * sub * 4
+    lanes = max(budget_bytes // per_lane // 128, 1) * 128
+    return lanes
+
+
+def _chunk_lanes(fn, x: jnp.ndarray, t: int):
+    """Run ``fn`` over 128-aligned lane chunks of the trailing batch dim.
+
+    Pads B up to a chunk multiple (padded lanes produce garbage confined to
+    their own lanes — every kernel op is lane-local) and maps sequentially;
+    used when one batch exceeds the VMEM budget (e.g. gridded workloads with
+    thousands of cells).
+    """
+    b = x.shape[-1]
+    chunk = _max_lanes(t)
+    if b <= chunk:
+        return fn(x)
+    n = -(-b // chunk)
+    pad = n * chunk - b
+    if pad:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    blocks = jnp.moveaxis(
+        x.reshape(x.shape[:-1] + (n, chunk)), -2, 0
+    )  # (n, ..., chunk)
+    out = jax.lax.map(fn, blocks)
+    out = jnp.moveaxis(out, 0, -2).reshape(out.shape[1:-1] + (n * chunk,))
+    return out[..., :b]
 
 
 def cholesky_batched(ky_tlb: jnp.ndarray) -> jnp.ndarray:
     """Batched Cholesky, batch-in-lanes layout.
 
     Args:
-      ky_tlb: ``(T, T, B)`` symmetric positive-definite matrices.
+      ky_tlb: ``(T, T, B)`` symmetric positive-definite matrices.  Batches
+      beyond the VMEM budget are processed in 128-aligned lane chunks.
 
     Returns:
       ``(T, T, B)`` where row k holds column k of L (the L^T layout).
     """
     if jax.default_backend() == "tpu" or INTERPRET:
-        return _cholesky_batched_tpu(ky_tlb)
+        return _chunk_lanes(_cholesky_batched_tpu, ky_tlb, ky_tlb.shape[0])
     ky = jnp.transpose(ky_tlb, (2, 0, 1))
     l = jnp.linalg.cholesky(ky)
     return jnp.transpose(l, (2, 1, 0))  # rows = columns of L
@@ -153,7 +207,22 @@ def _solve_vec_kernel(lt_ref, y_ref, z_ref, alpha_ref, logdet_ref, acc):
     jax.lax.fori_loop(0, t, bwd, 0)
 
 
+def _pad_lt(lt: jnp.ndarray) -> jnp.ndarray:
+    """Unit-diagonal extension of an L^T-layout factor to 8-aligned T."""
+    t = lt.shape[0]
+    t8 = _pad_t(t)
+    if t8 == t:
+        return lt
+    out = jnp.pad(lt, ((0, t8 - t), (0, t8 - t), (0, 0)))
+    idx = jnp.arange(t, t8)
+    return out.at[idx, idx, :].set(1.0)
+
+
 def _solve_vec_batched_tpu(lt: jnp.ndarray, y_tb: jnp.ndarray):
+    t_orig = lt.shape[0]
+    lt = _pad_lt(lt)
+    if lt.shape[0] != y_tb.shape[0]:
+        y_tb = jnp.pad(y_tb, ((0, lt.shape[0] - t_orig), (0, 0)))
     t, _, b = lt.shape
     z, alpha, logdet = pl.pallas_call(
         _solve_vec_kernel,
@@ -174,7 +243,7 @@ def _solve_vec_batched_tpu(lt: jnp.ndarray, y_tb: jnp.ndarray):
         scratch_shapes=[pltpu.VMEM((t, b), lt.dtype)],
         interpret=INTERPRET,
     )(lt, y_tb)
-    return z, alpha, logdet[0]
+    return z[:t_orig], alpha[:t_orig], logdet[0]
 
 
 def solve_vec_batched(lt: jnp.ndarray, y_tb: jnp.ndarray):
@@ -188,7 +257,22 @@ def solve_vec_batched(lt: jnp.ndarray, y_tb: jnp.ndarray):
       (z ``(T, B)``, alpha ``(T, B)``, logdet ``(B,)``).
     """
     if jax.default_backend() == "tpu" or INTERPRET:
-        return _solve_vec_batched_tpu(lt, y_tb)
+        b = lt.shape[-1]
+        chunk = _max_lanes(lt.shape[0])
+        if b <= chunk:
+            return _solve_vec_batched_tpu(lt, y_tb)
+        n = -(-b // chunk)
+        pad = n * chunk - b
+        if pad:
+            lt = jnp.pad(lt, ((0, 0), (0, 0), (0, pad)))
+            y_tb = jnp.pad(y_tb, ((0, 0), (0, pad)))
+        lt_c = jnp.moveaxis(lt.reshape(lt.shape[:-1] + (n, chunk)), -2, 0)
+        y_c = jnp.moveaxis(y_tb.reshape(y_tb.shape[:-1] + (n, chunk)), -2, 0)
+        z, alpha, logdet = jax.lax.map(
+            lambda xs: _solve_vec_batched_tpu(*xs), (lt_c, y_c)
+        )
+        unchunk2 = lambda a: jnp.moveaxis(a, 0, -2).reshape(a.shape[1:-1] + (n * chunk,))[..., :b]
+        return unchunk2(z), unchunk2(alpha), logdet.reshape(-1)[:b]
     l = jnp.transpose(lt, (2, 1, 0))  # (B, T, T) lower
     y = y_tb.T  # (B, T)
     z = jax.vmap(lambda li, yi: jax.scipy.linalg.solve_triangular(li, yi, lower=True))(l, y)
@@ -244,6 +328,8 @@ def _tri_inv_kernel_streamed(lt_hbm, w_ref, row_buf, sems):
 
 
 def _tri_inv_streamed_tpu(lt: jnp.ndarray) -> jnp.ndarray:
+    t_orig = lt.shape[0]
+    lt = _pad_lt(lt)
     t, _, b = lt.shape
     # Row-sliced HBM DMAs need the lane (batch) dim 128-aligned.  Padded
     # lanes hold zeros -> their outputs are garbage but confined to their own
@@ -262,7 +348,7 @@ def _tri_inv_streamed_tpu(lt: jnp.ndarray) -> jnp.ndarray:
         ],
         interpret=INTERPRET,
     )(lt)
-    return out[:, :, :b]
+    return out[:t_orig, :t_orig, :b]
 
 
 def _tri_inv_kernel(lt_ref, w_ref):
@@ -335,7 +421,7 @@ def tri_inv_batched(lt: jnp.ndarray) -> jnp.ndarray:
         and _vmem_bytes(lt.shape[0]) < 14 * 2**20
     )
     if use_pallas or INTERPRET:
-        return _tri_inv_streamed_tpu(lt)
+        return _chunk_lanes(_tri_inv_streamed_tpu, lt, lt.shape[0])
     l = jnp.transpose(lt, (2, 1, 0))
     eye = jnp.eye(lt.shape[0], dtype=lt.dtype)
     w = jax.vmap(lambda li: jax.scipy.linalg.solve_triangular(li, eye, lower=True))(l)

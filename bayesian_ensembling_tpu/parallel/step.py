@@ -73,9 +73,9 @@ def emulate_marginals(
         jitter=jitter,
     )
 
-    kernel = gp_ops.get_kernel(kernel_name)
-    marg = functools.partial(gp_ops.posterior_marginals, kernel=kernel, jitter=jitter)
-    mean, var = jax.vmap(marg)(params, x, y_mean, y_var)
+    mean, var = gp_ops.posterior_marginals_batch(
+        params, x, y_mean, y_var, kernel_name=kernel_name, jitter=jitter
+    )
     return mean, var + y_var
 
 

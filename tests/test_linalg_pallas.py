@@ -124,3 +124,20 @@ def test_nlml_terms_grad_interpret(rng, interp):
         gs = 0.5 * (g[i] + g[i].T)
         ws = 0.5 * (want + want.T)
         np.testing.assert_allclose(gs, ws, rtol=5e-3, atol=5e-4)
+
+
+def test_lane_chunked_cholesky_and_solves(rng, interp, monkeypatch):
+    """Batches beyond the VMEM budget split into lane chunks transparently."""
+    monkeypatch.setattr(lp, "_max_lanes", lambda t, budget_bytes=0: 128)
+    b, t = 300, 10
+    k = make_spd(rng, b, t)
+    y = rng.normal(size=(b, t)).astype(np.float32)
+    lt = np.asarray(lp.cholesky_batched(jnp.asarray(k.transpose(1, 2, 0))))
+    want = np.linalg.cholesky(k.astype(np.float64))
+    np.testing.assert_allclose(lt.transpose(2, 1, 0), want, rtol=2e-4, atol=2e-4)
+    z, alpha, logdet = lp.solve_vec_batched(jnp.asarray(lt), jnp.asarray(y.T))
+    alpha = np.asarray(alpha)
+    for i in range(0, b, 97):
+        want_a = np.linalg.solve(k[i].astype(np.float64), y[i])
+        np.testing.assert_allclose(alpha[:, i], want_a, rtol=5e-3, atol=5e-4)
+    assert np.asarray(logdet).shape == (b,)
