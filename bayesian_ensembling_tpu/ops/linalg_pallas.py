@@ -28,12 +28,8 @@ compare the two paths bit-closely).
 
 from __future__ import annotations
 
-import functools
-import typing as tp
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -349,51 +345,6 @@ def _tri_inv_streamed_tpu(lt: jnp.ndarray) -> jnp.ndarray:
         interpret=INTERPRET,
     )(lt)
     return out[:t_orig, :t_orig, :b]
-
-
-def _tri_inv_kernel(lt_ref, w_ref):
-    """W = L^-1 (lower triangular), one batch tile.
-
-    lt_ref: (T, T, BL) L^T layout; w_ref: (T, T, BL) with w_ref[i] = row i
-    of W.  In-place forward substitution on the identity.
-    """
-    t = lt_ref.shape[0]
-    rows = _row_ids(t)
-    cols3 = jax.lax.broadcasted_iota(jnp.int32, (t, t, 1), 1)
-    rows3 = jax.lax.broadcasted_iota(jnp.int32, (t, t, 1), 0)
-    w_ref[...] = jnp.where(rows3 == cols3, 1.0, 0.0) * jnp.ones(
-        (1, 1, lt_ref.shape[2]), lt_ref.dtype
-    )
-
-    def body(j, _):
-        lcol = lt_ref[j]  # (T, BL): column j of L
-        ljj = jnp.sum(jnp.where(rows == j, lcol, 0.0), axis=0)  # (BL,)
-        wj = w_ref[j] / ljj[None, :]  # (T, BL) row j of W, finalised
-        w_ref[j] = wj
-        col_s = jnp.where(rows > j, lcol, 0.0)  # strictly-below entries
-        w_ref[...] = w_ref[...] - col_s[:, None, :] * wj[None, :, :]
-        return 0
-
-    jax.lax.fori_loop(0, t, body, 0)
-
-
-def _tri_inv_batched_tpu(lt: jnp.ndarray, tile: int = 32) -> jnp.ndarray:
-    t, _, b = lt.shape
-    if b % tile != 0:
-        tile = b  # single tile fallback (b is padded by callers)
-    grid = (b // tile,)
-    return pl.pallas_call(
-        _tri_inv_kernel,
-        grid=grid,
-        out_shape=jax.ShapeDtypeStruct((t, t, b), lt.dtype),
-        in_specs=[
-            pl.BlockSpec((t, t, tile), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
-        ],
-        out_specs=pl.BlockSpec(
-            (t, t, tile), lambda i: (0, 0, i), memory_space=pltpu.VMEM
-        ),
-        interpret=INTERPRET,
-    )(lt)
 
 
 def _vmem_bytes(t: int) -> int:

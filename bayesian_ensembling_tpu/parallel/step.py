@@ -25,7 +25,7 @@ import typing as tp
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from bayesian_ensembling_tpu.ops import dtw as dtw_ops
 from bayesian_ensembling_tpu.ops import gp as gp_ops

@@ -1,0 +1,88 @@
+"""End-to-end pipeline tests on the bundled reference data (CPU, tiny iters)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from bayesian_ensembling_tpu import pipeline
+
+needs_data = pytest.mark.skipif(
+    not os.path.exists(pipeline.DEFAULT_DATA_DIR), reason="reference data absent"
+)
+
+
+@needs_data
+def test_load_observations():
+    obs = pipeline.load_observations()
+    assert obs.data.shape == (200, 165)
+    from bayesian_ensembling_tpu.io import timeutils
+
+    years = timeutils.years_of(obs.time)
+    assert years[0] == 1850 and years[-1] == 2014
+
+
+@needs_data
+def test_load_scenario_alignment():
+    hist, ssp = pipeline.load_scenario("ssp119")
+    assert len(hist) == len(ssp)
+    assert hist.model_names == ssp.model_names
+    assert len(hist.time) == 165 and len(ssp.time) == 86
+    # Anomalies: near-zero mean over the climatology window.
+    for pm in hist:
+        sel = pm.data.sel_time("1961-01-01", "1990-12-31")
+        assert abs(sel.values.mean()) < 0.05
+
+
+@needs_data
+def test_run_scenario_end_to_end(rng):
+    obs = pipeline.load_observations()
+    hist, ssp = pipeline.load_scenario("ssp460")
+    res = pipeline.run_scenario(
+        hist, ssp, obs, "ssp460", n_optim_nits=20, dba_iterations=2
+    )
+    summ = pipeline.warming_summary(res)
+    for year in (2050, 2100):
+        mean, lo, hi = summ[year]
+        assert lo < mean < hi
+        assert -2.0 < mean < 10.0
+    np.testing.assert_allclose(res.weights.values.sum(axis=0), 1.0, rtol=1e-5)
+
+
+@needs_data
+def test_multi_scenario_step_matches_single(rng):
+    """The merged multi-scenario program equals per-scenario steps."""
+    import jax.numpy as jnp
+
+    from bayesian_ensembling_tpu.parallel.step import (
+        ensemble_multi_scenario_step,
+        ensemble_scenario_step,
+        pad_models,
+    )
+
+    obs_pm = pipeline.load_observations()
+    obs = jnp.asarray(obs_pm.data.values, dtype=jnp.float64)
+    packed = []
+    for ssp in ("ssp119", "ssp460"):
+        hist, ssp_mc = pipeline.load_scenario(ssp)
+        hb, hm = hist.padded_stack(r_target=29, dtype=np.float64)
+        sb, sm = ssp_mc.padded_stack(r_target=29, dtype=np.float64)
+        hb, hm, mmask = pad_models(hb, hm, 16)
+        sb, sm, _ = pad_models(sb, sm, 16)
+        packed.append((hb, hm, sb, sm, mmask))
+    stacked = [jnp.asarray(np.stack([p[i] for p in packed])) for i in range(5)]
+    multi = ensemble_multi_scenario_step(
+        *stacked[:4], obs, stacked[4], n_optim_nits=5, dba_iterations=2
+    )
+    for i, p in enumerate(packed):
+        single = ensemble_scenario_step(
+            jnp.asarray(p[0]), jnp.asarray(p[1]), jnp.asarray(p[2]),
+            jnp.asarray(p[3]), obs, jnp.asarray(p[4]),
+            n_optim_nits=5, dba_iterations=2,
+        )
+        np.testing.assert_allclose(
+            np.asarray(multi[0][i]), np.asarray(single[0]), rtol=1e-8
+        )
+        np.testing.assert_allclose(
+            np.asarray(multi[2][i]), np.asarray(single[2]), rtol=1e-8
+        )
