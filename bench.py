@@ -83,6 +83,14 @@ def main():
     sync(step(hb, hm, sb, sm, obs, mmask))
     log(f"warmup (session init + compile + first run): {time.perf_counter() - t0:.1f}s")
 
+    if os.environ.get("BENCH_TRACE"):
+        # Device trace for TensorBoard (SURVEY SS5.1 tracing subsystem).
+        from bayesian_ensembling_tpu.utils.profiling import trace
+
+        with trace(os.environ.get("BENCH_TRACE_DIR", "/tmp/bet_trace")) as d:
+            sync(step(hb, hm, sb, sm, obs, mmask))
+        log(f"profiler trace written to {d}")
+
     t0 = time.perf_counter()
     out = step(hb, hm, sb, sm, obs, mmask)
     sync(out)
