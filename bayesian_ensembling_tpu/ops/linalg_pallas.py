@@ -68,8 +68,13 @@ def _pad_spd_t(ky_tlb: jnp.ndarray) -> jnp.ndarray:
 
 
 # --------------------------------------------------------------- cholesky
+def _panel_width(t: int) -> int:
+    """Panel width for blocked trailing updates: ~6 phases, 8-aligned."""
+    return max(-(-t // 6) // 8 * 8, 8)
+
+
 def _chol_kernel(a_hbm, out_ref, sem):
-    """Single-VMEM-buffer right-looking Cholesky.
+    """Single-VMEM-buffer right-looking Cholesky, panel-blocked updates.
 
     The input stays in HBM and is DMA'd once into the output VMEM buffer
     (two VMEM windows of (165, 165, 128) f32 would blow the ~16 MB budget).
@@ -77,26 +82,37 @@ def _chol_kernel(a_hbm, out_ref, sem):
     by symmetry of the not-yet-finalised part), gets overwritten with column
     k of L, and the masked rank-1 update leaves rows <= k untouched (col_s is
     zero there), so after T steps the buffer IS the L^T layout.
+
+    The rank-1 trailing update of step k only has support on rows/cols > k,
+    so each panel restricts it to the static trailing sub-block — ~3x less
+    VMEM traffic than full-matrix updates (the asymptotic T^3 vs T^3/3).
     """
     dma = pltpu.make_async_copy(a_hbm, out_ref, sem)
     dma.start()
     dma.wait()
     t = out_ref.shape[0]
     rows = _row_ids(t)  # (T, 1)
+    pp = _panel_width(t)
 
-    def body(k, _):
-        colraw = out_ref[k]  # (T, B)
-        dval = jnp.sum(jnp.where(rows == k, colraw, 0.0), axis=0)  # (B,)
-        inv = jax.lax.rsqrt(jnp.maximum(dval, 1e-30))
-        col = colraw * inv[None, :]
-        col_l = jnp.where(rows >= k, col, 0.0)
-        col_s = jnp.where(rows > k, col, 0.0)
-        out_ref[k] = col_l
-        # Symmetric rank-1 trailing update; masked so rows/cols <= k untouched.
-        out_ref[...] = out_ref[...] - col_s[:, None, :] * col_s[None, :, :]
-        return 0
+    for pstart in range(0, t, pp):  # static phases, unrolled
 
-    jax.lax.fori_loop(0, t, body, 0)
+        def body(k_local, _, pstart=pstart):
+            k = pstart + k_local
+            colraw = out_ref[k]  # (T, B)
+            dval = jnp.sum(jnp.where(rows == k, colraw, 0.0), axis=0)  # (B,)
+            inv = jax.lax.rsqrt(jnp.maximum(dval, 1e-30))
+            col = colraw * inv[None, :]
+            out_ref[k] = jnp.where(rows >= k, col, 0.0)
+            col_s = jnp.where(rows > k, col, 0.0)[pstart:]
+            # Trailing update restricted to the phase's static sub-block;
+            # masking keeps rows/cols <= k (within the block) untouched.
+            out_ref[pstart:, pstart:, :] = (
+                out_ref[pstart:, pstart:, :]
+                - col_s[:, None, :] * col_s[None, :, :]
+            )
+            return 0
+
+        jax.lax.fori_loop(0, min(pp, t - pstart), body, 0)
 
 
 def _cholesky_batched_tpu(ky_tlb: jnp.ndarray) -> jnp.ndarray:
@@ -303,24 +319,35 @@ def _tri_inv_kernel_streamed(lt_hbm, w_ref, row_buf, sems):
         return pltpu.make_async_copy(lt_hbm.at[j], row_buf.at[slot], sems.at[slot])
 
     get_dma(0, 0).start()
+    pp = _panel_width(t)
 
-    def body(j, _):
-        slot = j % 2
+    for pstart in range(0, t, pp):  # static phases, unrolled
+        pend = min(pstart + pp, t)
 
-        @pl.when(j + 1 < t)
-        def _():
-            get_dma((j + 1) % 2, j + 1).start()
+        def body(j_local, _, pstart=pstart, pend=pend):
+            j = pstart + j_local
+            slot = j % 2
 
-        get_dma(slot, j).wait()
-        lcol = row_buf[slot]  # (T, B): column j of L
-        ljj = jnp.sum(jnp.where(rows == j, lcol, 0.0), axis=0)
-        wj = w_ref[j] / ljj[None, :]
-        w_ref[j] = wj
-        col_s = jnp.where(rows > j, lcol, 0.0)
-        w_ref[...] = w_ref[...] - col_s[:, None, :] * wj[None, :, :]
-        return 0
+            @pl.when(j + 1 < t)
+            def _():
+                get_dma((j + 1) % 2, j + 1).start()
 
-    jax.lax.fori_loop(0, t, body, 0)
+            get_dma(slot, j).wait()
+            lcol = row_buf[slot]  # (T, B): column j of L
+            ljj = jnp.sum(jnp.where(rows == j, lcol, 0.0), axis=0)
+            wj = w_ref[j] / ljj[None, :]
+            w_ref[j] = wj
+            col_s = jnp.where(rows > j, lcol, 0.0)[pstart:]
+            # W row j is lower triangular: columns > j are zero, so the
+            # update has support only on rows > j (>= pstart) and columns
+            # <= j (< pend) — restrict to the static sub-block.
+            w_ref[pstart:, :pend, :] = (
+                w_ref[pstart:, :pend, :]
+                - col_s[:, None, :] * wj[:pend][None, :, :]
+            )
+            return 0
+
+        jax.lax.fori_loop(0, pend - pstart, body, 0)
 
 
 def _tri_inv_streamed_tpu(lt: jnp.ndarray) -> jnp.ndarray:
