@@ -1,0 +1,74 @@
+"""Coverage for weighting branches: spatial similarity mode, compat flags,
+standardisation knobs, GPDTW1D-driven PMT."""
+
+import numpy as np
+import pytest
+
+import bayesian_ensembling_tpu as bet
+from bayesian_ensembling_tpu.data import ModelCollection, ProcessModel
+from bayesian_ensembling_tpu.models.gp_3d import GPDTW3D
+from bayesian_ensembling_tpu.models.mean_field import MeanField
+
+from test_data import make_collection, make_da
+from test_gp3d import make_gridded
+from test_weights import setup_fitted
+
+
+def test_similarity_spatial_mode(rng):
+    models = []
+    for i in range(3):
+        pm = make_gridded(rng, r=2, t=6, la=2, lo=3)
+        models.append(ProcessModel(pm.data, f"m{i}"))
+    mc = ModelCollection(models)
+    mc.fit(MeanField(dtype=np.float64))
+    w = bet.ModelSimilarityWeight()(mc, mode="spatial")
+    assert w.dims == ("model", "latitude", "longitude")
+    assert w.shape == (3, 2, 3)
+    np.testing.assert_allclose(w.values.sum(axis=0), 1.0, rtol=1e-6)
+
+
+def test_similarity_bad_mode(rng):
+    mc, _ = setup_fitted(rng)
+    with pytest.raises(ValueError, match="single"):
+        bet.ModelSimilarityWeight()(mc, mode="bogus")
+
+
+def test_crps_ksd_compat_variance_as_scale(rng):
+    mc, obs = setup_fitted(rng, n_models=2)
+    for W in (bet.CRPSWeight, bet.KSDWeight):
+        w_fix = W()(mc, obs)
+        w_compat = W()(mc, obs, compat_variance_as_scale=True)
+        np.testing.assert_allclose(w_fix.values.sum(axis=0), 1.0, rtol=1e-6)
+        np.testing.assert_allclose(w_compat.values.sum(axis=0), 1.0, rtol=1e-6)
+        # The quirk changes the scores, so the weights must differ.
+        assert not np.allclose(w_fix.values, w_compat.values)
+
+
+def test_loglik_standardisation_constant(rng):
+    import jax.numpy as jnp
+
+    mc, obs = setup_fitted(rng, n_models=3)
+    w1 = bet.LogLikelihoodWeight()(mc, obs, standardisation_constant=1.0)
+    w2 = bet.LogLikelihoodWeight()(mc, obs, standardisation_constant=0.1)
+    np.testing.assert_allclose(w2.values.sum(axis=0), 1.0, rtol=1e-6)
+    # Weaker constant flattens the weights toward uniform.
+    spread1 = w1.values.std(axis=0).mean()
+    spread2 = w2.values.std(axis=0).mean()
+    assert spread2 < spread1
+
+
+def test_pmt_with_gpdtw1d(rng, tmp_path):
+    hind = make_collection(rng, n_models=3, n_reals=(2,), n_months=14)
+    fore = make_collection(rng, n_models=3, n_reals=(2,), n_months=14)
+    pmt = bet.PerfectModelTest(
+        hindcast_models=hind,
+        forecast_models=fore,
+        emulate_method=lambda: bet.GPDTW1D(dtype=np.float64),
+        weight_method=bet.CRPSWeight,
+        ensemble_method=bet.Barycentre,
+        ssp="gp",
+        save_dir=None,
+    )
+    df = pmt.run(n_optim_nits=5)
+    assert len(df) == 3
+    assert np.isfinite(df.iloc[:, 1:].to_numpy(dtype=float)).all()
