@@ -122,10 +122,19 @@ def dtw_pairwise_sq(series: jnp.ndarray, mask: tp.Optional[jnp.ndarray] = None) 
     """All-pairs squared-DTW matrix over a stack of series ``(R, T)``.
 
     Padded rows (mask False) get +inf rows/columns so they never win the
-    medoid argmin.
+    medoid argmin.  On TPU the R^2 alignment problems run through the fused
+    Pallas wavefront kernel (ops/dtw_pallas.py) instead of a vmapped scan.
     """
-    f = jax.vmap(jax.vmap(squared_dtw, in_axes=(None, 0)), in_axes=(0, None))
-    d = f(series, series)
+    r, t = series.shape
+    if jax.default_backend() == "tpu":
+        from bayesian_ensembling_tpu.ops.dtw_pallas import squared_dtw_cost_batch
+
+        centers = jnp.repeat(series, r, axis=0)  # (R*R, T): i varies slowly
+        others = jnp.tile(series, (r, 1))
+        d = squared_dtw_cost_batch(centers, others).reshape(r, r)
+    else:
+        f = jax.vmap(jax.vmap(squared_dtw, in_axes=(None, 0)), in_axes=(0, None))
+        d = f(series, series)
     if mask is not None:
         valid = mask[:, None] & mask[None, :]
         d = jnp.where(valid, d, _BIG)

@@ -147,6 +147,9 @@ class LogLikelihoodWeight(AbstractWeight):
         weights = _normalise_over_models(np.asarray(standardised))
         out = _wrap(process_models, weights, "Log-likelihood weights")
         if return_lls:
+            # The *raw* log-likelihoods, as the reference's docstring promises
+            # (its code actually returns the standardised values,
+            # weights.py:107-129 — we follow the documented intent).
             return out, _wrap(process_models, np.asarray(lls_mean), "Log-likelihoods")
         return out
 

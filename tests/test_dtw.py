@@ -142,3 +142,30 @@ def test_dba_reduces_alignment_cost(rng):
     cost0 = sum(oracle_sq_dtw(center0, s) for s in series)
     cost1 = sum(oracle_sq_dtw(center, s) for s in series)
     assert cost1 <= cost0 + 1e-9
+
+
+def test_pallas_dtw_cost_batch_interpret(rng, monkeypatch):
+    """Fused Pallas wavefront kernel vs the scan implementation."""
+    from bayesian_ensembling_tpu.ops import dtw_pallas
+
+    monkeypatch.setattr(dtw_pallas, "INTERPRET", True)
+    n, t = 7, 21
+    centers = rng.normal(size=(n, t)).astype(np.float32)
+    series = rng.normal(size=(n, t)).astype(np.float32)
+    got = np.asarray(dtw_pallas.squared_dtw_cost_batch(centers, series, lanes=128))
+    for i in range(n):
+        want = float(dtw_ops.squared_dtw(centers[i], series[i]))
+        np.testing.assert_allclose(got[i], want, rtol=1e-5)
+
+
+def test_pallas_dtw_multi_chunk_interpret(rng, monkeypatch):
+    from bayesian_ensembling_tpu.ops import dtw_pallas
+
+    monkeypatch.setattr(dtw_pallas, "INTERPRET", True)
+    n, t = 260, 12  # forces >1 grid chunk at lanes=128
+    centers = rng.normal(size=(n, t)).astype(np.float32)
+    series = rng.normal(size=(n, t)).astype(np.float32)
+    got = np.asarray(dtw_pallas.squared_dtw_cost_batch(centers, series, lanes=128))
+    for i in (0, 129, 259):
+        want = float(dtw_ops.squared_dtw(centers[i], series[i]))
+        np.testing.assert_allclose(got[i], want, rtol=1e-5)
