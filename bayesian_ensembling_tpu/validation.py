@@ -24,8 +24,7 @@ import typing as tp
 import numpy as np
 
 from bayesian_ensembling_tpu import metrics
-from bayesian_ensembling_tpu.data import ModelCollection, Posterior, ProcessModel
-from bayesian_ensembling_tpu.ops.distributions import DiagGaussian
+from bayesian_ensembling_tpu.data import ModelCollection, ProcessModel
 from bayesian_ensembling_tpu.schemes import MultiModelMean
 from bayesian_ensembling_tpu.weights import ModelSimilarityWeight
 
