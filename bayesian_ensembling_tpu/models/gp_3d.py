@@ -178,13 +178,17 @@ class GPDTW3D:
                 np.dtype(self.dtype)
             )
 
+            # The reference runs n_optim_nits "epochs" of N//minibatch steps
+            # (models.py:393); mirror those knob semantics.
+            n_points = x.shape[0]
+            total_steps = n_optim_nits * max(n_points // minibatch_size, 1)
             mean_f, var_f = svgp_ops.fit_predict_svgp(
                 jnp.asarray(x),
                 jnp.asarray(y_mean_f.astype(np.dtype(self.dtype))),
                 jnp.asarray(y_var_f.astype(np.dtype(self.dtype))),
                 n_inducing=n_inducing,
-                minibatch_size=minibatch_size,
-                n_optim_nits=n_optim_nits,
+                minibatch_size=min(minibatch_size, n_points),
+                n_optim_nits=total_steps,
                 learning_rate=learning_rate,
             )
             var_out = np.asarray(var_f) + y_var_f  # add DTW variance (models.py:411)
