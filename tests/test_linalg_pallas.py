@@ -141,3 +141,28 @@ def test_lane_chunked_cholesky_and_solves(rng, interp, monkeypatch):
         want_a = np.linalg.solve(k[i].astype(np.float64), y[i])
         np.testing.assert_allclose(alpha[:, i], want_a, rtol=5e-3, atol=5e-4)
     assert np.asarray(logdet).shape == (b,)
+
+
+def test_cholesky_solve_fused_interpret(rng, interp):
+    b, t = 3, 14  # non-8-aligned T exercises the unit-diagonal padding
+    k = make_spd(rng, b, t)
+    y = rng.normal(size=(b, t)).astype(np.float32)
+    lt, z, alpha, logdet = lp.cholesky_solve_fused(
+        jnp.asarray(k.transpose(1, 2, 0)), jnp.asarray(y.T)
+    )
+    k64 = k.astype(np.float64)
+    for i in range(b):
+        l = np.linalg.cholesky(k64[i])
+        np.testing.assert_allclose(
+            np.asarray(lt)[:, :, i].T, l, rtol=2e-3, atol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(z)[:, i], np.linalg.solve(l, y[i]), rtol=2e-3, atol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(alpha)[:, i], np.linalg.solve(k64[i], y[i]),
+            rtol=2e-3, atol=2e-4,
+        )
+        np.testing.assert_allclose(
+            float(logdet[i]), np.linalg.slogdet(k64[i])[1], rtol=1e-4
+        )
