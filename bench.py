@@ -105,17 +105,30 @@ def main():
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "benchmarks", "cpu_baseline.json")
     vs = None
+    parity = None
     if os.path.exists(baseline_path):
         with open(baseline_path) as f:
             cpu = json.load(f)
         if cpu.get("n_optim_nits") == N_ITERS:
             vs = cpu["total_seconds"] / elapsed
+            # Parity gate vs the float64 CPU anchor: the 2100 warming mean of
+            # every scenario must agree (the speedup must not change answers).
+            diffs = []
+            for i, (ssp, _, _) in enumerate(scenarios):
+                rec = cpu["scenarios"].get(ssp)
+                if rec:
+                    diffs.append(abs(float(np.asarray(bmean[i])[-1]) - rec["warming_2100"][0]))
+            if diffs:
+                parity = max(diffs)
+                assert parity < 0.05, f"TPU/CPU warming divergence {parity:.4f} degC"
+                log(f"parity vs CPU float64 anchor: max 2100-warming diff {parity:.5f} degC")
 
     print(json.dumps({
         "metric": "gmst_full_experiment_7ssp_fit2000_weight_barycentre",
         "value": round(elapsed, 3),
         "unit": "s",
         "vs_baseline": round(vs, 2) if vs else None,
+        "parity_2100_max_diff_degC": round(parity, 5) if parity is not None else None,
     }))
 
 
