@@ -1,5 +1,7 @@
 """Pure-JAX compute kernels: the TPU-hot layer of the framework."""
 
+from bayesian_ensembling_tpu.ops import dtw_pallas, linalg_pallas, svgp
+
 from bayesian_ensembling_tpu.ops.distributions import DiagGaussian, FullCovGaussian
 from bayesian_ensembling_tpu.ops.dtw import (
     dba,
@@ -36,6 +38,9 @@ from bayesian_ensembling_tpu.ops.wasserstein import (
 )
 
 __all__ = [
+    "dtw_pallas",
+    "linalg_pallas",
+    "svgp",
     "DiagGaussian",
     "FullCovGaussian",
     "dba",
