@@ -141,6 +141,35 @@ def run_scenario(
     return ScenarioResult(ssp_name, w_fore, barycentre, t_fit, total)
 
 
+def run_gridded_scenario(
+    collection: ModelCollection,
+    observations: ProcessModel,
+    weighter: tp.Optional[tp.Any] = None,
+    emulator: tp.Optional[tp.Any] = None,
+    n_optim_nits: int = 500,
+    dba_iterations: int = 10,
+) -> tp.Tuple[tp.Any, Posterior]:
+    """Gridded fit -> weight -> combine (the GPDTW3D capability end-to-end).
+
+    Every (model, cell) pair is emulated as an independent DBA + exact GP
+    (models/gp_3d.py batched mode; shardable over a cells mesh via
+    parallel/gridded.py), weighted per point against gridded observations,
+    and combined with the per-point W2 barycentre.  Returns
+    (weights DimArray, barycentre Posterior).
+    """
+    from bayesian_ensembling_tpu.models.gp_3d import GPDTW3D
+    from bayesian_ensembling_tpu.schemes import Barycentre
+
+    weighter = weighter or CRPSWeight()
+    emulator = emulator or GPDTW3D()
+    collection.fit(
+        emulator, n_optim_nits=n_optim_nits, dba_iterations=dba_iterations
+    )
+    weights = weighter(collection, observations)
+    bary = Barycentre()(collection, weights)
+    return weights, bary
+
+
 def warming_summary(result: ScenarioResult, years=(2050, 2100)) -> tp.Dict[int, tp.Tuple[float, float, float]]:
     """Mean and 95% credible interval of warming at selected years
     (script :146-214 prints these per SSP)."""

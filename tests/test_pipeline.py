@@ -86,3 +86,30 @@ def test_multi_scenario_step_matches_single(rng):
         np.testing.assert_allclose(
             np.asarray(multi[2][i]), np.asarray(single[2]), rtol=1e-8
         )
+
+
+def test_run_gridded_scenario_end_to_end(rng):
+    """GPDTW3D + per-point weighting + barycentre over a synthetic grid."""
+    import numpy as np
+
+    from bayesian_ensembling_tpu.data import ModelCollection, ProcessModel
+    from bayesian_ensembling_tpu.models.gp_3d import GPDTW3D
+    from test_gp3d import make_gridded
+
+    models = []
+    for i in range(3):
+        pm = make_gridded(rng, r=2, t=8, la=2, lo=3)
+        models.append(ProcessModel(pm.data, f"m{i}"))
+    mc = ModelCollection(models)
+    obs = make_gridded(rng, r=4, t=8, la=2, lo=3)
+
+    weights, bary = pipeline.run_gridded_scenario(
+        mc, obs,
+        emulator=GPDTW3D(dtype=np.float64),
+        n_optim_nits=10, dba_iterations=2,
+    )
+    assert weights.dims == ("model", "time", "latitude", "longitude")
+    np.testing.assert_allclose(weights.values.sum(axis=0), 1.0, rtol=1e-6)
+    assert bary.mean.dims == ("time", "latitude", "longitude")
+    assert np.isfinite(bary.mean.values).all()
+    assert (bary.variance.values > 0).all()
