@@ -37,7 +37,9 @@ __all__ = ["GPDTW1D", "emulate_batch"]
 
 @functools.partial(
     jax.jit,
-    static_argnames=("kernel_name", "n_optim_nits", "learning_rate", "dba_iterations"),
+    static_argnames=(
+        "kernel_name", "n_optim_nits", "learning_rate", "dba_iterations", "optimizer"
+    ),
 )
 def emulate_batch(
     block: jnp.ndarray,  # (M, R, T) zero-padded realisations
@@ -47,6 +49,7 @@ def emulate_batch(
     learning_rate: float = 0.01,
     dba_iterations: int = 10,
     jitter: float = 1e-6,
+    optimizer: str = "adam",
 ):
     """Fit every model's emulator in one compiled XLA program.
 
@@ -85,6 +88,7 @@ def emulate_batch(
         n_optim_nits=n_optim_nits,
         learning_rate=learning_rate,
         jitter=jitter,
+        optimizer=optimizer,
     )
 
     # (f) exact posterior + noise diagonal.
@@ -114,6 +118,7 @@ class GPDTW1D:
         n_optim_nits: int = 500,
         learning_rate: float = 0.01,
         dba_iterations: int = 10,
+        optimizer: str = "adam",
         **_: tp.Any,
     ) -> tp.List[Posterior]:
         if collection[0].ndim > 2:
@@ -129,6 +134,7 @@ class GPDTW1D:
             n_optim_nits=n_optim_nits,
             learning_rate=learning_rate,
             dba_iterations=dba_iterations,
+            optimizer=optimizer,
         )
         posts = []
         for i, pm in enumerate(collection):

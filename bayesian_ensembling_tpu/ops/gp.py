@@ -293,7 +293,8 @@ def fit_gp(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("kernel_name", "n_optim_nits", "learning_rate")
+    jax.jit,
+    static_argnames=("kernel_name", "n_optim_nits", "learning_rate", "optimizer"),
 )
 def fit_gp_batch(
     x: jnp.ndarray,
@@ -303,6 +304,7 @@ def fit_gp_batch(
     n_optim_nits: int = 500,
     learning_rate: float = 0.01,
     jitter: float = 1e-6,
+    optimizer: str = "adam",
 ):
     """Fit a batch of independent GPs — one per climate model — in a single
     compiled program.
@@ -318,6 +320,11 @@ def fit_gp_batch(
       x: ``(M, T, D)`` padded feature matrices (D = max realisations; padding
         columns are constant per model and thus distance-neutral).
       y: ``(M, T)`` DBA means.  noise_var: ``(M, T)`` known noise.
+      optimizer: ``"adam"`` (reference-faithful, models.py:192) or
+        ``"lbfgs"`` — optax L-BFGS with zoom linesearch, which typically
+        converges in ~10x fewer steps.  The linesearch step size is shared
+        across the batch (the summed objective is separable so the optimum
+        is unchanged; only the trajectory couples).
 
     Returns:
       (params with leading M axis, losses ``(M, n_optim_nits)``).
@@ -340,15 +347,39 @@ def fit_gp_batch(
         return jnp.sum(v), v
 
     params = jax.vmap(lambda _: init_params(dtype=y.dtype))(jnp.arange(m))
-    opt = optax.adam(learning_rate)
-    opt_state = opt.init(params)
 
-    def step(carry, _):
-        params, opt_state = carry
-        (_, per_model), grads = jax.value_and_grad(total, has_aux=True)(params)
-        updates, opt_state = opt.update(grads, opt_state)
-        params = optax.apply_updates(params, updates)
-        return (params, opt_state), per_model
+    if optimizer == "adam":
+        opt = optax.adam(learning_rate)
+        opt_state = opt.init(params)
+
+        def step(carry, _):
+            params, opt_state = carry
+            (_, per_model), grads = jax.value_and_grad(total, has_aux=True)(params)
+            updates, opt_state = opt.update(grads, opt_state)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), per_model
+
+    elif optimizer == "lbfgs":
+        opt = optax.lbfgs()
+        opt_state = opt.init(params)
+
+        def total_scalar(params_b):
+            return total(params_b)[0]
+
+        value_and_grad = optax.value_and_grad_from_state(total_scalar)
+
+        def step(carry, _):
+            params, opt_state = carry
+            value, grads = value_and_grad(params, state=opt_state)
+            updates, opt_state = opt.update(
+                grads, opt_state, params,
+                value=value, grad=grads, value_fn=total_scalar,
+            )
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), nlml_vec(params)
+
+    else:
+        raise ValueError(f"unknown optimizer {optimizer!r}")
 
     (params, _), losses = jax.lax.scan(
         step, (params, opt_state), None, length=n_optim_nits

@@ -42,6 +42,7 @@ def emulate_marginals(
     learning_rate: float = 0.01,
     dba_iterations: int = 10,
     jitter: float = 1e-6,
+    optimizer: str = "adam",
 ) -> tp.Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched GPDTW1D emulation returning posterior marginals (M, T) x2.
 
@@ -71,6 +72,7 @@ def emulate_marginals(
         n_optim_nits=n_optim_nits,
         learning_rate=learning_rate,
         jitter=jitter,
+        optimizer=optimizer,
     )
 
     mean, var = gp_ops.posterior_marginals_batch(

@@ -94,3 +94,20 @@ def test_padding_columns_distance_neutral(rng):
     k1 = np.asarray(gp.matern32(params, jnp.asarray(x), jnp.asarray(x)))
     k2 = np.asarray(gp.matern32(params, jnp.asarray(x_pad), jnp.asarray(x_pad)))
     np.testing.assert_allclose(k1, k2, rtol=1e-10)
+
+
+def test_fit_gp_batch_lbfgs_converges_faster(rng):
+    """LBFGS reaches (at least) Adam-500's NLML in far fewer steps."""
+    xs, ys, noises = [], [], []
+    for _ in range(3):
+        x, y, noise = make_problem(rng, t=24, d=3)
+        xs.append(x), ys.append(y), noises.append(noise)
+    xb = jnp.asarray(np.stack(xs))
+    yb = jnp.asarray(np.stack(ys))
+    nb = jnp.asarray(np.stack(noises))
+    _, adam_losses = gp.fit_gp_batch(xb, yb, nb, n_optim_nits=500)
+    _, lbfgs_losses = gp.fit_gp_batch(xb, yb, nb, n_optim_nits=40, optimizer="lbfgs")
+    adam_final = np.asarray(adam_losses)[:, -1]
+    lbfgs_final = np.asarray(lbfgs_losses)[:, -1]
+    assert np.isfinite(lbfgs_final).all()
+    assert (lbfgs_final <= adam_final + 0.5).all(), (lbfgs_final, adam_final)
