@@ -1,0 +1,14 @@
+"""The quickstart example must run end-to-end (tiny shapes, CPU)."""
+
+import os
+import runpy
+import sys
+
+
+def test_quickstart_runs(capsys):
+    path = os.path.join(os.path.dirname(__file__), "..", "examples", "quickstart.py")
+    sys.argv = ["quickstart"]
+    runpy.run_path(path, run_name="__main__")
+    out = capsys.readouterr().out
+    assert "ensemble mean at final year" in out
+    assert "NLL vs obs" in out
