@@ -14,7 +14,7 @@ TPU paths default to float32; the float64 CPU oracle is opt-in via
 ``jax.config.update("jax_enable_x64", True)`` in the caller or test harness.
 """
 
-from bayesian_ensembling_tpu import metrics, ops, pipeline, plotters
+from bayesian_ensembling_tpu import metrics, ops, pipeline
 from bayesian_ensembling_tpu.coords import DimArray
 from bayesian_ensembling_tpu.data import ModelCollection, Posterior, ProcessModel
 from bayesian_ensembling_tpu.models.gp_3d import GPDTW3D
@@ -38,6 +38,19 @@ from bayesian_ensembling_tpu.weights import (
 )
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name: str):
+    # ``plotters`` pulls in matplotlib; import it lazily so the core library
+    # works in plotting-free installs (ADVICE r1: eager import broke a clean
+    # ``pip install bayesian_ensembling_tpu``).
+    if name == "plotters":
+        import importlib
+
+        module = importlib.import_module("bayesian_ensembling_tpu.plotters")
+        globals()["plotters"] = module
+        return module
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 __all__ = [
     "ops",

@@ -37,6 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from bayesian_ensembling_tpu.data import ModelCollection, Posterior, ProcessModel
+from bayesian_ensembling_tpu.models.base import AbstractEmulator
 from bayesian_ensembling_tpu.ops.distributions import DiagGaussian
 from bayesian_ensembling_tpu.parallel.step import emulate_marginals
 
@@ -80,7 +81,7 @@ def spherical_time_features(
     return feats
 
 
-class GPDTW3D:
+class GPDTW3D(AbstractEmulator):
     """Spatiotemporal DBA + GP emulator (batched-exact or SVGP mode)."""
 
     def __init__(
@@ -90,7 +91,7 @@ class GPDTW3D:
         kernel: str = "matern32",
         dtype=jnp.float32,
     ) -> None:
-        self.name = name
+        super().__init__(name)
         self.mode = mode
         self.kernel = kernel
         self.dtype = dtype
@@ -229,6 +230,3 @@ class GPDTW3D:
                 minibatch_size,
             )
         raise ValueError(f"unknown mode {self.mode!r}")
-
-    def fit(self, model: ProcessModel, **kwargs) -> Posterior:
-        return self.fit_collection(ModelCollection([model]), **kwargs)[0]

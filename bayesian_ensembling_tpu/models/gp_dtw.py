@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from bayesian_ensembling_tpu.data import ModelCollection, Posterior, ProcessModel
+from bayesian_ensembling_tpu.models.base import AbstractEmulator
 from bayesian_ensembling_tpu.ops import dtw as dtw_ops
 from bayesian_ensembling_tpu.ops import gp as gp_ops
 from bayesian_ensembling_tpu.ops.distributions import FullCovGaussian
@@ -99,7 +100,7 @@ def emulate_batch(
     return mean, cov, losses
 
 
-class GPDTW1D:
+class GPDTW1D(AbstractEmulator):
     """DBA-mean heteroskedastic GP emulator for 1-D (realisation, time) data."""
 
     def __init__(
@@ -108,7 +109,7 @@ class GPDTW1D:
         kernel: str = "matern32",
         dtype=jnp.float32,
     ) -> None:
-        self.name = name
+        super().__init__(name)
         self.kernel = kernel
         self.dtype = dtype
 
@@ -141,6 +142,3 @@ class GPDTW1D:
             g = FullCovGaussian(mean=mean[i], cov=cov[i])
             posts.append(Posterior(gaussian=g, template=pm.blank_template()))
         return posts
-
-    def fit(self, model: ProcessModel, **kwargs) -> Posterior:
-        return self.fit_collection(ModelCollection([model]), **kwargs)[0]

@@ -28,6 +28,7 @@ import numpy as np
 import optax
 
 from bayesian_ensembling_tpu.data import ModelCollection, Posterior, ProcessModel
+from bayesian_ensembling_tpu.models.base import AbstractEmulator
 from bayesian_ensembling_tpu.ops.distributions import DiagGaussian
 
 __all__ = ["MeanField", "MeanFieldApproximation"]
@@ -78,11 +79,11 @@ def _masked_moments(block: np.ndarray, mask: np.ndarray):
     return mean, var
 
 
-class MeanField:
+class MeanField(AbstractEmulator):
     """Mean-field Gaussian emulator (reference ``MeanFieldApproximation``)."""
 
     def __init__(self, name: str = "MeanFieldModel", dtype=jnp.float32) -> None:
-        self.name = name
+        super().__init__(name)
         self.dtype = dtype
 
     def fit_collection(
@@ -109,9 +110,6 @@ class MeanField:
             g = DiagGaussian(mean=jnp.asarray(mean[i]), var=jnp.asarray(var[i]))
             posts.append(Posterior(gaussian=g, template=pm.blank_template()))
         return posts
-
-    def fit(self, model: ProcessModel, **kwargs) -> Posterior:
-        return self.fit_collection(ModelCollection([model]), **kwargs)[0]
 
 
 MeanFieldApproximation = MeanField  # reference-familiar alias

@@ -100,7 +100,14 @@ def _chol_kernel(a_hbm, out_ref, sem):
             k = pstart + k_local
             colraw = out_ref[k]  # (T, B)
             dval = jnp.sum(jnp.where(rows == k, colraw, 0.0), axis=0)  # (B,)
-            inv = jax.lax.rsqrt(jnp.maximum(dval, 1e-30))
+            # Non-positive pivot => the lane's matrix is not PD at f32:
+            # propagate NaN so the TPU path fails as loudly as the XLA
+            # fallback would (ADVICE r1: a silent clamp hid failures).
+            inv = jnp.where(
+                dval > 0.0,
+                jax.lax.rsqrt(jnp.maximum(dval, 1e-30)),
+                jnp.asarray(jnp.nan, dval.dtype),
+            )
             col = colraw * inv[None, :]
             out_ref[k] = jnp.where(rows >= k, col, 0.0)
             col_s = jnp.where(rows > k, col, 0.0)[pstart:]
@@ -204,10 +211,14 @@ def _chol_solve_kernel(a_hbm, y_ref, lt_ref, z_ref, alpha_ref, logdet_ref, sem, 
         def body(k_local, _, pstart=pstart):
             k = pstart + k_local
             colraw = lt_ref[k]
-            dval = jnp.maximum(
-                jnp.sum(jnp.where(rows == k, colraw, 0.0), axis=0), 1e-30
+            dval = jnp.sum(jnp.where(rows == k, colraw, 0.0), axis=0)
+            # NaN on non-positive pivots (match the XLA fallback's failure
+            # mode; see _chol_kernel).  log(dval) below is NaN too.
+            inv = jnp.where(
+                dval > 0.0,
+                jax.lax.rsqrt(jnp.maximum(dval, 1e-30)),
+                jnp.asarray(jnp.nan, dval.dtype),
             )
-            inv = jax.lax.rsqrt(dval)
             col = colraw * inv[None, :]
             col_l = jnp.where(rows >= k, col, 0.0)
             lt_ref[k] = col_l

@@ -31,7 +31,7 @@ from bayesian_ensembling_tpu.schemes import Barycentre
 from bayesian_ensembling_tpu.weights import CRPSWeight
 
 __all__ = [
-    "DEFAULT_DATA_DIR",
+    "default_data_dir",
     "ScenarioResult",
     "load_observations",
     "load_scenario",
@@ -39,7 +39,38 @@ __all__ = [
     "warming_summary",
 ]
 
-DEFAULT_DATA_DIR = "/root/reference/experiments/data"
+def default_data_dir() -> str:
+    """Resolve the bundled-CMIP6/HadCRUT5 data directory.
+
+    Priority: ``$BET_DATA_DIR`` > known local snapshots.  The reference ships
+    its data inside the repo (``/root/reference/experiments/data``); this
+    build reads the same netCDF files but must not hard-code an
+    environment-specific path (ADVICE r1).
+    """
+    env = os.environ.get("BET_DATA_DIR")
+    if env:
+        if not os.path.isdir(env):
+            raise FileNotFoundError(
+                f"BET_DATA_DIR={env!r} is not a directory; expected the "
+                "layout of the reference's experiments/data "
+                "(obs/gmst/*.nc and gmst/<scenario>/*.nc)."
+            )
+        return env
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for cand in (
+        os.path.join(here, "experiments", "data"),
+        "/root/reference/experiments/data",
+    ):
+        if os.path.isdir(cand):
+            return cand
+    raise FileNotFoundError(
+        "GMST data directory not found: set BET_DATA_DIR to a directory "
+        "containing obs/gmst/*.nc and gmst/<scenario>/*.nc (layout of the "
+        "reference's experiments/data)."
+    )
+
+
+DEFAULT_DATA_DIR = None  # deprecated sentinel; use default_data_dir()
 ALL_SSPS = ("ssp119", "ssp126", "ssp245", "ssp370", "ssp434", "ssp460", "ssp585")
 
 
@@ -47,8 +78,9 @@ def _model_name(path: str) -> str:
     return "_".join(os.path.basename(path).split("_")[:2])
 
 
-def load_observations(data_dir: str = DEFAULT_DATA_DIR) -> ProcessModel:
+def load_observations(data_dir: tp.Optional[str] = None) -> ProcessModel:
     """HadCRUT5 GMST anomalies, annually resampled (script :20-23)."""
+    data_dir = data_dir or default_data_dir()
     path = os.path.join(data_dir, "obs/gmst/HadCRUT.5.0.1.0.analysis.anomalies_gmst.nc")
     da = netcdf.open_dataarray(path, name="tas")
     from bayesian_ensembling_tpu.coords import DimArray
@@ -61,7 +93,7 @@ def load_observations(data_dir: str = DEFAULT_DATA_DIR) -> ProcessModel:
 
 
 def load_scenario(
-    ssp: str, data_dir: str = DEFAULT_DATA_DIR
+    ssp: str, data_dir: tp.Optional[str] = None
 ) -> tp.Tuple[ModelCollection, ModelCollection]:
     """Load (historical, ssp) anomaly collections for one scenario.
 
@@ -70,6 +102,7 @@ def load_scenario(
     historical anomalies define each model's climatology, which is then
     applied to its SSP run.
     """
+    data_dir = data_dir or default_data_dir()
     hist_files = {
         _model_name(p): p
         for p in sorted(glob.glob(os.path.join(data_dir, "gmst/historical/*.nc")))

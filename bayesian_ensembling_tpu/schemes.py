@@ -48,7 +48,37 @@ class AbstractEnsembleScheme(abc.ABC):
         weights: tp.Optional[DimArray] = None,
         **kwargs,
     ) -> Posterior:
-        return self._compute(process_models, weights, **kwargs)
+        self.posterior = self._compute(process_models, weights, **kwargs)
+        return self.posterior
+
+    def plot(self, ax=None, x=None):
+        """Mean ± 1σ band of the last computed ensemble posterior
+        (capability match for reference ensemble_scheme.py:83-100, which
+        plots ``self.distributions`` after ``__call__``)."""
+        if getattr(self, "posterior", None) is None:
+            raise AttributeError(
+                f"{self.name} has no posterior yet — call the scheme first."
+            )
+        import matplotlib.pyplot as plt
+
+        post = self.posterior
+        if ax is None:
+            _, ax = plt.subplots(figsize=(12, 5))
+        mean = np.asarray(post.gaussian.mean).ravel()
+        std = np.sqrt(np.asarray(post.gaussian.variance)).ravel()
+        if x is None:
+            time = post.template.coords.get("time") if post.template is not None else None
+            x = np.asarray(time) if time is not None else np.arange(mean.size)
+        ax.plot(x, mean, label="Ensemble mean", color="tab:blue")
+        ax.fill_between(
+            x,
+            mean - std,
+            mean + std,
+            label="Ensemble one sigma",
+            color="tab:blue",
+            alpha=0.2,
+        )
+        return ax
 
 
 def _weights_block(collection: ModelCollection, weights: DimArray) -> np.ndarray:

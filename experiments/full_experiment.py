@@ -44,7 +44,7 @@ def main():
     from bayesian_ensembling_tpu.models.gp_dtw import GPDTW1D
     from bayesian_ensembling_tpu.plotters import cmap, plot_posterior_temporal
 
-    data_dir = args.data_dir or pipeline.DEFAULT_DATA_DIR
+    data_dir = args.data_dir or pipeline.default_data_dir()
     ssps = args.ssps.split(",") if args.ssps else list(pipeline.ALL_SSPS)
     os.makedirs(args.out_dir, exist_ok=True)
 

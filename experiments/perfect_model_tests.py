@@ -37,7 +37,7 @@ def main():
     from bayesian_ensembling_tpu.models.gp_dtw import GPDTW1D
     from bayesian_ensembling_tpu.validation import PerfectModelTest, load_model_collection
 
-    data_dir = args.data_dir or pipeline.DEFAULT_DATA_DIR
+    data_dir = args.data_dir or pipeline.default_data_dir()
 
     for ssp in args.ssps.split(","):
         if args.prefit_dir:

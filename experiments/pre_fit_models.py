@@ -31,7 +31,7 @@ def main():
     from bayesian_ensembling_tpu import pipeline
     from bayesian_ensembling_tpu.models.gp_dtw import GPDTW1D
 
-    data_dir = args.data_dir or pipeline.DEFAULT_DATA_DIR
+    data_dir = args.data_dir or pipeline.default_data_dir()
     os.makedirs(args.out_dir, exist_ok=True)
 
     for ssp in args.ssps.split(","):

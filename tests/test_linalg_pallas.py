@@ -166,3 +166,30 @@ def test_cholesky_solve_fused_interpret(rng, interp):
         np.testing.assert_allclose(
             float(logdet[i]), np.linalg.slogdet(k64[i])[1], rtol=1e-4
         )
+
+
+def test_cholesky_nan_on_non_pd(rng, interp):
+    """Non-PD lanes must factor to NaN, matching the XLA fallback's failure
+    mode (ADVICE r1: the old clamp silently produced wrong factors)."""
+    b, t = 4, 16
+    k = make_spd(rng, b, t)
+    k[2] -= 10 * t * np.eye(t, dtype=k.dtype)  # drive lane 2 indefinite
+    lt = np.asarray(lp.cholesky_batched(jnp.asarray(k.transpose(1, 2, 0))))
+    l = lt.transpose(2, 1, 0)
+    assert np.isnan(l[2]).any()
+    # Healthy lanes stay exact.
+    want = np.linalg.cholesky(k[[0, 1, 3]].astype(np.float64))
+    np.testing.assert_allclose(l[[0, 1, 3]], want, rtol=2e-4, atol=2e-4)
+
+
+def test_fused_solve_nan_on_non_pd(rng, interp):
+    b, t = 3, 16
+    k = make_spd(rng, b, t)
+    k[1] -= 10 * t * np.eye(t, dtype=k.dtype)
+    y = rng.normal(size=(b, t)).astype(np.float32)
+    _, _, alpha, logdet = lp.cholesky_solve_fused(
+        jnp.asarray(k.transpose(1, 2, 0)), jnp.asarray(y.T)
+    )
+    assert np.isnan(np.asarray(logdet)[1])
+    assert np.isnan(np.asarray(alpha)[:, 1]).any()
+    assert np.isfinite(np.asarray(logdet)[[0, 2]]).all()

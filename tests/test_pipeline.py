@@ -7,9 +7,15 @@ import pytest
 
 from bayesian_ensembling_tpu import pipeline
 
-needs_data = pytest.mark.skipif(
-    not os.path.exists(pipeline.DEFAULT_DATA_DIR), reason="reference data absent"
-)
+def _has_data() -> bool:
+    try:
+        pipeline.default_data_dir()
+        return True
+    except FileNotFoundError:
+        return False
+
+
+needs_data = pytest.mark.skipif(not _has_data(), reason="reference data absent")
 
 
 @needs_data

@@ -95,3 +95,16 @@ def test_scheme_posterior_template(rng):
     post = bet.MultiModelMean()(mc)
     assert post.mean.dims == ("time",)
     assert post.mean.shape == (12,)
+
+
+def test_scheme_plot_helper(rng):
+    # Scheme-level mean±sigma plot (reference ensemble_scheme.py:83-100).
+    mc = fitted_collection(rng)
+    scheme = bet.Barycentre()
+    with pytest.raises(AttributeError):
+        scheme.plot()
+    w = bet.UniformWeight()(mc)
+    scheme(mc, w)
+    ax = scheme.plot()
+    assert len(ax.lines) == 1
+    assert len(ax.collections) == 1  # the fill_between band
