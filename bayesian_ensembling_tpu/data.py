@@ -217,8 +217,10 @@ class ProcessModel:
 
         Matches reference semantics (data.py:225-261): the climatology is the
         per-month mean over the window and realisations; if a precomputed
-        12-month climatology is given it is used instead; ``resample_freq='Y'``
-        takes yearly means afterwards.
+        12-month climatology is given it is used instead; ``resample_freq``
+        then takes period means at any supported pandas-style calendar
+        frequency ('M', 'Q', 'Y' and their aliases — reference data.py:255-257
+        accepts arbitrary pandas frequencies).
         """
         vals = self.data.values
         time = self.time
@@ -231,9 +233,9 @@ class ProcessModel:
         anom = timeutils.apply_climatology(vals, time, clim)
         new_time = time
         if resample_freq:
-            if resample_freq not in ("Y", "YE", "A"):
-                raise NotImplementedError(f"resample_freq={resample_freq!r}")
-            anom, new_time = timeutils.annual_mean(anom, time, time_axis=1)
+            anom, new_time = timeutils.resample_mean(
+                anom, time, resample_freq, time_axis=1
+            )
         coords = dict(self.data.coords)
         coords["time"] = new_time
         da = DimArray(anom, self.data.dims, coords, name=self.data.name)

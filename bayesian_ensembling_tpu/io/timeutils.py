@@ -21,6 +21,7 @@ __all__ = [
     "monthly_climatology",
     "apply_climatology",
     "annual_mean",
+    "resample_mean",
 ]
 
 _UNIT_NS = {
@@ -105,17 +106,59 @@ def apply_climatology(data: np.ndarray, time: np.ndarray, clim: np.ndarray) -> n
 
 
 def annual_mean(data: np.ndarray, time: np.ndarray, time_axis: int = 1):
-    """Yearly mean along the time axis (``resample(time='Y').mean()``).
+    """Yearly mean along the time axis (``resample(time='Y').mean()``)."""
+    return resample_mean(data, time, "Y", time_axis=time_axis)
 
-    Returns (resampled_data, year_end_times) where the new time coordinate is
-    the end of each year, matching pandas' 'Y' resampling convention.
+
+# pandas-style frequency aliases -> canonical period kind
+_FREQ_ALIASES = {
+    "M": "M", "ME": "M", "1M": "M",
+    "Q": "Q", "QE": "Q", "1Q": "Q",
+    "Y": "Y", "YE": "Y", "A": "Y", "1Y": "Y", "AS": "Y", "YS": "Y",
+}
+
+
+def _month_end(year: int, month: int) -> np.datetime64:
+    """Last day of (year, month) as datetime64[ns]."""
+    m0 = np.datetime64(f"{year}-{month:02d}", "M")
+    return (m0 + 1).astype("datetime64[D]") - np.timedelta64(1, "D")
+
+
+def resample_mean(
+    data: np.ndarray, time: np.ndarray, freq: str, time_axis: int = 1
+):
+    """Downsample-by-mean along the time axis at a pandas-style frequency.
+
+    Capability match for the reference's arbitrary ``resample(time=freq)``
+    (``/root/reference/ensembles/data.py:255-257``) for the calendar
+    frequencies climate workflows use: monthly ('M'/'ME'), quarterly
+    ('Q'/'QE', calendar quarters Jan-Mar...), annual ('Y'/'YE'/'A').  Labels
+    are period-end dates, matching pandas' end-anchored conventions.
+
+    Returns (resampled_data, new_time); groups appear in chronological order.
     """
+    kind = _FREQ_ALIASES.get(str(freq).upper())
+    if kind is None:
+        raise NotImplementedError(
+            f"resample_freq={freq!r} unsupported; use one of "
+            f"{sorted(set(_FREQ_ALIASES))}"
+        )
     years = years_of(time)
-    uniq = np.unique(years)
-    pieces = []
-    for y in uniq:
-        sel = np.nonzero(years == y)[0]
-        pieces.append(np.take(data, sel, axis=time_axis).mean(axis=time_axis))
+    months = months_of(time)
+    if kind == "M":
+        keys = years * 12 + (months - 1)
+        label = lambda k: _month_end(k // 12, k % 12 + 1)
+    elif kind == "Q":
+        keys = years * 4 + (months - 1) // 3
+        label = lambda k: _month_end(k // 4, (k % 4) * 3 + 3)
+    else:  # Y
+        keys = years
+        label = lambda k: np.datetime64(f"{k}-12-31", "D")
+    uniq = np.unique(keys)
+    pieces = [
+        np.take(data, np.nonzero(keys == k)[0], axis=time_axis).mean(axis=time_axis)
+        for k in uniq
+    ]
     out = np.stack(pieces, axis=time_axis)
-    new_time = np.array([np.datetime64(f"{y}-12-31", "ns") for y in uniq])
+    new_time = np.array([label(int(k)) for k in uniq], dtype="datetime64[ns]")
     return out, new_time

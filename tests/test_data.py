@@ -154,3 +154,24 @@ def test_posterior_reshape_and_moments(rng):
 
     s = post.sample(jax.random.PRNGKey(0))
     assert s.shape == (n,)
+
+
+@pytest.mark.parametrize("freq,n_out", [("M", 36), ("Q", 12), ("Y", 3)])
+def test_anomaly_resample_frequencies(rng, freq, n_out):
+    # VERDICT r1 gap: reference accepts arbitrary pandas resample frequencies
+    # (data.py:255-257); at least M/Q/Y must work here.
+    da = make_da(rng, n_months=36, start="1961-01")
+    pm = ProcessModel(da, "m")
+    anom = pm.calculate_anomaly(
+        climatology_dates=("1961-01-01", "1963-12-31"), resample_freq=freq
+    )
+    assert anom.data.sizes()["time"] == n_out
+    if freq == "M":
+        # Monthly resampling of monthly data is the identity on values.
+        raw = pm.calculate_anomaly(climatology_dates=("1961-01-01", "1963-12-31"))
+        np.testing.assert_allclose(anom.data.values, raw.data.values)
+    if freq == "Q":
+        raw = pm.calculate_anomaly(climatology_dates=("1961-01-01", "1963-12-31"))
+        np.testing.assert_allclose(
+            anom.data.values[:, 0], raw.data.values[:, :3].mean(axis=1)
+        )

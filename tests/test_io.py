@@ -70,3 +70,26 @@ def test_open_model_file():
     assert da.name == "CanESM5-p1"
     years = timeutils.years_of(da.time)
     assert years[0] == 1850 and years[-1] == 2014
+
+
+def test_resample_mean_monthly_quarterly_annual_vs_pandas(rng):
+    """resample_mean matches pandas resample().mean() for M/Q/Y (reference
+    calculate_anomaly passes arbitrary pandas freqs, data.py:255-257)."""
+    import pandas as pd
+
+    n = 40  # deliberately not a multiple of 12: ragged final periods
+    months = np.datetime64("1961-01", "M") + np.arange(n)
+    time = months.astype("datetime64[ns]") + np.timedelta64(14, "D")
+    data = rng.normal(size=(3, n))
+    for freq, pfreq in [("M", "ME"), ("Q", "QE"), ("Y", "YE"), ("ME", "ME"), ("A", "YE")]:
+        out, new_time = timeutils.resample_mean(data, time, freq)
+        df = pd.DataFrame(data.T, index=pd.DatetimeIndex(time))
+        want = df.resample(pfreq).mean()
+        np.testing.assert_allclose(out, want.values.T, rtol=1e-12)
+        np.testing.assert_array_equal(new_time, want.index.values.astype("datetime64[ns]"))
+
+
+def test_resample_mean_unsupported_freq():
+    time = np.array(["2000-01-31"], dtype="datetime64[ns]")
+    with pytest.raises(NotImplementedError):
+        timeutils.resample_mean(np.zeros((1, 1)), time, "W")
