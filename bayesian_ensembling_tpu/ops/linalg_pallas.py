@@ -28,6 +28,8 @@ compare the two paths bit-closely).
 
 from __future__ import annotations
 
+import typing as tp
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -42,6 +44,7 @@ __all__ = [
     "solve_vec_batched",
     "tri_inv_batched",
     "nlml_terms",
+    "linalg_path",
 ]
 
 
@@ -179,7 +182,7 @@ def cholesky_batched(ky_tlb: jnp.ndarray) -> jnp.ndarray:
     Returns:
       ``(T, T, B)`` where row k holds column k of L (the L^T layout).
     """
-    if jax.default_backend() == "tpu" or INTERPRET:
+    if linalg_path(ky_tlb.shape[0]) == "pallas":
         return _chunk_lanes(_cholesky_batched_tpu, ky_tlb, ky_tlb.shape[0])
     ky = jnp.transpose(ky_tlb, (2, 0, 1))
     l = jnp.linalg.cholesky(ky)
@@ -290,7 +293,7 @@ def cholesky_solve_fused(ky_tlb: jnp.ndarray, y_tb: jnp.ndarray):
     TPU: single fused Pallas kernel (lane-chunked for large batches).
     Elsewhere: composed from cholesky_batched + solve_vec_batched.
     """
-    if jax.default_backend() == "tpu" or INTERPRET:
+    if linalg_path(ky_tlb.shape[0]) == "pallas":
         t = ky_tlb.shape[0]
         b = ky_tlb.shape[-1]
         chunk = _max_lanes(t)
@@ -404,7 +407,7 @@ def solve_vec_batched(lt: jnp.ndarray, y_tb: jnp.ndarray):
     Returns:
       (z ``(T, B)``, alpha ``(T, B)``, logdet ``(B,)``).
     """
-    if jax.default_backend() == "tpu" or INTERPRET:
+    if linalg_path(lt.shape[0]) == "pallas":
         b = lt.shape[-1]
         chunk = _max_lanes(lt.shape[0])
         if b <= chunk:
@@ -516,6 +519,36 @@ def _vmem_bytes(t: int) -> int:
     return t * sub * 128 * 4
 
 
+_warned_fallback: set = set()
+
+
+def linalg_path(t: int, backend: tp.Optional[str] = None) -> str:
+    """Which implementation the batched linalg kernels will use for size T.
+
+    The batch-in-lanes kernels hold one ``(T, T, 128)`` f32 buffer in VMEM,
+    which caps them at T ≈ 169 on current TPUs (annual-resolution workloads,
+    T = 165, fit; the bundled *monthly* resolutions, T = 1032–1980, do not).
+    Beyond the cap the XLA blocked decompositions take over — they tile large
+    single matrices onto the MXU well, which is exactly the regime where the
+    lane-batched trick stops paying.  Returns ``"pallas"`` or ``"xla"`` and
+    warns once per T on the fallback so the path is never silent
+    (VERDICT r1 item 5).
+    """
+    backend = backend or jax.default_backend()
+    if INTERPRET or (backend == "tpu" and _vmem_bytes(t) < 14 * 2**20):
+        return "pallas"
+    if backend == "tpu" and t not in _warned_fallback:
+        _warned_fallback.add(t)
+        import warnings
+
+        warnings.warn(
+            f"batched linalg at T={t} exceeds the Pallas VMEM budget "
+            f"({_vmem_bytes(t) / 2**20:.0f} MB per (T,T,128) buffer); "
+            "using XLA's blocked decompositions instead"
+        )
+    return "xla"
+
+
 def tri_inv_batched(lt: jnp.ndarray) -> jnp.ndarray:
     """W = L^-1 for every batch lane.
 
@@ -530,11 +563,7 @@ def tri_inv_batched(lt: jnp.ndarray) -> jnp.ndarray:
     double-buffered from HBM), so a single (T, T, 128) buffer must fit the
     ~16 MB budget; beyond that the XLA batched triangular solve takes over.
     """
-    use_pallas = (
-        jax.default_backend() == "tpu"
-        and _vmem_bytes(lt.shape[0]) < 14 * 2**20
-    )
-    if use_pallas or INTERPRET:
+    if linalg_path(lt.shape[0]) == "pallas":
         return _chunk_lanes(_tri_inv_streamed_tpu, lt, lt.shape[0])
     l = jnp.transpose(lt, (2, 1, 0))
     eye = jnp.eye(lt.shape[0], dtype=lt.dtype)

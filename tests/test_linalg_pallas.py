@@ -193,3 +193,59 @@ def test_fused_solve_nan_on_non_pd(rng, interp):
     assert np.isnan(np.asarray(logdet)[1])
     assert np.isnan(np.asarray(alpha)[:, 1]).any()
     assert np.isfinite(np.asarray(logdet)[[0, 2]]).all()
+
+
+def test_linalg_path_dispatch():
+    """Monthly-resolution T (1032, 1980) must fall back to XLA — loudly."""
+    import warnings as _warnings
+
+    lp._warned_fallback.clear()
+    assert lp.linalg_path(165, backend="tpu") == "pallas"
+    assert lp.linalg_path(86, backend="tpu") == "pallas"
+    with _warnings.catch_warnings(record=True) as rec:
+        _warnings.simplefilter("always")
+        assert lp.linalg_path(1032, backend="tpu") == "xla"
+        assert lp.linalg_path(1980, backend="tpu") == "xla"
+    assert len(rec) == 2 and "VMEM" in str(rec[0].message)
+    # warn-once: repeat call is quiet
+    with _warnings.catch_warnings(record=True) as rec2:
+        _warnings.simplefilter("always")
+        assert lp.linalg_path(1032, backend="tpu") == "xla"
+    assert not rec2
+    # CPU oracle path is XLA without noise
+    assert lp.linalg_path(165, backend="cpu") == "xla"
+
+
+def test_cholesky_batched_interpret_large_t(rng, interp):
+    """Kernel logic at monthly resolution (T >= 1032), interpret mode
+    (VERDICT r1 item 5)."""
+    t, b = 1032, 1
+    # Well-conditioned SPD without forming a dense product: diag + low rank.
+    u = rng.normal(size=(t, 2)).astype(np.float32)
+    k = (u @ u.T + np.diag(np.linspace(1.0, 2.0, t))).astype(np.float32)
+    lt = np.asarray(lp.cholesky_batched(jnp.asarray(k[:, :, None])))
+    l = lt[:, :, 0].T
+    want = np.linalg.cholesky(k.astype(np.float64))
+    np.testing.assert_allclose(l, want, rtol=5e-3, atol=5e-4)
+
+
+def test_monthly_resolution_emulation_runs(rng):
+    """End-to-end GPDTW1D fit at monthly resolution (T=1032) through the
+    XLA fallback path — the bundled SSP runs are 1032 monthly steps."""
+    from bayesian_ensembling_tpu.data import ModelCollection, ProcessModel
+    from bayesian_ensembling_tpu.models.gp_dtw import GPDTW1D
+    from bayesian_ensembling_tpu.coords import DimArray
+
+    t = 1032
+    time = (np.datetime64("2015-01", "M") + np.arange(t)).astype("datetime64[ns]")
+    models = []
+    for i in range(2):
+        vals = rng.normal(size=(3, t)).astype(np.float64).cumsum(axis=1) * 0.01
+        da = DimArray(vals, ("realisation", "time"), {"time": time})
+        models.append(ProcessModel(da, f"m{i}"))
+    mc = ModelCollection(models)
+    assert lp.linalg_path(t) == "xla"  # CPU test backend: XLA path asserted
+    mc.fit(GPDTW1D(dtype=np.float64), n_optim_nits=2, dba_iterations=1)
+    for pm in mc:
+        mean = np.asarray(pm.distribution.gaussian.mean)
+        assert mean.shape == (t,) and np.isfinite(mean).all()
