@@ -105,30 +105,52 @@ def main():
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "benchmarks", "cpu_baseline.json")
     vs = None
-    parity = None
+    parity_mean = None
+    parity_std = None
+    # Pointwise posterior-moment parity gate vs the float64 CPU anchor
+    # (BASELINE.json: the speedup must not change answers).  f32 tolerance
+    # rationale (BASELINE.md): 2000 independent f32-vs-f64 Adam trajectories
+    # agree to ~1e-3 degC pointwise on these workloads; 1e-5 would require
+    # f64 accumulation on-chip.  Gate set at 3x the observed worst case.
+    MEAN_TOL = float(os.environ.get("BENCH_PARITY_MEAN_TOL", "0.01"))
+    STD_TOL = float(os.environ.get("BENCH_PARITY_STD_TOL", "0.01"))
     if os.path.exists(baseline_path):
         with open(baseline_path) as f:
             cpu = json.load(f)
         if cpu.get("n_optim_nits") == N_ITERS:
             vs = cpu["total_seconds"] / elapsed
-            # Parity gate vs the float64 CPU anchor: the 2100 warming mean of
-            # every scenario must agree (the speedup must not change answers).
-            diffs = []
+            mdiffs, sdiffs = [], []
             for i, (ssp, _, _) in enumerate(scenarios):
                 rec = cpu["scenarios"].get(ssp)
-                if rec:
-                    diffs.append(abs(float(np.asarray(bmean[i])[-1]) - rec["warming_2100"][0]))
-            if diffs:
-                parity = max(diffs)
-                assert parity < 0.05, f"TPU/CPU warming divergence {parity:.4f} degC"
-                log(f"parity vs CPU float64 anchor: max 2100-warming diff {parity:.5f} degC")
+                if not rec or "bary_mean" not in rec:
+                    continue
+                got_m = np.asarray(bmean[i], dtype=np.float64)
+                got_s = np.asarray(bstd[i], dtype=np.float64)
+                want_m = np.asarray(rec["bary_mean"])
+                want_s = np.asarray(rec["bary_std"])
+                mdiffs.append(np.abs(got_m - want_m).max())
+                sdiffs.append(np.abs(got_s - want_s).max())
+            if mdiffs:
+                parity_mean = float(max(mdiffs))
+                parity_std = float(max(sdiffs))
+                log(
+                    f"parity vs CPU float64 anchor (pointwise, all scenarios): "
+                    f"max |dmean| {parity_mean:.5f} degC, max |dstd| {parity_std:.5f} degC"
+                )
+                assert parity_mean < MEAN_TOL, (
+                    f"posterior mean divergence {parity_mean:.5f} degC >= {MEAN_TOL}"
+                )
+                assert parity_std < STD_TOL, (
+                    f"posterior std divergence {parity_std:.5f} degC >= {STD_TOL}"
+                )
 
     print(json.dumps({
         "metric": "gmst_full_experiment_7ssp_fit2000_weight_barycentre",
         "value": round(elapsed, 3),
         "unit": "s",
         "vs_baseline": round(vs, 2) if vs else None,
-        "parity_2100_max_diff_degC": round(parity, 5) if parity is not None else None,
+        "parity_pointwise_mean_degC": round(parity_mean, 6) if parity_mean is not None else None,
+        "parity_pointwise_std_degC": round(parity_std, 6) if parity_std is not None else None,
     }))
 
 

@@ -38,13 +38,17 @@ for ssp in pipeline.ALL_SSPS:
     )
     dt = time.time() - t0
     summ = pipeline.warming_summary(res)
+    bary_mean = np.asarray(res.barycentre.gaussian.mean)
+    bary_std = np.sqrt(np.asarray(res.barycentre.gaussian.variance))
     results[ssp] = {
         "seconds": dt,
         "n_models": len(hist),
         "warming_2050": summ[2050],
         "warming_2100": summ[2100],
-        "bary_mean_head": np.asarray(res.barycentre.gaussian.mean)[:5].tolist(),
-        "bary_var_head": np.asarray(res.barycentre.gaussian.variance)[:5].tolist(),
+        # FULL posterior moment vectors: bench.py gates pointwise TPU-f32
+        # parity against these (BASELINE.json / VERDICT r1 item 1).
+        "bary_mean": np.round(bary_mean, 8).tolist(),
+        "bary_std": np.round(bary_std, 8).tolist(),
     }
     print(ssp, f"{dt:.1f}s", summ[2100], flush=True)
 

@@ -12,6 +12,11 @@ North star: full gridded fit + ensemble < 60 s on a v5e-8 slice.  This bench
 runs single-chip; the pipeline shards over cells with zero collectives
 (parallel/gridded.py), so the v5e-8 estimate is ~1/8 of the single-chip time.
 
+Parity gate: if ``gridded_oracle.json`` exists (CPU float64 oracle over the
+first N cells, see gridded_oracle.py), the f32 posterior moments must agree
+pointwise on those cells (VERDICT r1 item 1: the gridded path previously had
+no oracle).
+
 Usage: python benchmarks/gridded_bench.py [n_optim_nits] [lat] [lon]
 """
 
@@ -21,22 +26,28 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
+
+import gridded_common as gc
+
+# Measured f32-vs-f64 pointwise divergence on this workload is ~5e-6 (the
+# well-conditioned synthetic fits converge to the same optimum), so the gate
+# sits at 1e-3 with >100x margin.
+MEAN_TOL = float(os.environ.get("BENCH_PARITY_MEAN_TOL", "1e-3"))
+STD_TOL = float(os.environ.get("BENCH_PARITY_STD_TOL", "1e-3"))
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
-    from bayesian_ensembling_tpu.ops import scoring
-    from bayesian_ensembling_tpu.parallel.step import emulate_marginals
-
     n_iters = int(sys.argv[1]) if len(sys.argv) > 1 else 500
     la = int(sys.argv[2]) if len(sys.argv) > 2 else 36
     lo = int(sys.argv[3]) if len(sys.argv) > 3 else 72
-    m, r, t, r_obs = 5, 10, 86, 10
     c = la * lo
+    m, r, t = gc.M, gc.R, gc.T
     print(f"devices: {jax.devices()}", file=sys.stderr)
     print(
         f"workload: {m} models x {c} cells x {r} realisations x {t} steps "
@@ -44,32 +55,8 @@ def main():
         file=sys.stderr,
     )
 
-    rng = np.random.default_rng(0)
-    signal = np.sin(np.linspace(0, 3, t))[None, None, None, :]
-    block = (signal + 0.3 * rng.normal(size=(m, c, r, t))).astype(np.float32)
-    obs = (signal[0] + 0.3 * rng.normal(size=(c, r_obs, t))).astype(np.float32)
-
-    def gridded_experiment(blocks, obs):
-        # blocks: (M, C, R, T) -> emulate every (model, cell) GP at once.
-        mean, var = emulate_marginals(
-            blocks.reshape(m * c, r, t),
-            jnp.ones((m * c, r), bool),
-            n_optim_nits=n_iters,
-        )
-        mean = mean.reshape(m, c, t)
-        var = var.reshape(m, c, t)
-        # Per-cell CRPS weights vs the gridded obs, normalised over models.
-        score = jax.vmap(  # over models
-            jax.vmap(scoring.mean_gaussian_crps)  # over cells
-        )(mean, jnp.sqrt(var), jnp.broadcast_to(obs, (m, c, r_obs, t)))
-        raw = 1.0 / score  # (M, C, T)
-        w_t = raw / jnp.sum(raw, axis=0, keepdims=True)
-        w = jnp.mean(w_t, axis=2)  # (M, C)
-        bary_mean = jnp.sum(w[:, :, None] * mean, axis=0)  # (C, T)
-        bary_std = jnp.sum(w[:, :, None] * jnp.sqrt(var), axis=0)
-        return bary_mean, bary_std, w
-
-    step = jax.jit(gridded_experiment)
+    block, obs = gc.make_workload(c, dtype=np.float32)
+    step = jax.jit(lambda b, o: gc.gridded_experiment(b, o, n_iters))
 
     def sync(tree):
         for leaf in jax.tree_util.tree_leaves(tree):
@@ -84,13 +71,36 @@ def main():
     out = step(b_j, o_j)
     sync(out)
     elapsed = time.perf_counter() - t0
-    bary_mean = np.asarray(out[0])
+    bary_mean = np.asarray(out[0], dtype=np.float64)
+    bary_std = np.asarray(out[1], dtype=np.float64)
     assert np.isfinite(bary_mean).all()
+
+    parity_mean = parity_std = None
+    oracle_path = os.path.join(os.path.dirname(__file__), "gridded_oracle.json")
+    if os.path.exists(oracle_path):
+        with open(oracle_path) as f:
+            oracle = json.load(f)
+        if oracle.get("n_optim_nits") == n_iters and oracle["n_cells"] <= c:
+            nc = oracle["n_cells"]
+            want_m = np.asarray(oracle["bary_mean"])
+            want_s = np.asarray(oracle["bary_std"])
+            parity_mean = float(np.abs(bary_mean[:nc] - want_m).max())
+            parity_std = float(np.abs(bary_std[:nc] - want_s).max())
+            print(
+                f"gridded parity vs CPU float64 oracle ({nc} cells): "
+                f"max |dmean| {parity_mean:.5f}, max |dstd| {parity_std:.5f}",
+                file=sys.stderr,
+            )
+            assert parity_mean < MEAN_TOL, f"gridded mean divergence {parity_mean}"
+            assert parity_std < STD_TOL, f"gridded std divergence {parity_std}"
+
     print(json.dumps({
         "metric": f"gridded_fit_ensemble_{m}x{c}cells_{n_iters}iters",
         "value": round(elapsed, 3),
         "unit": "s",
         "v5e8_estimate": round(elapsed / 8, 3),
+        "parity_pointwise_mean": round(parity_mean, 6) if parity_mean is not None else None,
+        "parity_pointwise_std": round(parity_std, 6) if parity_std is not None else None,
     }))
 
 
