@@ -62,10 +62,11 @@ def emulate_batch(
     n = jnp.maximum(jnp.sum(w, axis=1), 1.0)  # (M,)
 
     # (a) DBA barycentre per model (reference uses tslearn subgradient DBA,
-    # models.py:176-178; semantics here follow the repo's own dtwa.py).
-    y_mean = jax.vmap(
-        functools.partial(dtw_ops.dba, n_iterations=dba_iterations, init="mean")
-    )(block, mask)
+    # models.py:176-178; semantics here follow the repo's own dtwa.py).  On
+    # TPU each iteration is one fused Pallas program over all M*R problems.
+    y_mean = dtw_ops.dba_batch(
+        block, mask, n_iterations=dba_iterations, init="mean"
+    )
 
     # (b) across-realisation variance as known noise (models.py:179).
     mu_r = jnp.einsum("mrt,mr->mt", block, w) / n[:, None]

@@ -35,6 +35,7 @@ __all__ = [
     "squared_dtw_with_path",
     "dtw_pairwise_sq",
     "dba",
+    "dba_batch",
 ]
 
 _BIG = jnp.inf
@@ -258,3 +259,65 @@ def dba(
 
     center, _ = jax.lax.scan(body, center, None, length=n_iterations)
     return center
+
+
+@functools.partial(jax.jit, static_argnames=("n_iterations", "init"))
+def dba_batch(
+    series: jnp.ndarray,
+    mask: tp.Optional[jnp.ndarray] = None,
+    n_iterations: int = 10,
+    init: str = "mean",
+) -> jnp.ndarray:
+    """DBA for a whole batch of models at once: ``(B, R, T) -> (B, T)``.
+
+    The TPU-hot entry point used by the emulators.  On TPU every DBA
+    iteration runs ALL ``B*R`` alignment problems through ONE fused Pallas
+    program (forward DP + backward on-path sweep, ops/dtw_pallas.py
+    ``dba_update_batch``) instead of ``B*R`` vmapped 2T-1-step scans — the
+    scan path's per-diagonal loop overhead was ~19% of the full-experiment
+    bench (VERDICT r1 item 3).  Off-TPU it falls back to ``vmap(dba)``.
+    """
+    b, r, t = series.shape
+    if mask is None:
+        mask = jnp.ones((b, r), bool)
+    if jax.default_backend() != "tpu":
+        return jax.vmap(
+            functools.partial(dba, n_iterations=n_iterations, init=init)
+        )(series, mask)
+
+    from bayesian_ensembling_tpu.ops.dtw_pallas import (
+        dba_update_batch,
+        squared_dtw_cost_batch,
+    )
+
+    w = mask.astype(series.dtype)
+    if init == "mean":
+        centers = jnp.sum(series * w[:, :, None], axis=1) / jnp.maximum(
+            jnp.sum(w, axis=1, keepdims=True), 1.0
+        )
+    elif init == "medoid":
+        # All B*R^2 pairwise costs in one fused kernel call.
+        ci = jnp.repeat(series.reshape(b * r, t), r, axis=0)
+        sj = jnp.tile(series, (1, r, 1)).reshape(b * r * r, t)
+        d = squared_dtw_cost_batch(ci, sj).reshape(b, r, r)
+        valid = mask[:, :, None] & mask[:, None, :]
+        ss = jnp.sum(jnp.where(valid, d, 0.0), axis=2)
+        ss = jnp.where(mask, ss, jnp.inf)
+        centers = jnp.take_along_axis(
+            series, jnp.argmin(ss, axis=1)[:, None, None], axis=1
+        )[:, 0]
+    else:
+        raise ValueError(f"unknown init {init!r}")
+
+    s_flat = series.reshape(b * r, t)
+
+    def body(centers, _):
+        c_flat = jnp.repeat(centers, r, axis=0)
+        sums, counts = dba_update_batch(c_flat, s_flat)
+        m = w[:, :, None]
+        tot = jnp.sum(sums.reshape(b, r, t) * m, axis=1)
+        cnt = jnp.sum(counts.reshape(b, r, t) * m, axis=1)
+        return tot / jnp.maximum(cnt, 1.0), None
+
+    centers, _ = jax.lax.scan(body, centers, None, length=n_iterations)
+    return centers

@@ -24,7 +24,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 INTERPRET = False
 
-__all__ = ["squared_dtw_cost_batch"]
+__all__ = ["squared_dtw_cost_batch", "dba_update_batch"]
 
 _BIG = 3.0e38  # large finite sentinel; inf arithmetic is slower on the VPU
 
@@ -102,3 +102,194 @@ def squared_dtw_cost_batch(centers: jnp.ndarray, series: jnp.ndarray, lanes: int
         interpret=INTERPRET,
     )(c, s_rev)
     return out[0, :n]
+
+
+# ------------------------------------------------------- fused DBA update
+def _make_dba_update_kernel(t: int):
+    """Forward DTW DP (with move codes) + backward on-path DBA sweep, fused.
+
+    One Pallas program per lane chunk runs BOTH passes of the DBA update
+    (semantics of reference dtwa.py:48-143, structured like ops/dtw.py's
+    scan pair but without XLA per-diagonal loop overhead):
+
+      * forward: 2T-2 wavefront steps; each emits a (Tp, L) int8 row of move
+        codes (0=diag, 1=left, 2=top, reference tie-break dtwa.py:113-126),
+        staged through a double-buffered VMEM slot and DMA'd to an HBM
+        scratch (the full (2T-1, Tp, L) code tensor exceeds VMEM);
+      * backward: path membership propagates backward over anti-diagonals —
+        a cell is on the path iff a successor chose it — with move rows
+        DMA'd back in double-buffered slots one step ahead; aligned-value
+        sums and visit counts accumulate per centre slot.
+
+    The series diagonal is maintained by a static roll-by-1 per step (the
+    cost kernel's dynamic rotate was the next-largest overhead after the
+    loop itself).
+    """
+
+    def kernel(
+        center_ref,  # (Tp, L) VMEM
+        series_rev_ref,  # (Tp, L) VMEM
+        sums_ref,  # (Tp, L) VMEM out
+        counts_ref,  # (Tp, L) VMEM out
+        moves_hbm,  # (2T-1, Tp, L) int8 ANY out (scratch shared by chunks)
+        mv_buf,  # (2, Tp, L) int8 VMEM scratch (forward staging)
+        rd_buf,  # (2, Tp, L) int8 VMEM scratch (backward prefetch)
+        w_sems,  # DMA sems (2,)
+        r_sems,  # DMA sems (2,)
+    ):
+        tp_ = center_ref.shape[0]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (tp_, 1), 0)
+        center = center_ref[...]
+        series_rev = series_rev_ref[...]
+        dtype = center.dtype
+
+        def wr_dma(slot, k):
+            return pltpu.make_async_copy(mv_buf.at[slot], moves_hbm.at[k], w_sems.at[slot])
+
+        def rd_dma(slot, k):
+            return pltpu.make_async_copy(moves_hbm.at[k], rd_buf.at[slot], r_sems.at[slot])
+
+        # ---------------------------------------------------------- forward
+        # sdiag holds s[k-i] at slot i for the current diagonal k; advancing
+        # k rolls it by one (init: diagonal 0 = roll by (1-t) mod Tp).
+        sdiag0 = pltpu.roll(series_rev, (1 - t) % tp_, axis=0)
+        d0 = jnp.where(rows == 0, jnp.square(center - sdiag0), _BIG)
+        # Derive from d0 so the init layout matches the loop body's
+        # (a constant splat is lane-replicated and Mosaic refuses the
+        # replicated->non-replicated carry relayout).
+        prev2_0 = d0 * 0.0 + _BIG
+
+        def fwd(k, carry):
+            prev2, prev1, sdiag = carry
+            sdiag = pltpu.roll(sdiag, 1, axis=0)
+            valid = (rows <= k) & (rows >= k - (t - 1)) & (rows < t)
+            delta = jnp.square(center - sdiag)
+            left = prev1
+            top = jnp.where(rows > 0, pltpu.roll(prev1, 1, axis=0), _BIG)
+            diag = jnp.where(rows > 0, pltpu.roll(prev2, 1, axis=0), _BIG)
+            # Reference tie-break: diag, then left, then top (dtwa.py:113-126).
+            take_diag = (diag <= left) & (diag <= top)
+            take_left = ~take_diag & (left <= top)
+            best = jnp.where(take_diag, diag, jnp.where(take_left, left, top))
+            move = jnp.where(take_diag, 0, jnp.where(take_left, 1, 2)).astype(jnp.int8)
+            cur = jnp.where(valid, jnp.minimum(best + delta, _BIG), _BIG)
+
+            slot = k % 2
+
+            @pl.when(k >= 3)
+            def _():
+                wr_dma(slot, k - 2).wait()
+
+            mv_buf[slot] = move
+            wr_dma(slot, k).start()
+            return (prev1, cur, sdiag)
+
+        _, _, sdiag_last = jax.lax.fori_loop(
+            1, 2 * t - 1, fwd, (prev2_0, d0, sdiag0)
+        )
+        wr_dma((2 * t - 2) % 2, 2 * t - 2).wait()
+        wr_dma((2 * t - 3) % 2, 2 * t - 3).wait()
+
+        # --------------------------------------------------------- backward
+        # Start at the corner diagonal k = 2T-2 (always on the path);
+        # prefetch its move row is not needed (row 2T-2 is consumed at the
+        # first step below as "moves_k1").
+        rd_dma((2 * t - 2) % 2, 2 * t - 2).start()
+
+        # Round-trip the inits through the output refs so every loop carry
+        # starts with a concrete (non-replicated) VMEM layout.
+        counts_ref[...] = jnp.where(rows == t - 1, 1.0, 0.0) + center * 0.0
+        on_k1_0 = counts_ref[...]
+        sums_ref[...] = jnp.where(rows == t - 1, sdiag_last, 0.0)
+        sums0 = sums_ref[...]
+        counts0 = on_k1_0
+        zeros = on_k1_0 * 0.0
+
+        def shift_up(x):
+            # roll by Tp-1 == roll by -1 (pltpu.roll needs non-negative shifts)
+            return jnp.where(rows < tp_ - 1, pltpu.roll(x, tp_ - 1, axis=0), 0.0)
+
+        def bwd(step, carry):
+            on_k1, on_k2, movesf_k2, sums, counts, sdiag = carry
+            k = 2 * t - 3 - step
+            sdiag = pltpu.roll(sdiag, tp_ - 1, axis=0)
+
+            slot = (k + 1) % 2
+            rd_dma(slot, k + 1).wait()
+            movesf_k1 = rd_buf[slot].astype(dtype)
+
+            @pl.when(k >= 1)
+            def _():
+                rd_dma(k % 2, k).start()
+
+            diag_t = shift_up(on_k2 * jnp.where(movesf_k2 == 0, 1.0, 0.0))
+            left_t = on_k1 * jnp.where(movesf_k1 == 1, 1.0, 0.0)
+            top_t = shift_up(on_k1 * jnp.where(movesf_k1 == 2, 1.0, 0.0))
+            valid = ((rows <= k) & (rows >= k - (t - 1)) & (rows < t)).astype(dtype)
+            on_k = jnp.minimum(diag_t + left_t + top_t, 1.0) * valid
+            sums = sums + on_k * sdiag
+            counts = counts + on_k
+            return (on_k, on_k1, movesf_k1, sums, counts, sdiag)
+
+        _, _, _, sums, counts, _ = jax.lax.fori_loop(
+            0,
+            2 * t - 2,
+            bwd,
+            (on_k1_0, zeros, zeros, sums0, counts0, sdiag_last),
+        )
+        sums_ref[...] = sums
+        counts_ref[...] = counts
+
+    return kernel
+
+
+def dba_update_batch(
+    centers: jnp.ndarray, series: jnp.ndarray, lanes: int = 1024
+) -> tp.Tuple[jnp.ndarray, jnp.ndarray]:
+    """One DBA alignment pass for a batch of (centre, series) problems.
+
+    Args:
+      centers, series: ``(N, T)`` problem pairs.
+      lanes: problems per grid chunk.
+
+    Returns:
+      (sums, counts): ``(N, T)`` aligned-value sums and visit counts per
+      centre slot — identical to ops.dtw's squared_dtw_with_path +
+      _backtrack_accumulate per pair.
+    """
+    n, t = centers.shape
+    tp_ = -(-t // 32) * 32  # 32-aligned sublanes: int8 tile is (32, 128)
+    lanes = min(lanes, max(-(-n // 128) * 128, 128))
+    n_pad = -(-n // lanes) * lanes
+    c = jnp.pad(centers, ((0, n_pad - n), (0, tp_ - t))).T  # (Tp, N_pad)
+    s_rev = jnp.pad(series[:, ::-1], ((0, n_pad - n), (0, tp_ - t))).T
+
+    grid = (n_pad // lanes,)
+    sums, counts, _ = pl.pallas_call(
+        _make_dba_update_kernel(t),
+        grid=grid,
+        out_shape=(
+            jax.ShapeDtypeStruct((tp_, n_pad), centers.dtype),
+            jax.ShapeDtypeStruct((tp_, n_pad), centers.dtype),
+            # Move-code staging tensor: lives in HBM, reused sequentially by
+            # every grid chunk (chunks are serial on a TensorCore).
+            jax.ShapeDtypeStruct((2 * t - 1, tp_, lanes), jnp.int8),
+        ),
+        in_specs=[
+            pl.BlockSpec((tp_, lanes), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tp_, lanes), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tp_, lanes), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tp_, lanes), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, tp_, lanes), jnp.int8),
+            pltpu.VMEM((2, tp_, lanes), jnp.int8),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=INTERPRET,
+    )(c, s_rev)
+    return sums.T[:n, :t], counts.T[:n, :t]

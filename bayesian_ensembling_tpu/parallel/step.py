@@ -136,9 +136,9 @@ def emulate_marginals(
     w = mask.astype(block.dtype)
     n = jnp.maximum(jnp.sum(w, axis=1), 1.0)
 
-    y_mean = jax.vmap(
-        functools.partial(dtw_ops.dba, n_iterations=dba_iterations, init="mean")
-    )(block, mask)
+    y_mean = dtw_ops.dba_batch(
+        block, mask, n_iterations=dba_iterations, init="mean"
+    )
     mu_r = jnp.einsum("mrt,mr->mt", block, w) / n[:, None]
     y_var = (
         jnp.einsum("mrt,mr->mt", jnp.square(block - mu_r[:, None, :]), w)

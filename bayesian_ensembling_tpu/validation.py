@@ -50,6 +50,7 @@ class PerfectModelTest:
         ssp: str,
         include_sim: bool = False,
         save_dir: tp.Optional[str] = None,
+        scheme_kwargs: tp.Optional[dict] = None,
     ) -> None:
         if hindcast_models.model_names != forecast_models.model_names:
             raise ValueError("hindcast and forecast collections must match")
@@ -61,6 +62,10 @@ class PerfectModelTest:
         self.ssp = ssp
         self.include_sim = include_sim
         self.save_dir = save_dir
+        # Extra kwargs for the ensemble scheme call — e.g.
+        # {"compat_fixed_point": True} to validate with the reference's
+        # sigma-inflating fixed-point barycentre (wasserstein.py:82-97 there).
+        self.scheme_kwargs = scheme_kwargs or {}
         if save_dir:
             self.fig_dir = os.path.join(save_dir, "figs")
             self.csv_dir = os.path.join(save_dir, "csvs")
@@ -111,7 +116,7 @@ class PerfectModelTest:
             ("model", "time"),
             {"time": forecast.time},
         )
-        bary = self.ensemble_method()(forecast, w_da)
+        bary = self.ensemble_method()(forecast, w_da, **self.scheme_kwargs)
 
         obs_vals = pseudo_future.data.values
         nll_b = metrics.nll(bary, obs_vals)

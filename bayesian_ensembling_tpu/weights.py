@@ -143,8 +143,15 @@ class LogLikelihoodWeight(AbstractWeight):
             lls.append(jnp.mean(ll, axis=0))  # mean over obs realisations
         lls_mean = jnp.stack(lls)  # (M, N)
 
-        standardised = standardisation_scheme(standardisation_constant * lls_mean)
-        weights = _normalise_over_models(np.asarray(standardised))
+        scaled = standardisation_constant * lls_mean
+        if standardisation_scheme is jnp.exp:
+            # exp(ll)/sum exp(ll) == softmax(ll): subtract the per-point max
+            # so float32 never underflows (T=165 MVN log-liks are O(-100);
+            # naive exp gave all-zero weights -> NaN after normalisation).
+            weights = np.asarray(jax.nn.softmax(scaled, axis=0))
+        else:
+            standardised = standardisation_scheme(scaled)
+            weights = _normalise_over_models(np.asarray(standardised))
         out = _wrap(process_models, weights, "Log-likelihood weights")
         if return_lls:
             # The *raw* log-likelihoods, as the reference's docstring promises

@@ -30,6 +30,11 @@ def main():
     ap.add_argument("--n-optim-nits", type=int, default=1000)
     ap.add_argument("--prefit-dir", default=None, help="use checkpointed fits")
     ap.add_argument("--include-sim", action="store_true")
+    ap.add_argument(
+        "--compat-fixed-point",
+        action="store_true",
+        help="use the reference-faithful fixed-point barycentre sigma",
+    )
     args = ap.parse_args()
 
     import bayesian_ensembling_tpu as bet
@@ -58,6 +63,9 @@ def main():
                 ssp=ssp,
                 include_sim=args.include_sim,
                 save_dir=os.path.join(args.out_dir, ssp),
+                scheme_kwargs=(
+                    {"compat_fixed_point": True} if args.compat_fixed_point else None
+                ),
             )
             df = pmt.run(n_optim_nits=args.n_optim_nits, use_prefit_models=use_prefit)
             print(f"{ssp} / {wname}:\n{df.describe().loc[['mean']]}", flush=True)

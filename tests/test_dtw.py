@@ -169,3 +169,57 @@ def test_pallas_dtw_multi_chunk_interpret(rng, monkeypatch):
     for i in (0, 129, 259):
         want = float(dtw_ops.squared_dtw(centers[i], series[i]))
         np.testing.assert_allclose(got[i], want, rtol=1e-5)
+
+
+def test_dba_update_batch_interpret_matches_scan(rng):
+    """Fused Pallas DBA update (forward DP + backward on-path sweep in one
+    program) == the scan-path pair, interpret mode (VERDICT r1 item 3)."""
+    import jax
+    import jax.numpy as jnp
+
+    from bayesian_ensembling_tpu.ops import dtw as dtw_ops
+    from bayesian_ensembling_tpu.ops import dtw_pallas as dp
+
+    old = dp.INTERPRET
+    dp.INTERPRET = True
+    try:
+        for t in (9, 24, 165):
+            n = 5
+            centers = rng.normal(size=(n, t)).astype(np.float32)
+            series = rng.normal(size=(n, t)).astype(np.float32)
+            sums, counts = dp.dba_update_batch(
+                jnp.asarray(centers), jnp.asarray(series)
+            )
+
+            def one(c, s):
+                _, path = dtw_ops.squared_dtw_with_path(c, s)
+                return dtw_ops._backtrack_accumulate(path, s)
+
+            w_sums, w_counts = jax.vmap(one)(
+                jnp.asarray(centers), jnp.asarray(series)
+            )
+            np.testing.assert_array_equal(np.asarray(counts), np.asarray(w_counts))
+            np.testing.assert_allclose(
+                np.asarray(sums), np.asarray(w_sums), rtol=1e-6, atol=1e-6
+            )
+    finally:
+        dp.INTERPRET = old
+
+
+def test_dba_batch_cpu_fallback_matches_vmap(rng):
+    """dba_batch off-TPU == vmap(dba) (same code path, sanity)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from bayesian_ensembling_tpu.ops import dtw as dtw_ops
+
+    b, r, t = 3, 4, 20
+    series = jnp.asarray(rng.normal(size=(b, r, t)))
+    mask = jnp.asarray(rng.random((b, r)) < 0.8)
+    got = dtw_ops.dba_batch(series, mask, n_iterations=3, init="mean")
+    want = jax.vmap(
+        functools.partial(dtw_ops.dba, n_iterations=3, init="mean")
+    )(series, mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-12)
