@@ -177,6 +177,7 @@ def ensemble_scenario_step(
     learning_rate: float = 0.01,
     dba_iterations: int = 10,
     weight_kind: str = "crps",
+    optimizer: str = "adam",
 ) -> tp.Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One full scenario: emulate hist+ssp, weight vs obs, W2 barycentre.
 
@@ -189,6 +190,7 @@ def ensemble_scenario_step(
         n_optim_nits=n_optim_nits,
         learning_rate=learning_rate,
         dba_iterations=dba_iterations,
+        optimizer=optimizer,
     )
     hist_mean, hist_var = em(hist_block, hist_mask)
     ssp_mean, ssp_var = em(ssp_block, ssp_mask)
@@ -221,6 +223,7 @@ def ensemble_multi_scenario_step(
     learning_rate: float = 0.01,
     dba_iterations: int = 10,
     weight_kind: str = "crps",
+    optimizer: str = "adam",
 ):
     """All scenarios in ONE program by merging the (scenario, model) axes.
 
@@ -238,6 +241,7 @@ def ensemble_multi_scenario_step(
         n_optim_nits=n_optim_nits,
         learning_rate=learning_rate,
         dba_iterations=dba_iterations,
+        optimizer=optimizer,
     )
     hist_mean, hist_var = em(
         hist_blocks.reshape(s * m, r, t_hist), hist_masks.reshape(s * m, r)
@@ -272,6 +276,7 @@ def make_sharded_step(
     learning_rate: float = 0.01,
     dba_iterations: int = 10,
     weight_kind: str = "crps",
+    optimizer: str = "adam",
 ):
     """One scenario step with the model axis sharded over ``mesh``.
 
@@ -289,6 +294,7 @@ def make_sharded_step(
         n_optim_nits=n_optim_nits,
         learning_rate=learning_rate,
         dba_iterations=dba_iterations,
+        optimizer=optimizer,
     )
 
     def body(hist_block, hist_mask, ssp_block, ssp_mask, obs, model_mask):
