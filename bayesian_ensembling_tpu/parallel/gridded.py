@@ -25,7 +25,12 @@ from jax import shard_map
 
 from bayesian_ensembling_tpu.parallel.step import emulate_marginals
 
-__all__ = ["pad_cells", "sharded_gridded_marginals"]
+__all__ = [
+    "pad_cells",
+    "sharded_gridded_marginals",
+    "gridded_ensemble_step",
+    "make_sharded_gridded_step",
+]
 
 
 def pad_cells(
@@ -71,3 +76,92 @@ def sharded_gridded_marginals(
         check_vma=False,
     )
     return jax.jit(smapped)(block, mask)
+
+
+def gridded_ensemble_step(
+    block: jnp.ndarray,  # (M, C, R, T) models x cells realisation stacks
+    obs: jnp.ndarray,  # (C, R_obs, T) gridded observations
+    mask: jnp.ndarray,  # (M, C, R)
+    model_mask: tp.Optional[jnp.ndarray] = None,  # (M,)
+    *,
+    weight_kind: str = "crps",
+    model_axis: tp.Optional[str] = None,
+    **emulate_kwargs,
+):
+    """Full gridded scenario: emulate -> per-cell weights -> W2 barycentre.
+
+    Pure function of device arrays; jit/shard at the call site.  When
+    ``model_axis`` names a live shard_map axis, the two cross-model
+    couplings (weight normalisation, barycentre sums) become ``psum``s over
+    it — the gridded analogue of parallel/step.py's scenario step.
+
+    Returns (bary_mean (C, T), bary_std (C, T), weights (M, C)).
+    """
+    from bayesian_ensembling_tpu.parallel.step import (
+        emulate_marginals,
+        fused_raw_weights,
+    )
+
+    m, c, r, t = block.shape
+    mean, var = emulate_marginals(
+        block.reshape(m * c, r, t), mask.reshape(m * c, r), **emulate_kwargs
+    )
+    mean = mean.reshape(m, c, t)
+    var = var.reshape(m, c, t)
+
+    raw = jax.vmap(
+        functools.partial(
+            fused_raw_weights, weight_kind, model_mask=model_mask,
+            model_axis=model_axis,
+        ),
+        in_axes=(1, 1, 0, 1, 1),
+        out_axes=1,
+    )(mean, var, obs, block, mask)  # (M, C, T)
+    if model_mask is not None:
+        raw = raw * model_mask[:, None, None]
+
+    total = jnp.sum(raw, axis=0)  # (C, T)
+    if model_axis is not None:
+        total = jax.lax.psum(total, model_axis)
+    w_t = raw / total
+    w = jnp.mean(w_t, axis=2)  # (M, C)
+
+    bary_mean = jnp.sum(w[:, :, None] * mean, axis=0)
+    bary_std = jnp.sum(w[:, :, None] * jnp.sqrt(var), axis=0)
+    if model_axis is not None:
+        bary_mean = jax.lax.psum(bary_mean, model_axis)
+        bary_std = jax.lax.psum(bary_std, model_axis)
+    return bary_mean, bary_std, w
+
+
+def make_sharded_gridded_step(
+    mesh: Mesh,
+    model_axis: str = "model",
+    cells_axis: str = "cells",
+    *,
+    weight_kind: str = "crps",
+    **emulate_kwargs,
+):
+    """The 2-D-mesh gridded step: cells x models sharded simultaneously.
+
+    SURVEY §5.8's mesh sketch ``('cells', 'models')`` realised: the cells
+    axis is collective-free data parallelism; the model axis couples only
+    at the weight normalisation and barycentre sums (psum over
+    ``model_axis``, riding ICI).  Inputs arrive sharded on (model, cells);
+    barycentre outputs are replicated over models and sharded over cells.
+    """
+    fn = functools.partial(
+        gridded_ensemble_step,
+        weight_kind=weight_kind,
+        model_axis=model_axis,
+        **emulate_kwargs,
+    )
+    p_mc = P(model_axis, cells_axis)
+    smapped = shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(p_mc, P(cells_axis), p_mc, P(model_axis)),
+        out_specs=(P(cells_axis), P(cells_axis), p_mc),
+        check_vma=False,
+    )
+    return jax.jit(smapped)

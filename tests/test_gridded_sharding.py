@@ -35,3 +35,47 @@ def test_sharded_matches_unsharded(rng):
     )
     np.testing.assert_allclose(np.asarray(got_mean), np.asarray(want_mean), rtol=2e-5)
     np.testing.assert_allclose(np.asarray(got_var), np.asarray(want_var), rtol=2e-5)
+
+
+def test_2d_mesh_gridded_step_matches_unsharded():
+    """2-D (model x cells) mesh step == unsharded gridded ensemble step."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+    from jax.sharding import Mesh
+
+    from bayesian_ensembling_tpu.parallel.gridded import (
+        gridded_ensemble_step,
+        make_sharded_gridded_step,
+    )
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    rng = np.random.default_rng(0)
+    m, c, r, t, r_obs = 4, 8, 3, 12, 5
+    block = jnp.asarray(rng.normal(size=(m, c, r, t)).astype(np.float32))
+    obs = jnp.asarray(rng.normal(size=(c, r_obs, t)).astype(np.float32))
+    mask = jnp.ones((m, c, r), bool)
+    model_mask = jnp.ones((m,), jnp.float32)
+
+    want = jax.jit(
+        lambda b, o, mk, mm: gridded_ensemble_step(
+            b, o, mk, mm, n_optim_nits=3, dba_iterations=2
+        )
+    )(block, obs, mask, model_mask)
+
+    mesh = Mesh(
+        np.array(jax.devices()[:8]).reshape(2, 4), axis_names=("model", "cells")
+    )
+    step = make_sharded_gridded_step(mesh, n_optim_nits=3, dba_iterations=2)
+    got = step(block, obs, mask, model_mask)
+
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=2e-4, atol=1e-7
+        )
+    # weights sum to one over models, per cell
+    np.testing.assert_allclose(
+        np.asarray(got[2]).sum(axis=0), np.ones(c), rtol=1e-5
+    )
