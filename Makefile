@@ -21,3 +21,6 @@ format:
 
 clean:
 	find . -name __pycache__ -type d -exec rm -rf {} + 2>/dev/null || true
+
+docs:  ## Build Sphinx HTML docs (requires: pip install sphinx furo myst-parser sphinxcontrib-bibtex)
+	sphinx-build -b html docs docs/_build/html
