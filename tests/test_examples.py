@@ -12,3 +12,13 @@ def test_quickstart_runs(capsys):
     out = capsys.readouterr().out
     assert "ensemble mean at final year" in out
     assert "NLL vs obs" in out
+
+
+def test_gridded_quickstart_runs(capsys):
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "examples", "gridded_quickstart.py"
+    )
+    sys.argv = ["gridded_quickstart"]
+    runpy.run_path(path, run_name="__main__")
+    out = capsys.readouterr().out
+    assert "mean weight per model" in out
