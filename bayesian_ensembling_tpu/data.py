@@ -362,14 +362,15 @@ class ModelCollection:
         return plot_collection_grid(self, **kwargs)
 
     # ----------------------------------------------------------- checkpoint
-    def save(self, path: str):
-        """Pickle-free checkpoint: raw arrays + metadata in one npz."""
+    def _to_blobs(self) -> tp.Dict[str, np.ndarray]:
+        """Flat array dict (strings as fixed-width unicode — NO object
+        arrays, so no pickle anywhere in the format)."""
         blobs: tp.Dict[str, np.ndarray] = {
-            "__names__": np.array(self.model_names, dtype=object)
+            "__names__": np.array(self.model_names, dtype=np.str_)
         }
         for i, m in enumerate(self.models):
             blobs[f"m{i}/data"] = m.data.values
-            blobs[f"m{i}/dims"] = np.array(m.data.dims, dtype=object)
+            blobs[f"m{i}/dims"] = np.array(m.data.dims, dtype=np.str_)
             for d, c in m.data.coords.items():
                 blobs[f"m{i}/coord/{d}"] = c
             if m.climatology is not None:
@@ -377,30 +378,60 @@ class ModelCollection:
             if m.distribution is not None:
                 for k, v in m.distribution.to_arrays().items():
                     blobs[f"m{i}/post/{k}"] = v
-        np.savez_compressed(path, **blobs)
+        return blobs
+
+    @classmethod
+    def _from_blobs(cls, z, files) -> "ModelCollection":
+        names = [str(n) for n in np.asarray(z["__names__"])]
+        models = []
+        for i, name in enumerate(names):
+            dims = tuple(str(d) for d in np.asarray(z[f"m{i}/dims"]))
+            coords = {}
+            for key in files:
+                pre = f"m{i}/coord/"
+                if key.startswith(pre):
+                    coords[key[len(pre):]] = np.asarray(z[key])
+            da = DimArray(np.asarray(z[f"m{i}/data"]), dims, coords)
+            pm = ProcessModel(da, name)
+            if f"m{i}/climatology" in files:
+                pm.climatology = np.asarray(z[f"m{i}/climatology"])
+            post_keys = {
+                key.split("/")[-1]: np.asarray(z[key])
+                for key in files
+                if key.startswith(f"m{i}/post/")
+            }
+            if post_keys:
+                pm.distribution = Posterior.from_arrays(post_keys, pm.blank_template())
+            models.append(pm)
+        return cls(models)
+
+    def save(self, path: str, backend: str = "npz"):
+        """Pickle-free checkpoint of the collection (data, climatology, and
+        fitted posteriors).
+
+        ``backend="npz"``: one compressed archive (default; replaces the
+        reference's pickles, data.py:397-404 there).  ``backend="orbax"``:
+        an orbax-checkpoint directory — the production-grade option with
+        async-capable, sharded-array-aware storage (datetime/string blobs
+        are transported as raw bytes + dtype sidecars).
+        """
+        if backend == "npz":
+            np.savez_compressed(path, **self._to_blobs())
+        elif backend == "orbax":
+            from bayesian_ensembling_tpu.io import orbax_ckpt
+
+            orbax_ckpt.save_blobs(path, self._to_blobs())
+        else:
+            raise ValueError(f"unknown checkpoint backend {backend!r}")
 
     @classmethod
     def load(cls, path: str) -> "ModelCollection":
-        with np.load(path, allow_pickle=True) as z:
-            names = list(z["__names__"])
-            models = []
-            for i, name in enumerate(names):
-                dims = tuple(z[f"m{i}/dims"])
-                coords = {}
-                for key in z.files:
-                    pre = f"m{i}/coord/"
-                    if key.startswith(pre):
-                        coords[key[len(pre):]] = z[key]
-                da = DimArray(z[f"m{i}/data"], dims, coords)
-                pm = ProcessModel(da, str(name))
-                if f"m{i}/climatology" in z.files:
-                    pm.climatology = z[f"m{i}/climatology"]
-                post_keys = {
-                    key.split("/")[-1]: z[key]
-                    for key in z.files
-                    if key.startswith(f"m{i}/post/")
-                }
-                if post_keys:
-                    pm.distribution = Posterior.from_arrays(post_keys, pm.blank_template())
-                models.append(pm)
-        return cls(models)
+        import os
+
+        if os.path.isdir(path):  # orbax checkpoints are directories
+            from bayesian_ensembling_tpu.io import orbax_ckpt
+
+            blobs = orbax_ckpt.load_blobs(path)
+            return cls._from_blobs(blobs, list(blobs))
+        with np.load(path, allow_pickle=False) as z:
+            return cls._from_blobs(z, z.files)

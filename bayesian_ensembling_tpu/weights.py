@@ -127,20 +127,39 @@ class LogLikelihoodWeight(AbstractWeight):
         return_lls: bool = False,
         standardisation_scheme=jnp.exp,
         standardisation_constant: float = 1.0,
+        joint: bool = False,
     ) -> DimArray:
+        """``joint=True`` scores the *textbook* joint MVN log-likelihood of
+        each observation trajectory under the full posterior (one weight per
+        model, broadcast over points) instead of the reference's per-point
+        constant-vector broadcast semantics (weights.py:98-100 there) — the
+        "exact log-marginal weight" option promised in ROADMAP.md."""
         means, varis = _posterior_moments(process_models)
         obs = _obs_flat(observations, means.dtype)
 
         lls = []
         for pm, mean, var in zip(process_models, means, varis):
             g = pm.distribution.gaussian
-            if isinstance(g, FullCovGaussian):
+            if joint:
+                # log N(obs_r; mu, Sigma) per obs realisation, averaged over
+                # realisations, broadcast constant over points so the output
+                # keeps the usual (model, *points) shape; the softmax/
+                # standardisation then acts on the joint log-density itself.
+                if isinstance(g, FullCovGaussian):
+                    ll_r = jax.vmap(g.log_prob)(obs)  # (R_obs,)
+                else:
+                    ll_r = jnp.sum(
+                        scoring.diag_log_likelihood(mean, var, obs), axis=1
+                    )
+                ll = jnp.full(mean.shape, jnp.mean(ll_r))
+            elif isinstance(g, FullCovGaussian):
                 ll = scoring.fullcov_constant_vector_log_likelihood(
                     g.mean, g.chol(), obs
                 )
+                ll = jnp.mean(ll, axis=0)
             else:
-                ll = scoring.diag_log_likelihood(mean, var, obs)
-            lls.append(jnp.mean(ll, axis=0))  # mean over obs realisations
+                ll = jnp.mean(scoring.diag_log_likelihood(mean, var, obs), axis=0)
+            lls.append(ll)  # mean over obs realisations
         lls_mean = jnp.stack(lls)  # (M, N)
 
         scaled = standardisation_constant * lls_mean

@@ -113,3 +113,36 @@ def test_prefit_checkpoint_roundtrip(rng, tmp_path):
     mc.save(path)
     back = load_model_collection(path)
     assert all(m.distribution is not None for m in back)
+
+
+def test_orbax_checkpoint_roundtrip(rng, tmp_path):
+    """ModelCollection.save(backend="orbax") round-trips data, climatology
+    and fitted posteriors exactly (ROADMAP: orbax backend)."""
+    from test_data import make_collection
+    from bayesian_ensembling_tpu.data import ModelCollection
+    from bayesian_ensembling_tpu.models.mean_field import MeanField
+
+    mc = make_collection(rng, n_models=2, n_reals=(2, 3), n_months=24)
+    mc = ModelCollection(
+        [
+            m.calculate_anomaly(climatology_dates=("2000-01-01", "2001-12-31"))
+            for m in mc
+        ]
+    )
+    mc.fit(MeanField(dtype=np.float64))
+    path = str(tmp_path / "ckpt_orbax")
+    mc.save(path, backend="orbax")
+    back = ModelCollection.load(path)
+    assert back.model_names == mc.model_names
+    for a, b in zip(mc, back):
+        np.testing.assert_array_equal(a.data.values, b.data.values)
+        np.testing.assert_array_equal(a.time, b.time)
+        np.testing.assert_array_equal(a.climatology, b.climatology)
+        np.testing.assert_allclose(
+            np.asarray(a.distribution.gaussian.mean),
+            np.asarray(b.distribution.gaussian.mean),
+        )
+        np.testing.assert_allclose(
+            np.asarray(a.distribution.gaussian.variance),
+            np.asarray(b.distribution.gaussian.variance),
+        )

@@ -72,3 +72,41 @@ def test_pmt_with_gpdtw1d(rng, tmp_path):
     df = pmt.run(n_optim_nits=5)
     assert len(df) == 3
     assert np.isfinite(df.iloc[:, 1:].to_numpy(dtype=float)).all()
+
+
+def test_loglik_joint_option(rng):
+    """joint=True scores each obs trajectory under the full MVN posterior:
+    one weight per model (constant over points), still summing to 1."""
+    import scipy.stats
+
+    from test_data import make_da
+    from bayesian_ensembling_tpu.data import ModelCollection, ProcessModel
+    from bayesian_ensembling_tpu.models.gp_dtw import GPDTW1D
+
+    n_months = 18
+    da_obs = make_da(rng, n_reals=4, n_months=n_months)
+    obs = ProcessModel(da_obs, "obs")
+    models = [
+        ProcessModel(make_da(rng, n_reals=3, n_months=n_months), f"m{i}")
+        for i in range(3)
+    ]
+    mc = ModelCollection(models)
+    mc.fit(GPDTW1D(dtype=np.float64), n_optim_nits=5, dba_iterations=2)
+
+    w = bet.LogLikelihoodWeight()(mc, obs, joint=True)
+    vals = np.asarray(w.values)
+    np.testing.assert_allclose(vals.sum(axis=0), 1.0, rtol=1e-8)
+    # Constant over points (one weight per model).
+    assert np.allclose(vals, vals[:, :1])
+
+    # Golden: softmax of the mean joint MVN log-density (scipy oracle).
+    lls = []
+    for pm in mc:
+        g = pm.distribution.gaussian
+        mvn = scipy.stats.multivariate_normal(
+            np.asarray(g.mean), np.asarray(g.cov), allow_singular=True
+        )
+        lls.append(np.mean(mvn.logpdf(da_obs.values)))
+    want = np.exp(lls - np.max(lls))
+    want = want / want.sum()
+    np.testing.assert_allclose(vals[:, 0], want, rtol=1e-5)
