@@ -14,7 +14,7 @@ import typing as tp
 
 import numpy as np
 
-__all__ = ["available", "squared_dtw", "dtw_pairwise", "dba"]
+__all__ = ["available", "squared_dtw", "dtw_pairwise", "dba", "dba_batch"]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _REPO = os.path.dirname(os.path.dirname(_HERE))
@@ -29,12 +29,17 @@ def _build() -> bool:
     if not os.path.exists(_SRC):
         return False
     try:
-        subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", _LIB, _SRC],
-            check=True,
-            capture_output=True,
-            timeout=120,
-        )
+        cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", _LIB, _SRC]
+        try:
+            subprocess.run(
+                cmd[:2] + ["-fopenmp"] + cmd[2:],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+        except subprocess.SubprocessError:
+            # toolchains without libgomp still get the serial build
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return True
     except (OSError, subprocess.SubprocessError):
         return False
@@ -58,6 +63,10 @@ def _load() -> tp.Optional[ctypes.CDLL]:
     lib.bet_dtw_pairwise.argtypes = [dptr, ctypes.c_int, ctypes.c_int, dptr]
     lib.bet_dba.restype = None
     lib.bet_dba.argtypes = [dptr, ctypes.c_int, ctypes.c_int, ctypes.c_int, dptr]
+    lib.bet_dba_batch.restype = None
+    lib.bet_dba_batch.argtypes = [
+        dptr, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, dptr
+    ]
     _lib = lib
     return _lib
 
@@ -104,4 +113,20 @@ def dba(series: np.ndarray, n_iterations: int = 10) -> np.ndarray:
     out = np.empty((t,), dtype=np.float64)
     dp = ctypes.POINTER(ctypes.c_double)
     lib.bet_dba(s.ctypes.data_as(dp), r, t, n_iterations, out.ctypes.data_as(dp))
+    return out
+
+
+def dba_batch(series: np.ndarray, n_iterations: int = 10) -> np.ndarray:
+    """DBA for a whole (B, R, T) stack of models, OpenMP-parallel over B
+    (medoid init, matching ``bet_dba``)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native DTW library unavailable")
+    s = _as_c(series)
+    b, r, t = s.shape
+    out = np.empty((b, t), dtype=np.float64)
+    dp = ctypes.POINTER(ctypes.c_double)
+    lib.bet_dba_batch(
+        s.ctypes.data_as(dp), b, r, t, n_iterations, out.ctypes.data_as(dp)
+    )
     return out

@@ -19,6 +19,10 @@
 #include <limits>
 #include <vector>
 
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
 namespace {
 
 // Cost-only squared-DTW with two rolling rows: O(T) memory.
@@ -98,7 +102,11 @@ double bet_squared_dtw(const double* a, const double* b, int n) {
 }
 
 // All-pairs squared-DTW matrix: series (r, t) row-major -> out (r, r).
+// The r(r-1)/2 alignment problems are independent -> OpenMP parallel.
 void bet_dtw_pairwise(const double* series, int r, int t, double* out) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic)
+#endif
   for (int i = 0; i < r; ++i) {
     out[i * r + i] = 0.0;
     for (int j = i + 1; j < r; ++j) {
@@ -116,48 +124,86 @@ void bet_dba(const double* series, int r, int t, int n_iters,
   // Medoid: the row minimising the summed squared-DTW to all others.
   int medoid = 0;
   double best = std::numeric_limits<double>::infinity();
+  std::vector<double> row_ss(r, 0.0);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic)
+#endif
   for (int i = 0; i < r; ++i) {
     double ss = 0.0;
     for (int j = 0; j < r; ++j) {
       if (i == j) continue;
       ss += sq_dtw_impl(series + i * t, series + j * t, t);
     }
-    if (ss < best) {
-      best = ss;
+    row_ss[i] = ss;
+  }
+  for (int i = 0; i < r; ++i) {
+    if (row_ss[i] < best) {
+      best = row_ss[i];
       medoid = i;
     }
   }
   std::vector<double> center(series + medoid * t, series + (medoid + 1) * t);
 
-  std::vector<double> cost(static_cast<size_t>(t) * t);
-  std::vector<int8_t> move(static_cast<size_t>(t) * t);
   std::vector<double> sums(t), counts(t);
 
   for (int it = 0; it < n_iters; ++it) {
     std::fill(sums.begin(), sums.end(), 0.0);
     std::fill(counts.begin(), counts.end(), 0.0);
-    for (int sdx = 0; sdx < r; ++sdx) {
-      const double* s = series + static_cast<size_t>(sdx) * t;
-      dtw_path(center.data(), s, t, cost, move);
-      int i = t - 1, j = t - 1;
-      while (true) {
-        sums[i] += s[j];
-        counts[i] += 1.0;
-        const int8_t mv = move[static_cast<size_t>(i) * t + j];
-        if (mv == -1) break;
-        if (mv == 0) {
-          --i;
-          --j;
-        } else if (mv == 1) {
-          --j;
-        } else {
-          --i;
+    // Alignments against the fixed centre are independent: accumulate into
+    // thread-local buffers, reduce afterwards (deterministic order).
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+    {
+      std::vector<double> cost(static_cast<size_t>(t) * t);
+      std::vector<int8_t> move(static_cast<size_t>(t) * t);
+      std::vector<double> lsums(t, 0.0), lcounts(t, 0.0);
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic) nowait
+#endif
+      for (int sdx = 0; sdx < r; ++sdx) {
+        const double* s = series + static_cast<size_t>(sdx) * t;
+        dtw_path(center.data(), s, t, cost, move);
+        int i = t - 1, j = t - 1;
+        while (true) {
+          lsums[i] += s[j];
+          lcounts[i] += 1.0;
+          const int8_t mv = move[static_cast<size_t>(i) * t + j];
+          if (mv == -1) break;
+          if (mv == 0) {
+            --i;
+            --j;
+          } else if (mv == 1) {
+            --j;
+          } else {
+            --i;
+          }
         }
+      }
+#ifdef _OPENMP
+#pragma omp critical
+#endif
+      for (int k = 0; k < t; ++k) {
+        sums[k] += lsums[k];
+        counts[k] += lcounts[k];
       }
     }
     for (int k = 0; k < t; ++k) center[k] = sums[k] / counts[k];
   }
   std::memcpy(out_center, center.data(), sizeof(double) * t);
+}
+
+// Batched DBA over independent models: series (b, r, t) -> out (b, t).
+// Model-level parallelism (each model's DBA runs serially inside).
+void bet_dba_batch(const double* series, int b, int r, int t, int n_iters,
+                   double* out_centers) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic)
+#endif
+  for (int m = 0; m < b; ++m) {
+    bet_dba(series + static_cast<size_t>(m) * r * t, r, t, n_iters,
+            out_centers + static_cast<size_t>(m) * t);
+  }
 }
 
 }  // extern "C"

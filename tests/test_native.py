@@ -38,3 +38,13 @@ def test_native_dba_constant(rng):
     series = np.tile(np.linspace(0, 1, 15), (3, 1))
     out = native.dba(series, n_iterations=3)
     np.testing.assert_allclose(out, series[0], atol=1e-12)
+
+
+def test_native_dba_batch_matches_per_model(rng):
+    """bet_dba_batch (OpenMP over models) == per-model bet_dba exactly."""
+    if not native.available():
+        pytest.skip("native library unavailable")
+    s = rng.normal(size=(5, 4, 30))
+    batch = native.dba_batch(s, n_iterations=4)
+    solo = np.stack([native.dba(s[i], n_iterations=4) for i in range(5)])
+    np.testing.assert_allclose(batch, solo, rtol=1e-14)
