@@ -128,6 +128,7 @@ class LogLikelihoodWeight(AbstractWeight):
         standardisation_scheme=jnp.exp,
         standardisation_constant: float = 1.0,
         joint: bool = False,
+        account_obs_uncertainty: bool = False,
     ) -> DimArray:
         """``joint=True`` scores the *textbook* joint MVN log-likelihood of
         each observation trajectory under the full posterior (one weight per
@@ -136,10 +137,19 @@ class LogLikelihoodWeight(AbstractWeight):
         "exact log-marginal weight" option promised in ROADMAP.md."""
         means, varis = _posterior_moments(process_models)
         obs = _obs_flat(observations, means.dtype)
+        obs_var = jnp.var(obs, axis=0) if account_obs_uncertainty else None
+        if obs_var is not None:
+            varis = varis + obs_var[None, :]
 
         lls = []
         for pm, mean, var in zip(process_models, means, varis):
             g = pm.distribution.gaussian
+            if obs_var is not None and isinstance(g, FullCovGaussian):
+                # Error-in-observations: inflate the posterior covariance by
+                # the obs-ensemble variance diagonal before scoring.
+                from bayesian_ensembling_tpu.ops.distributions import FullCovGaussian as _FCG
+
+                g = _FCG(mean=g.mean, cov=g.cov + jnp.diag(obs_var))
             if joint:
                 # log N(obs_r; mu, Sigma) per obs realisation, averaged over
                 # realisations, broadcast constant over points so the output
@@ -346,9 +356,17 @@ class CRPSWeight(AbstractWeight):
         process_models: ModelCollection,
         observations: ProcessModel,
         compat_variance_as_scale: bool = False,
+        account_obs_uncertainty: bool = False,
     ) -> DimArray:
+        """``account_obs_uncertainty=True`` scores against
+        ``N(mu, var + var_obs)`` where ``var_obs`` is the per-point variance
+        of the observation ensemble (e.g. HadCRUT5's 200 members) — the
+        error-in-observations forecast distribution, so models are not
+        penalised for disagreement that is within observational spread."""
         means, varis = _posterior_moments(process_models)
         obs = _obs_flat(observations, means.dtype)
+        if account_obs_uncertainty:
+            varis = varis + jnp.var(obs, axis=0)[None, :]
         sigma = varis if compat_variance_as_scale else jnp.sqrt(varis)
         crps = jax.vmap(scoring.mean_gaussian_crps, in_axes=(0, 0, None))(
             means, sigma, obs

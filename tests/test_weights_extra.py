@@ -110,3 +110,37 @@ def test_loglik_joint_option(rng):
     want = np.exp(lls - np.max(lls))
     want = want / want.sum()
     np.testing.assert_allclose(vals[:, 0], want, rtol=1e-5)
+
+
+@pytest.mark.parametrize("weight_cls", ["CRPSWeight", "LogLikelihoodWeight"])
+def test_account_obs_uncertainty(rng, weight_cls):
+    """Error-in-observations scoring: the scorer sees var + var_obs.
+    A sharp model inside observational spread stops being over-penalised."""
+    from test_data import make_da
+    from bayesian_ensembling_tpu.data import ModelCollection, ProcessModel
+    from bayesian_ensembling_tpu.models.mean_field import MeanField
+
+    n_months = 24
+    time = (np.datetime64("2000-01", "M") + np.arange(n_months)).astype("datetime64[ns]")
+    from bayesian_ensembling_tpu.coords import DimArray
+
+    # obs: wide ensemble centred at 0
+    obs_vals = 0.8 * rng.normal(size=(30, n_months))
+    obs = ProcessModel(DimArray(obs_vals, ("realisation", "time"), {"time": time}), "obs")
+    # model A: sharp, centred at obs mean; model B: broad, offset
+    a = ProcessModel(DimArray(0.05 * rng.normal(size=(6, n_months)),
+                              ("realisation", "time"), {"time": time}), "sharp")
+    b = ProcessModel(DimArray(1.5 + 0.8 * rng.normal(size=(6, n_months)),
+                              ("realisation", "time"), {"time": time}), "offset")
+    mc = ModelCollection([a, b])
+    mc.fit(MeanField(dtype=np.float64))
+
+    cls = getattr(bet, weight_cls)
+    w_plain = np.asarray(cls()(mc, obs).values)
+    w_acct = np.asarray(cls()(mc, obs, account_obs_uncertainty=True).values)
+    np.testing.assert_allclose(w_acct.sum(axis=0), 1.0, rtol=1e-8)
+    assert not np.allclose(w_plain, w_acct)
+    # The sharp centred model's mean weight must improve once obs spread is
+    # credited to the forecast distribution.
+    assert w_acct[0].mean() > w_plain[0].mean() - 1e-12
+    assert w_acct[0].mean() > w_acct[1].mean()
