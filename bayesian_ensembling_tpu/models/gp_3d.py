@@ -90,8 +90,14 @@ class GPDTW3D(AbstractEmulator):
         mode: str = "batched",
         kernel: str = "matern32",
         dtype=jnp.float32,
+        config=None,
     ) -> None:
         super().__init__(name)
+        from bayesian_ensembling_tpu.utils.config import GPRParameters, SGPRParameters
+
+        self.config = config or (
+            SGPRParameters() if mode == "svgp" else GPRParameters(kernel=kernel)
+        )
         self.mode = mode
         self.kernel = kernel
         self.dtype = dtype
@@ -207,13 +213,23 @@ class GPDTW3D(AbstractEmulator):
     def fit_collection(
         self,
         collection: ModelCollection,
-        n_optim_nits: int = 500,
-        learning_rate: float = 0.01,
-        dba_iterations: int = 10,
-        n_inducing: int = 400,
-        minibatch_size: int = 500,
+        n_optim_nits: tp.Optional[int] = None,
+        learning_rate: tp.Optional[float] = None,
+        dba_iterations: tp.Optional[int] = None,
+        n_inducing: tp.Optional[int] = None,
+        minibatch_size: tp.Optional[int] = None,
         **_: tp.Any,
     ) -> tp.List[Posterior]:
+        cfg = self.config
+        n_optim_nits = cfg.n_optim_nits if n_optim_nits is None else n_optim_nits
+        learning_rate = cfg.learning_rate if learning_rate is None else learning_rate
+        dba_iterations = (
+            getattr(cfg, "dba_iterations", 10) if dba_iterations is None else dba_iterations
+        )
+        n_inducing = getattr(cfg, "n_inducing", 400) if n_inducing is None else n_inducing
+        minibatch_size = (
+            getattr(cfg, "minibatch_size", 500) if minibatch_size is None else minibatch_size
+        )
         for pm in collection:
             _check_dims(pm)
         if self.mode == "batched":

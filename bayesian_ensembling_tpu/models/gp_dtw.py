@@ -102,27 +102,40 @@ def emulate_batch(
 
 
 class GPDTW1D(AbstractEmulator):
-    """DBA-mean heteroskedastic GP emulator for 1-D (realisation, time) data."""
+    """DBA-mean heteroskedastic GP emulator for 1-D (realisation, time) data.
+
+    Defaults come from a typed :class:`~bayesian_ensembling_tpu.utils.config.
+    GPRParameters` config (the reinstated reference config contract,
+    SURVEY §5.6); explicit ``fit`` kwargs override it per call.
+    """
 
     def __init__(
         self,
         name: str = "GPRegressor",
-        kernel: str = "matern32",
+        kernel: tp.Optional[str] = None,
         dtype=jnp.float32,
+        config: tp.Optional["GPRParameters"] = None,
     ) -> None:
         super().__init__(name)
-        self.kernel = kernel
+        from bayesian_ensembling_tpu.utils.config import GPRParameters
+
+        self.config = config or GPRParameters()
+        self.kernel = kernel if kernel is not None else self.config.kernel
         self.dtype = dtype
 
     def fit_collection(
         self,
         collection: ModelCollection,
-        n_optim_nits: int = 500,
-        learning_rate: float = 0.01,
-        dba_iterations: int = 10,
+        n_optim_nits: tp.Optional[int] = None,
+        learning_rate: tp.Optional[float] = None,
+        dba_iterations: tp.Optional[int] = None,
         optimizer: str = "adam",
         **_: tp.Any,
     ) -> tp.List[Posterior]:
+        cfg = self.config
+        n_optim_nits = cfg.n_optim_nits if n_optim_nits is None else n_optim_nits
+        learning_rate = cfg.learning_rate if learning_rate is None else learning_rate
+        dba_iterations = cfg.dba_iterations if dba_iterations is None else dba_iterations
         if collection[0].ndim > 2:
             raise NotImplementedError(
                 "GPDTW1D handles (realisation, time) data only — use GPDTW3D "

@@ -82,17 +82,27 @@ def _masked_moments(block: np.ndarray, mask: np.ndarray):
 class MeanField(AbstractEmulator):
     """Mean-field Gaussian emulator (reference ``MeanFieldApproximation``)."""
 
-    def __init__(self, name: str = "MeanFieldModel", dtype=jnp.float32) -> None:
+    def __init__(
+        self, name: str = "MeanFieldModel", dtype=jnp.float32, config=None
+    ) -> None:
         super().__init__(name)
+        from bayesian_ensembling_tpu.utils.config import Parameters
+
+        # Closed-form MLE is exact, so the refinement default is 0 steps.
+        self.config = config or Parameters(n_optim_nits=0)
         self.dtype = dtype
 
     def fit_collection(
         self,
         collection: ModelCollection,
-        n_optim_nits: int = 0,
-        learning_rate: float = 0.01,
+        n_optim_nits: tp.Optional[int] = None,
+        learning_rate: tp.Optional[float] = None,
         **_: tp.Any,
     ) -> tp.List[Posterior]:
+        if n_optim_nits is None:
+            n_optim_nits = self.config.n_optim_nits
+        if learning_rate is None:
+            learning_rate = self.config.learning_rate
         block, mask = collection.padded_stack(dtype=np.dtype(self.dtype))
         mean, var = _masked_moments(block, mask)
         if n_optim_nits > 0:
