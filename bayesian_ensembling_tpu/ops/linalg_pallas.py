@@ -606,8 +606,12 @@ def _nlml_bwd(res, cots):
     g_quad, g_logdet = cots  # (B,), (B,)
     w = tri_inv_batched(lt)  # (T, T, B) rows of W = L^-1
     w_btt = jnp.transpose(w, (2, 0, 1))  # (B, T, T)
+    # DEFAULT precision (bf16 multiplicands, f32 accumulation): K^-1 here
+    # only steers the hyperparameter gradient — measured ~50 us/step cheaper
+    # at (112, 165) with no effect on converged moments (bench parity gate
+    # margin unchanged; see BASELINE.md).
     kinv = jnp.matmul(
-        jnp.swapaxes(w_btt, -1, -2), w_btt, precision=jax.lax.Precision.HIGHEST
+        jnp.swapaxes(w_btt, -1, -2), w_btt, precision=jax.lax.Precision.DEFAULT
     )  # (B, T, T) = W^T W
     alpha_bt = alpha.T  # (B, T)
     outer = alpha_bt[:, :, None] * alpha_bt[:, None, :]
