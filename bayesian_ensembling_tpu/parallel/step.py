@@ -35,7 +35,9 @@ __all__ = [
     "emulate_marginals",
     "fused_raw_weights",
     "ensemble_scenario_step",
+    "ensemble_multi_scenario_step",
     "make_sharded_step",
+    "make_sharded_multi_scenario_step",
     "WEIGHT_KINDS",
 ]
 
@@ -224,6 +226,7 @@ def ensemble_multi_scenario_step(
     dba_iterations: int = 10,
     weight_kind: str = "crps",
     optimizer: str = "adam",
+    model_axis: tp.Optional[str] = None,
 ):
     """All scenarios in ONE program by merging the (scenario, model) axes.
 
@@ -232,6 +235,11 @@ def ensemble_multi_scenario_step(
     sequential scenario programs; the per-scenario weighting/barycentre tail
     is cheap elementwise work.  Returns (bary_mean (S, T_ssp), bary_std,
     weights (S, M)).
+
+    When ``model_axis`` names a live shard_map axis, the per-scenario
+    cross-model couplings become psums over it (the sharded-bench
+    configuration: scenarios batched, models sharded — see
+    make_sharded_multi_scenario_step).
     """
     s, m, r, t_hist = hist_blocks.shape
     t_ssp = ssp_blocks.shape[-1]
@@ -255,16 +263,62 @@ def ensemble_multi_scenario_step(
     ssp_var = ssp_var.reshape(s, m, t_ssp)
 
     raw = jax.vmap(
-        functools.partial(fused_raw_weights, weight_kind),
+        functools.partial(fused_raw_weights, weight_kind, model_axis=model_axis),
         in_axes=(0, 0, None, 0, 0, 0),
     )(hist_mean, hist_var, obs, hist_blocks, hist_masks, model_masks)
     raw = raw * model_masks[:, :, None]
-    weights_t = raw / jnp.sum(raw, axis=1, keepdims=True)
+    total = jnp.sum(raw, axis=1, keepdims=True)
+    if model_axis is not None:
+        total = jax.lax.psum(total, model_axis)
+    weights_t = raw / total
     weights = jnp.mean(weights_t, axis=2)  # (S, M)
 
     bary_mean = jnp.sum(weights[:, :, None] * ssp_mean, axis=1)
     bary_std = jnp.sum(weights[:, :, None] * jnp.sqrt(ssp_var), axis=1)
+    if model_axis is not None:
+        bary_mean = jax.lax.psum(bary_mean, model_axis)
+        bary_std = jax.lax.psum(bary_std, model_axis)
     return bary_mean, bary_std, weights
+
+
+def make_sharded_multi_scenario_step(
+    mesh: Mesh,
+    model_axis: str = "model",
+    *,
+    kernel_name: str = "matern32",
+    n_optim_nits: int = 500,
+    learning_rate: float = 0.01,
+    dba_iterations: int = 10,
+    weight_kind: str = "crps",
+    optimizer: str = "adam",
+):
+    """The headline bench's multi-chip form: ALL scenarios in one program,
+    scenario axis batched on every device, model axis sharded over ``mesh``.
+
+    On a v5e-8 each chip fits S x M/8 emulators; the only collectives are
+    the per-scenario weight-normalisation psum and barycentre psums.
+    """
+    fn = functools.partial(
+        ensemble_multi_scenario_step,
+        kernel_name=kernel_name,
+        n_optim_nits=n_optim_nits,
+        learning_rate=learning_rate,
+        dba_iterations=dba_iterations,
+        weight_kind=weight_kind,
+        optimizer=optimizer,
+        model_axis=model_axis,
+    )
+    from jax import shard_map
+
+    p_sm = P(None, model_axis)
+    smapped = shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(p_sm, p_sm, p_sm, p_sm, P(), p_sm),
+        out_specs=(P(), P(), p_sm),
+        check_vma=False,
+    )
+    return jax.jit(smapped)
 
 
 def make_sharded_step(

@@ -1,5 +1,6 @@
 """Sharded fused-step tests on the 8-device virtual CPU mesh."""
 
+import functools
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -182,3 +183,36 @@ def test_fused_weights_match_library_path(rng):
             fused, np.asarray(lib.values), rtol=1e-6, atol=1e-10,
             err_msg=f"fused {kind} != library path",
         )
+
+
+def test_sharded_multi_scenario_matches_unsharded():
+    """The headline bench's multi-chip form: scenario axis batched, model
+    axis sharded — must equal the unsharded merged program."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from bayesian_ensembling_tpu.parallel.step import (
+        ensemble_multi_scenario_step,
+        make_sharded_multi_scenario_step,
+    )
+
+    rng = np.random.default_rng(0)
+    s, m, r, th, ts, ro = 3, 8, 3, 18, 10, 4
+    hb = jnp.asarray(rng.normal(size=(s, m, r, th)).astype(np.float32))
+    hm = jnp.ones((s, m, r), bool)
+    sb = jnp.asarray(rng.normal(size=(s, m, r, ts)).astype(np.float32))
+    sm_ = jnp.ones((s, m, r), bool)
+    obs = jnp.asarray(rng.normal(size=(ro, th)).astype(np.float32))
+    mm = jnp.ones((s, m), jnp.float32)
+
+    want = jax.jit(
+        functools.partial(
+            ensemble_multi_scenario_step, n_optim_nits=3, dba_iterations=2
+        )
+    )(hb, hm, sb, sm_, obs, mm)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("model",))
+    step = make_sharded_multi_scenario_step(mesh, n_optim_nits=3, dba_iterations=2)
+    got = step(hb, hm, sb, sm_, obs, mm)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=2e-4, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(got[2]).sum(axis=1), np.ones(s), rtol=1e-5)
