@@ -1,0 +1,215 @@
+"""Serving layer: query fitted ensemble projections without refitting.
+
+Production surface for the framework's outputs: the full experiment's
+per-scenario barycentre posteriors are saved once as compact artifacts, and
+a :class:`ProjectionService` answers warming-projection queries (mean +
+credible interval at any year) from them — in-process or over HTTP (stdlib
+``http.server``; no extra dependencies).
+
+The reference has no serving story (its experiment script prints intervals
+and exits, ``full_experiment_script.py:146-214``); this closes the loop from
+"research script" to "deployable artifact".
+
+Build artifacts:        python -m bayesian_ensembling_tpu.serve build --out DIR
+Serve them:             python -m bayesian_ensembling_tpu.serve serve --artifacts DIR --port 8765
+Query:                  GET /scenarios
+                        GET /project?scenario=ssp585&year=2100&interval=0.95
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import typing as tp
+
+import numpy as np
+
+__all__ = ["ProjectionService", "build_artifacts"]
+
+# two-sided Gaussian quantile for common intervals (avoids a scipy dep)
+_Z = {0.5: 0.6744897501960817, 0.68: 0.9944578832097532,
+      0.9: 1.6448536269514722, 0.95: 1.959963984540054,
+      0.99: 2.5758293035489004}
+
+
+def _zvalue(interval: float) -> float:
+    if interval in _Z:
+        return _Z[interval]
+    # Acklam-style rational approximation of the normal quantile.
+    p = 0.5 + interval / 2.0
+    t = math.sqrt(-2.0 * math.log(1.0 - p))
+    return t - (2.515517 + 0.802853 * t + 0.010328 * t * t) / (
+        1.0 + 1.432788 * t + 0.189269 * t * t + 0.001308 * t * t * t
+    )
+
+
+class ProjectionService:
+    """Answers projection queries from saved per-scenario posteriors."""
+
+    def __init__(self, artifacts: tp.Dict[str, tp.Dict[str, np.ndarray]]):
+        # artifacts[ssp] = {"years": (T,), "mean": (T,), "std": (T,)}
+        self._art = artifacts
+
+    # ------------------------------------------------------------ factories
+    @classmethod
+    def from_results(cls, results: tp.Dict[str, tp.Any]) -> "ProjectionService":
+        """Build from ``pipeline.ScenarioResult`` objects."""
+        from bayesian_ensembling_tpu.io import timeutils
+
+        art = {}
+        for ssp, res in results.items():
+            post = res.barycentre
+            art[ssp] = {
+                "years": timeutils.years_of(post.template.time).astype(np.int64),
+                "mean": np.asarray(post.gaussian.mean, np.float64),
+                "std": np.sqrt(np.asarray(post.gaussian.variance, np.float64)),
+            }
+        return cls(art)
+
+    @classmethod
+    def load(cls, directory: str) -> "ProjectionService":
+        art = {}
+        for fn in sorted(os.listdir(directory)):
+            if fn.endswith(".npz"):
+                with np.load(os.path.join(directory, fn)) as z:
+                    art[fn[:-4]] = {k: z[k] for k in ("years", "mean", "std")}
+        if not art:
+            raise FileNotFoundError(f"no projection artifacts under {directory}")
+        return cls(art)
+
+    def save(self, directory: str) -> None:
+        os.makedirs(directory, exist_ok=True)
+        for ssp, a in self._art.items():
+            np.savez_compressed(os.path.join(directory, f"{ssp}.npz"), **a)
+
+    # -------------------------------------------------------------- queries
+    def scenarios(self) -> tp.List[str]:
+        return sorted(self._art)
+
+    def project(
+        self, scenario: str, year: int, interval: float = 0.95
+    ) -> tp.Dict[str, float]:
+        """Warming mean + central credible interval at the nearest year."""
+        if scenario not in self._art:
+            raise KeyError(
+                f"unknown scenario {scenario!r}; have {self.scenarios()}"
+            )
+        if not 0.0 < interval < 1.0:
+            raise ValueError("interval must be in (0, 1)")
+        a = self._art[scenario]
+        idx = int(np.argmin(np.abs(a["years"] - int(year))))
+        z = _zvalue(interval)
+        mean = float(a["mean"][idx])
+        std = float(a["std"][idx])
+        return {
+            "scenario": scenario,
+            "year": int(a["years"][idx]),
+            "mean": mean,
+            "lo": mean - z * std,
+            "hi": mean + z * std,
+            "interval": interval,
+        }
+
+    def trajectory(self, scenario: str) -> tp.Dict[str, tp.List[float]]:
+        a = self._art[scenario]
+        return {
+            "years": a["years"].tolist(),
+            "mean": a["mean"].tolist(),
+            "std": a["std"].tolist(),
+        }
+
+    # ----------------------------------------------------------------- http
+    def make_http_server(self, host: str = "127.0.0.1", port: int = 8765):
+        """stdlib HTTP server exposing /scenarios, /project, /trajectory."""
+        import http.server
+        import urllib.parse
+
+        service = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _reply(self, code: int, payload):
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                url = urllib.parse.urlparse(self.path)
+                q = urllib.parse.parse_qs(url.query)
+                try:
+                    if url.path == "/scenarios":
+                        self._reply(200, {"scenarios": service.scenarios()})
+                    elif url.path == "/project":
+                        self._reply(200, service.project(
+                            q["scenario"][0],
+                            int(q["year"][0]),
+                            float(q.get("interval", ["0.95"])[0]),
+                        ))
+                    elif url.path == "/trajectory":
+                        self._reply(200, service.trajectory(q["scenario"][0]))
+                    else:
+                        self._reply(404, {"error": f"unknown path {url.path}"})
+                except (KeyError, ValueError, IndexError) as e:
+                    self._reply(400, {"error": str(e)})
+
+        return http.server.ThreadingHTTPServer((host, port), Handler)
+
+
+def build_artifacts(
+    out_dir: str,
+    ssps: tp.Sequence[str] = None,
+    data_dir: tp.Optional[str] = None,
+    n_optim_nits: int = 2000,
+) -> "ProjectionService":
+    """Run the full experiment and save serving artifacts (one fit, then
+    serve forever)."""
+    from bayesian_ensembling_tpu import pipeline
+
+    ssps = list(ssps or pipeline.ALL_SSPS)
+    obs = pipeline.load_observations(data_dir)
+    results = {}
+    for ssp in ssps:
+        hist, ssp_mc = pipeline.load_scenario(ssp, data_dir)
+        results[ssp] = pipeline.run_scenario(
+            hist, ssp_mc, obs, ssp, n_optim_nits=n_optim_nits
+        )
+    svc = ProjectionService.from_results(results)
+    svc.save(out_dir)
+    return svc
+
+
+def main(argv: tp.Optional[tp.Sequence[str]] = None):
+    import argparse
+
+    ap = argparse.ArgumentParser(prog="bayesian_ensembling_tpu.serve")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    b = sub.add_parser("build")
+    b.add_argument("--out", required=True)
+    b.add_argument("--ssps", default=None)
+    b.add_argument("--data-dir", default=None)
+    b.add_argument("--n-optim-nits", type=int, default=2000)
+    s = sub.add_parser("serve")
+    s.add_argument("--artifacts", required=True)
+    s.add_argument("--host", default="127.0.0.1")
+    s.add_argument("--port", type=int, default=8765)
+    args = ap.parse_args(argv)
+
+    if args.cmd == "build":
+        ssps = args.ssps.split(",") if args.ssps else None
+        svc = build_artifacts(args.out, ssps, args.data_dir, args.n_optim_nits)
+        print(f"saved artifacts for {svc.scenarios()} to {args.out}")
+    else:
+        svc = ProjectionService.load(args.artifacts)
+        server = svc.make_http_server(args.host, args.port)
+        print(f"serving {svc.scenarios()} on http://{args.host}:{args.port}")
+        server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

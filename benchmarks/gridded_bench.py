@@ -46,6 +46,9 @@ def main():
     n_iters = int(sys.argv[1]) if len(sys.argv) > 1 else 500
     la = int(sys.argv[2]) if len(sys.argv) > 2 else 36
     lo = int(sys.argv[3]) if len(sys.argv) > 3 else 72
+    # Grids beyond HBM (the GP gram stat alone is C*M*T^2*4 bytes) process in
+    # cell slabs through one compiled program; 0 = whole grid at once.
+    slab = int(sys.argv[4]) if len(sys.argv) > 4 else 0
     c = la * lo
     m, r, t = gc.M, gc.R, gc.T
     print(f"devices: {jax.devices()}", file=sys.stderr)
@@ -62,17 +65,36 @@ def main():
         for leaf in jax.tree_util.tree_leaves(tree):
             np.asarray(leaf)
 
-    b_j = jnp.asarray(block)
-    o_j = jnp.asarray(obs)
+    def run_once():
+        if not slab or slab >= c:
+            out = step(jnp.asarray(block), jnp.asarray(obs))
+            sync(out)
+            return np.asarray(out[0], np.float64), np.asarray(out[1], np.float64)
+        means, stds = [], []
+        for lo_ in range(0, c, slab):
+            hi = min(lo_ + slab, c)
+            if hi - lo_ < slab:  # pad the ragged final slab to reuse the XLA program
+                pad = slab - (hi - lo_)
+                bsl = np.concatenate([block[:, lo_:hi], block[:, :pad]], axis=1)
+                osl = np.concatenate([obs[lo_:hi], obs[:pad]], axis=0)
+            else:
+                pad = 0
+                bsl, osl = block[:, lo_:hi], obs[lo_:hi]
+            out = step(jnp.asarray(bsl), jnp.asarray(osl))
+            m = np.asarray(out[0], np.float64)
+            s = np.asarray(out[1], np.float64)
+            if pad:
+                m, s = m[: hi - lo_], s[: hi - lo_]
+            means.append(m)
+            stds.append(s)
+        return np.concatenate(means), np.concatenate(stds)
+
     t0 = time.perf_counter()
-    sync(step(b_j, o_j))
+    run_once()
     print(f"warmup: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
     t0 = time.perf_counter()
-    out = step(b_j, o_j)
-    sync(out)
+    bary_mean, bary_std = run_once()
     elapsed = time.perf_counter() - t0
-    bary_mean = np.asarray(out[0], dtype=np.float64)
-    bary_std = np.asarray(out[1], dtype=np.float64)
     assert np.isfinite(bary_mean).all()
 
     parity_mean = parity_std = None

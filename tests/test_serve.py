@@ -1,0 +1,113 @@
+"""Serving layer: artifact round-trip, projection queries, HTTP endpoint."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from bayesian_ensembling_tpu.serve import ProjectionService, _zvalue
+
+
+def make_service():
+    years = np.arange(2015, 2101)
+    t = years.size
+    art = {
+        "ssp585": {
+            "years": years,
+            "mean": np.linspace(1.0, 6.0, t),
+            "std": np.linspace(0.1, 0.3, t),
+        },
+        "ssp119": {
+            "years": years,
+            "mean": np.linspace(1.0, 1.5, t),
+            "std": np.full(t, 0.2),
+        },
+    }
+    return ProjectionService(art)
+
+
+def test_project_and_intervals():
+    svc = make_service()
+    out = svc.project("ssp585", 2100)
+    assert out["year"] == 2100
+    np.testing.assert_allclose(out["mean"], 6.0)
+    np.testing.assert_allclose(out["hi"] - out["mean"], 1.959963984540054 * 0.3, rtol=1e-9)
+    # nearest-year snapping
+    assert svc.project("ssp585", 2300)["year"] == 2100
+    with pytest.raises(KeyError):
+        svc.project("nope", 2100)
+    with pytest.raises(ValueError):
+        svc.project("ssp585", 2100, interval=1.5)
+
+
+def test_zvalue_approximation():
+    import math
+
+    # rational approx within 2e-3 of the exact quantiles on odd intervals
+    for interval, exact in [(0.8, 1.2815515655446004), (0.3, 0.38532046640756773)]:
+        assert abs(_zvalue(interval) - exact) < 2e-3, interval
+    assert _zvalue(0.95) == pytest.approx(1.959963984540054)
+
+
+def test_save_load_roundtrip(tmp_path):
+    svc = make_service()
+    svc.save(str(tmp_path))
+    back = ProjectionService.load(str(tmp_path))
+    assert back.scenarios() == ["ssp119", "ssp585"]
+    np.testing.assert_allclose(
+        back.project("ssp119", 2050)["mean"], svc.project("ssp119", 2050)["mean"]
+    )
+    traj = back.trajectory("ssp585")
+    assert len(traj["years"]) == 86
+
+
+def test_http_endpoint():
+    svc = make_service()
+    server = svc.make_http_server(port=0)  # ephemeral port
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/scenarios") as r:
+            assert json.load(r)["scenarios"] == ["ssp119", "ssp585"]
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/project?scenario=ssp585&year=2100"
+        ) as r:
+            out = json.load(r)
+        assert out["year"] == 2100 and out["mean"] == pytest.approx(6.0)
+        # bad requests get a 400 with an error body
+        try:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/project?scenario=zz&year=2100")
+            assert False, "expected HTTPError"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "unknown scenario" in json.load(e)["error"]
+    finally:
+        server.shutdown()
+
+
+def test_from_results_pipeline_types(rng):
+    """from_results consumes real ScenarioResult objects."""
+    import dataclasses
+
+    from bayesian_ensembling_tpu.coords import DimArray
+    from bayesian_ensembling_tpu.data import Posterior
+    from bayesian_ensembling_tpu.ops.distributions import DiagGaussian
+    from bayesian_ensembling_tpu.pipeline import ScenarioResult
+
+    t = 10
+    time = (np.datetime64("2015", "Y") + np.arange(t)).astype("datetime64[ns]")
+    template = DimArray(np.full((t,), np.nan), ("time",), {"time": time})
+    post = Posterior(
+        gaussian=DiagGaussian(
+            mean=np.linspace(0, 1, t), var=np.full(t, 0.04)
+        ),
+        template=template,
+    )
+    res = ScenarioResult("sspX", None, post, 0.0, 0.0)
+    svc = ProjectionService.from_results({"sspX": res})
+    out = svc.project("sspX", 2024)
+    assert out["year"] == 2024
+    np.testing.assert_allclose(out["mean"], 1.0)
