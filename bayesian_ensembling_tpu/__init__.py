@@ -44,11 +44,11 @@ def __getattr__(name: str):
     # ``plotters`` pulls in matplotlib; import it lazily so the core library
     # works in plotting-free installs (ADVICE r1: eager import broke a clean
     # ``pip install bayesian_ensembling_tpu``).
-    if name == "plotters":
+    if name in ("plotters", "serve"):
         import importlib
 
-        module = importlib.import_module("bayesian_ensembling_tpu.plotters")
-        globals()["plotters"] = module
+        module = importlib.import_module(f"bayesian_ensembling_tpu.{name}")
+        globals()[name] = module
         return module
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
@@ -57,6 +57,7 @@ __all__ = [
     "metrics",
     "pipeline",
     "plotters",
+    "serve",
     "DimArray",
     "GPDTW3D",
     "PerfectModelTest",
