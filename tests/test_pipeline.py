@@ -119,3 +119,25 @@ def test_run_gridded_scenario_end_to_end(rng):
     assert bary.mean.dims == ("time", "latitude", "longitude")
     assert np.isfinite(bary.mean.values).all()
     assert (bary.variance.values > 0).all()
+
+
+@needs_data
+def test_single_site_rbf_fit_on_hadcrut5():
+    """BASELINE.json config 1: single-site exact-GP fit (RBF kernel) to the
+    HadCRUT5 GMST series itself."""
+    from bayesian_ensembling_tpu.models.gp_dtw import GPDTW1D
+
+    obs = pipeline.load_observations()  # 200 realisations x 165 annual steps
+    post = GPDTW1D(kernel="rbf", dtype=np.float64).fit(
+        obs, n_optim_nits=20, dba_iterations=2
+    )
+    mean = np.asarray(post.gaussian.mean)
+    assert mean.shape == (165,)
+    assert np.isfinite(mean).all()
+    # The fitted emulator mean must track the observed ensemble mean.
+    obs_mean = obs.data.values.mean(axis=0)
+    rmse = np.sqrt(np.mean((mean - obs_mean) ** 2))
+    assert rmse < 0.1, rmse
+    # Posterior variance positive and finite everywhere.
+    var = np.asarray(post.gaussian.variance)
+    assert (var > 0).all() and np.isfinite(var).all()
