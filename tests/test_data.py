@@ -175,3 +175,40 @@ def test_anomaly_resample_frequencies(rng, freq, n_out):
         np.testing.assert_allclose(
             anom.data.values[:, 0], raw.data.values[:, :3].mean(axis=1)
         )
+
+
+def test_single_realisation_model_full_pipeline(rng):
+    """R=1 models (several bundled CMIP6 members have one realisation) must
+    survive fit -> weight -> combine: the across-realisation variance guard
+    (y_var floor) keeps the heteroskedastic noise positive."""
+    import bayesian_ensembling_tpu as bet
+    from bayesian_ensembling_tpu.models.gp_dtw import GPDTW1D
+
+    models = [
+        ProcessModel(make_da(rng, n_reals=1, n_months=18), "single"),
+        ProcessModel(make_da(rng, n_reals=4, n_months=18), "multi"),
+    ]
+    mc = ModelCollection(models)
+    mc.fit(GPDTW1D(dtype=np.float64), n_optim_nits=3, dba_iterations=1)
+    obs = ProcessModel(make_da(rng, n_reals=3, n_months=18), "obs")
+    w = bet.CRPSWeight()(mc, obs)
+    np.testing.assert_allclose(np.asarray(w.values).sum(axis=0), 1.0, rtol=1e-6)
+    post = bet.Barycentre()(mc, w)
+    assert np.isfinite(np.asarray(post.gaussian.mean)).all()
+    assert (np.asarray(post.gaussian.variance) > 0).all()
+
+
+def test_single_model_collection_weights_are_one(rng):
+    import bayesian_ensembling_tpu as bet
+    from bayesian_ensembling_tpu.models.mean_field import MeanField
+
+    mc = ModelCollection([ProcessModel(make_da(rng, n_reals=3, n_months=10), "only")])
+    mc.fit(MeanField(dtype=np.float64))
+    w = bet.UniformWeight()(mc)
+    np.testing.assert_allclose(np.asarray(w.values), 1.0)
+    post = bet.Barycentre()(mc, w)
+    np.testing.assert_allclose(
+        np.asarray(post.gaussian.mean),
+        np.asarray(mc[0].distribution.gaussian.mean),
+        rtol=1e-12,
+    )
