@@ -68,6 +68,16 @@ def _make_dtw_cost_kernel(t: int):
     return kernel
 
 
+def _lanes_for(t_pad: int, bytes_per_elem: int, requested: int, n: int) -> int:
+    """Largest 128-multiple lane chunk whose (T_pad, lanes) working set fits
+    the VMEM budget — annual workloads (T ~ 165) keep the wide defaults,
+    monthly resolutions (T = 1032-1980) shrink the chunk instead of
+    overflowing VMEM."""
+    budget = 12 * 2**20
+    fit = max(budget // (t_pad * bytes_per_elem) // 128 * 128, 128)
+    return min(requested, fit, max(-(-n // 128) * 128, 128))
+
+
 def squared_dtw_cost_batch(centers: jnp.ndarray, series: jnp.ndarray, lanes: int = 2048) -> jnp.ndarray:
     """Squared-DTW cost for a batch of equal-length alignment problems.
 
@@ -80,7 +90,8 @@ def squared_dtw_cost_batch(centers: jnp.ndarray, series: jnp.ndarray, lanes: int
     """
     n, t = centers.shape
     t_pad = -(-t // 8) * 8  # dynamic_rotate needs 8-aligned sublanes
-    lanes = min(lanes, max(-(-n // 128) * 128, 128))
+    # ~5 f32 buffers + loop carries ≈ 24 B per (row, lane) element.
+    lanes = _lanes_for(t_pad, 24, lanes, n)
     n_pad = -(-n // lanes) * lanes
     c = jnp.pad(centers, ((0, n_pad - n), (0, t_pad - t))).T  # (Tp, N_pad)
     s_rev = jnp.pad(series[:, ::-1], ((0, n_pad - n), (0, t_pad - t))).T
@@ -259,7 +270,9 @@ def dba_update_batch(
     """
     n, t = centers.shape
     tp_ = -(-t // 32) * 32  # 32-aligned sublanes: int8 tile is (32, 128)
-    lanes = min(lanes, max(-(-n // 128) * 128, 128))
+    # 4 f32 in/out buffers + ~7 f32 backward carries + 4 int8 staging slots
+    # ≈ 48 B per (row, lane) element.
+    lanes = _lanes_for(tp_, 48, lanes, n)
     n_pad = -(-n // lanes) * lanes
     c = jnp.pad(centers, ((0, n_pad - n), (0, tp_ - t))).T  # (Tp, N_pad)
     s_rev = jnp.pad(series[:, ::-1], ((0, n_pad - n), (0, tp_ - t))).T

@@ -244,11 +244,10 @@ def posterior_marginals_batch(
     )
     w = tri_inv_batched(lt)  # (T, T, B) rows of W = L^-1
     w_btt = jnp.transpose(w, (2, 0, 1))
-    kinv = jnp.matmul(
-        jnp.swapaxes(w_btt, -1, -2), w_btt, precision=jax.lax.Precision.HIGHEST
-    )
-    q = jnp.matmul(kinv, k, precision=jax.lax.Precision.HIGHEST)  # (B, T, T)
-    var = jnp.diagonal(k, axis1=-2, axis2=-1) - jnp.einsum("bij,bji->bi", k, q)
+    # var_i = k_ii - [K K^-1 K]_ii = k_ii - ||(W K)_:,i||^2 — one T^3 matmul
+    # (vs forming K^-1 then K^-1 K: 2x the FLOPs for the same diagonal).
+    wk = jnp.matmul(w_btt, k, precision=jax.lax.Precision.HIGHEST)  # (B, T, T)
+    var = jnp.diagonal(k, axis1=-2, axis2=-1) - jnp.einsum("bji,bji->bi", wk, wk)
     return mean, jnp.clip(var, 1e-12, None)
 
 

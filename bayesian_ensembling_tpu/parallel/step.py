@@ -285,6 +285,7 @@ def make_sharded_multi_scenario_step(
     mesh: Mesh,
     model_axis: str = "model",
     *,
+    scenario_axis: tp.Optional[str] = None,
     kernel_name: str = "matern32",
     n_optim_nits: int = 500,
     learning_rate: float = 0.01,
@@ -297,6 +298,13 @@ def make_sharded_multi_scenario_step(
 
     On a v5e-8 each chip fits S x M/8 emulators; the only collectives are
     the per-scenario weight-normalisation psum and barycentre psums.
+
+    When ``scenario_axis`` names a second mesh axis, the scenario dim is
+    sharded too (the 2-D ``(scenario, model)`` mesh for pods beyond ~8
+    chips).  Scenarios never couple — the reference's pipeline runs them as
+    fully independent experiments (full_experiment_script.py:87-143) — so
+    the scenario axis is collective-free DP and the psums stay on
+    ``model_axis`` only.
     """
     fn = functools.partial(
         ensemble_multi_scenario_step,
@@ -310,12 +318,13 @@ def make_sharded_multi_scenario_step(
     )
     from jax import shard_map
 
-    p_sm = P(None, model_axis)
+    p_sm = P(scenario_axis, model_axis)
+    p_s = P(scenario_axis)
     smapped = shard_map(
         fn,
         mesh=mesh,
         in_specs=(p_sm, p_sm, p_sm, p_sm, P(), p_sm),
-        out_specs=(P(), P(), p_sm),
+        out_specs=(p_s, p_s, p_sm),
         check_vma=False,
     )
     return jax.jit(smapped)

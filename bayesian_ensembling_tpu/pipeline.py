@@ -78,29 +78,44 @@ def _model_name(path: str) -> str:
     return "_".join(os.path.basename(path).split("_")[:2])
 
 
-def load_observations(data_dir: tp.Optional[str] = None) -> ProcessModel:
-    """HadCRUT5 GMST anomalies, annually resampled (script :20-23)."""
+def load_observations(
+    data_dir: tp.Optional[str] = None, resample_freq: tp.Optional[str] = "Y"
+) -> ProcessModel:
+    """HadCRUT5 GMST anomalies, resampled (script :20-23 uses annual).
+
+    ``resample_freq=None`` keeps the native monthly resolution (T = 1980) —
+    the large-T configuration that exercises the XLA blocked-linalg path
+    (ops/linalg_pallas.linalg_path).
+    """
     data_dir = data_dir or default_data_dir()
     path = os.path.join(data_dir, "obs/gmst/HadCRUT.5.0.1.0.analysis.anomalies_gmst.nc")
     da = netcdf.open_dataarray(path, name="tas")
     from bayesian_ensembling_tpu.coords import DimArray
     from bayesian_ensembling_tpu.io import timeutils
 
-    vals, new_time = timeutils.annual_mean(da.values, da.time, time_axis=1)
+    if resample_freq is None:
+        return ProcessModel(da, "Observations")
+    vals, new_time = timeutils.resample_mean(
+        da.values, da.time, resample_freq, time_axis=1
+    )
     coords = dict(da.coords)
     coords["time"] = new_time
     return ProcessModel(DimArray(vals, da.dims, coords, name=da.name), "Observations")
 
 
 def load_scenario(
-    ssp: str, data_dir: tp.Optional[str] = None
+    ssp: str,
+    data_dir: tp.Optional[str] = None,
+    resample_freq: tp.Optional[str] = "Y",
 ) -> tp.Tuple[ModelCollection, ModelCollection]:
     """Load (historical, ssp) anomaly collections for one scenario.
 
     Mirrors the reference's loader (full_experiment_script.py:28-75): only
     models present in BOTH the historical and the SSP directory are kept;
     historical anomalies define each model's climatology, which is then
-    applied to its SSP run.
+    applied to its SSP run.  ``resample_freq`` is any calendar frequency
+    from io.timeutils.resample_mean ('M'/'Q'/'Y'); ``None`` keeps the native
+    monthly resolution (T = 1980 hist / 1032 SSP — the large-T regime).
     """
     data_dir = data_dir or default_data_dir()
     hist_files = {
@@ -119,13 +134,13 @@ def load_scenario(
     for name in common:
         hist_da = netcdf.open_dataarray(hist_files[name], name="tas")
         hist_pm = ProcessModel(hist_da, name)
-        hist_anom = hist_pm.calculate_anomaly(resample_freq="Y")
+        hist_anom = hist_pm.calculate_anomaly(resample_freq=resample_freq)
         hist_models.append(hist_anom)
 
         ssp_da = netcdf.open_dataarray(ssp_files[name], name="tas")
         ssp_pm = ProcessModel(ssp_da, name)
         ssp_anom = ssp_pm.calculate_anomaly(
-            climatology=hist_anom.climatology, resample_freq="Y"
+            climatology=hist_anom.climatology, resample_freq=resample_freq
         )
         ssp_models.append(ssp_anom)
 

@@ -1,0 +1,75 @@
+"""Aggregate the perfect-model-test campaign CSVs into the summary table.
+
+Reads every ``perfect_model_test_results_*.csv`` under the given campaign
+directories (written by ``experiments/perfect_model_tests.py``; column
+contract from the reference's PerfectModelTest at
+/root/reference/ensembles/utils.py:192,209-224) and reports, per
+(scenario, weighter), whether the barycentre beats the pooled
+multi-model-mean baseline on mean NLL / RMSE / W2 over the leave-one-out
+folds — the reference's headline scientific validation.
+
+Usage: python benchmarks/pmt_summary.py [campaign_dir ...]
+       (default: experiments/pmt_campaign experiments/pmt_campaign_compatfp)
+"""
+
+import glob
+import os
+import re
+import sys
+
+import numpy as np
+import pandas as pd
+
+
+def summarise(campaign_dir: str) -> pd.DataFrame:
+    rows = []
+    for path in sorted(
+        glob.glob(os.path.join(campaign_dir, "*", "csvs", "*.csv"))
+    ):
+        m = re.match(
+            r"perfect_model_test_results_(.+)_(ssp\d+)\.csv",
+            os.path.basename(path),
+        )
+        if not m:
+            continue
+        wname, ssp = m.groups()
+        df = pd.read_csv(path)
+        bary_cols = {
+            metric: f"{metric}_bary_{wname}" for metric in ("nll", "rmse", "w2")
+        }
+        row = {"ssp": ssp, "weighter": wname, "n_folds": len(df)}
+        for metric, col in bary_cols.items():
+            b = df[col].mean()
+            mm = df[f"{metric}_mmm"].mean()
+            row[f"{metric}_bary"] = b
+            row[f"{metric}_mmm"] = mm
+            row[f"{metric}_bary_wins"] = bool(b < mm)
+        rows.append(row)
+    return pd.DataFrame(rows)
+
+
+def main():
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    dirs = sys.argv[1:] or [
+        os.path.join(here, "experiments", "pmt_campaign"),
+        os.path.join(here, "experiments", "pmt_campaign_compatfp"),
+    ]
+    for d in dirs:
+        if not os.path.isdir(d):
+            print(f"{d}: missing, skipped")
+            continue
+        df = summarise(d)
+        if df.empty:
+            print(f"{d}: no CSVs")
+            continue
+        print(f"\n== {os.path.basename(d)} ({df['ssp'].nunique()} SSPs x "
+              f"{df['weighter'].nunique()} weighters) ==")
+        with pd.option_context("display.width", 200, "display.precision", 3):
+            print(df.to_string(index=False))
+        for metric in ("w2", "rmse", "nll"):
+            wins = int(df[f"{metric}_bary_wins"].sum())
+            print(f"barycentre beats MMM on {metric.upper()}: {wins}/{len(df)}")
+
+
+if __name__ == "__main__":
+    main()

@@ -223,3 +223,19 @@ def test_dba_batch_cpu_fallback_matches_vmap(rng):
         functools.partial(dtw_ops.dba, n_iterations=3, init="mean")
     )(series, mask)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-12)
+
+
+def test_lanes_for_scales_with_t():
+    """Monthly resolutions (T=1032-1980) must shrink the lane chunk to fit
+    VMEM instead of overflowing; annual T~165 keeps the wide defaults."""
+    from bayesian_ensembling_tpu.ops.dtw_pallas import _lanes_for
+
+    # annual: (192, 1024) x 48B = 9.4 MB fits the 12 MB budget
+    assert _lanes_for(192, 48, 1024, 10_000) == 1024
+    # monthly historical: (1984, L) x 48B must keep L minimal
+    l_monthly = _lanes_for(1984, 48, 1024, 10_000)
+    assert l_monthly == 128
+    # never exceeds what the batch needs
+    assert _lanes_for(192, 48, 2048, 100) == 128
+    # budget arithmetic: chosen chunk actually fits 12 MB
+    assert 1984 * 48 * l_monthly <= 12 * 2**20

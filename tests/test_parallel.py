@@ -216,3 +216,42 @@ def test_sharded_multi_scenario_matches_unsharded():
     for g, w in zip(got, want):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=2e-4, atol=1e-7)
     np.testing.assert_allclose(np.asarray(got[2]).sum(axis=1), np.ones(s), rtol=1e-5)
+
+
+def test_scenario_model_2d_mesh_matches_unsharded():
+    """2-D (scenario x model) mesh: scenarios are collective-free DP, the
+    model axis keeps its weight/barycentre psums — must equal the unsharded
+    merged program."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from bayesian_ensembling_tpu.parallel.step import (
+        ensemble_multi_scenario_step,
+        make_sharded_multi_scenario_step,
+    )
+
+    rng = np.random.default_rng(7)
+    s, m, r, th, ts, ro = 2, 4, 3, 18, 10, 4
+    hb = jnp.asarray(rng.normal(size=(s, m, r, th)).astype(np.float32))
+    hm = jnp.ones((s, m, r), bool)
+    sb = jnp.asarray(rng.normal(size=(s, m, r, ts)).astype(np.float32))
+    sm_ = jnp.ones((s, m, r), bool)
+    obs = jnp.asarray(rng.normal(size=(ro, th)).astype(np.float32))
+    mm = jnp.ones((s, m), jnp.float32)
+
+    want = jax.jit(
+        functools.partial(
+            ensemble_multi_scenario_step, n_optim_nits=3, dba_iterations=2
+        )
+    )(hb, hm, sb, sm_, obs, mm)
+
+    mesh = Mesh(
+        np.array(jax.devices()[:8]).reshape(2, 4),
+        axis_names=("scenario", "model"),
+    )
+    step = make_sharded_multi_scenario_step(
+        mesh, scenario_axis="scenario", n_optim_nits=3, dba_iterations=2
+    )
+    got = step(hb, hm, sb, sm_, obs, mm)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=2e-4, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(got[2]).sum(axis=1), np.ones(s), rtol=1e-5)

@@ -141,3 +141,17 @@ def test_single_site_rbf_fit_on_hadcrut5():
     # Posterior variance positive and finite everywhere.
     var = np.asarray(post.gaussian.variance)
     assert (var > 0).all() and np.isfinite(var).all()
+
+
+def test_load_native_monthly_resolution():
+    """resample_freq=None keeps the native monthly resolution — the large-T
+    configuration (T = 1980 hist / 1032 SSP) that runs the XLA blocked
+    linalg path (benchmarks/monthly_bench.py drives it end-to-end)."""
+    obs = pipeline.load_observations(resample_freq=None)
+    assert obs.data.values.shape[1] == 1980
+    hist, ssp = pipeline.load_scenario("ssp119", resample_freq=None)
+    assert hist[0].data.values.shape[1] == 1980
+    assert ssp[0].data.values.shape[1] == 1032
+    # quarterly goes through the generic resampler (12 -> 4 labels/year)
+    obs_q = pipeline.load_observations(resample_freq="Q")
+    assert obs_q.data.values.shape[1] == 1980 // 3
