@@ -71,11 +71,28 @@ def _make_dtw_cost_kernel(t: int):
 def _lanes_for(t_pad: int, bytes_per_elem: int, requested: int, n: int) -> int:
     """Largest 128-multiple lane chunk whose (T_pad, lanes) working set fits
     the VMEM budget — annual workloads (T ~ 165) keep the wide defaults,
-    monthly resolutions (T = 1032-1980) shrink the chunk instead of
+    monthly resolutions (T ~ 1032) shrink the chunk instead of
     overflowing VMEM."""
     budget = 12 * 2**20
     fit = max(budget // (t_pad * bytes_per_elem) // 128 * 128, 128)
     return min(requested, fit, max(-(-n // 128) * 128, 128))
+
+
+# Measured scoped-VMEM footprint of the fused DBA kernel: ~76 B per
+# (row, lane) element (in/out f32 buffers + forward and backward loop
+# carries + int8 staging), against the 16 MB scoped limit.  Annual T=165 at
+# 1024 lanes = 14.9 MB (fits, the production config); monthly SSP T=1032 at
+# the 128-lane minimum = 10.3 MB (fits); monthly historical T=1980 = 19.3 MB
+# (cannot fit at any lane width).
+_DBA_BYTES_PER_ELEM = 76
+
+
+def fused_dba_fits(t: int) -> bool:
+    """Whether the fused DBA-update kernel fits scoped VMEM at T (at the
+    minimum 128-lane chunk).  Beyond this hard ceiling callers must use the
+    lax.scan wavefront path (ops/dtw.py), which has no VMEM residency."""
+    tp_ = -(-t // 32) * 32
+    return tp_ * 128 * _DBA_BYTES_PER_ELEM <= 15 * 2**20 + 2**19
 
 
 def squared_dtw_cost_batch(centers: jnp.ndarray, series: jnp.ndarray, lanes: int = 2048) -> jnp.ndarray:

@@ -79,7 +79,9 @@ def main():
         step = jax.jit(nlml_step)
         t_step = timeit(step, params, stat, y, noise, n=5 if t > 900 else 20)
 
-        chol = jax.jit(lambda ky: jnp.linalg.cholesky(ky))
+        # Reduce the factor on device — fetching a (B, T, T) result over the
+        # tunnelled link would swamp the timing with transfer.
+        chol = jax.jit(lambda ky: jnp.sum(jnp.linalg.cholesky(ky)))
         ky0 = jax.jit(
             lambda pb, s, nv: jax.vmap(
                 lambda p, si, nvi: apply_fn(p, si) + jnp.diag(nvi + 1e-6)

@@ -9,6 +9,7 @@ saves per-scenario figures.
 Usage:
     python experiments/full_experiment.py [--data-dir DIR] [--out-dir DIR]
         [--n-optim-nits N] [--ssps ssp119,ssp245,...] [--cpu]
+        [--resample-freq M|Q|Y|none]   ('none' = native monthly, large-T path)
 """
 
 import argparse
@@ -26,6 +27,12 @@ def main():
     ap.add_argument("--n-optim-nits", type=int, default=2000)
     ap.add_argument("--dba-iterations", type=int, default=10)
     ap.add_argument("--ssps", default=None, help="comma-separated subset")
+    ap.add_argument(
+        "--resample-freq",
+        default="Y",
+        help="calendar resample frequency (M/Q/Y; 'none' keeps the native "
+        "monthly resolution, the large-T path)",
+    )
     ap.add_argument("--cpu", action="store_true", help="run the float64 CPU path")
     args = ap.parse_args()
 
@@ -49,10 +56,11 @@ def main():
     os.makedirs(args.out_dir, exist_ok=True)
 
     dtype = np.float64 if args.cpu else np.float32
-    obs = pipeline.load_observations(data_dir)
+    freq = None if args.resample_freq.lower() == "none" else args.resample_freq
+    obs = pipeline.load_observations(data_dir, resample_freq=freq)
     results = {}
     for ssp in ssps:
-        hist, ssp_mc = pipeline.load_scenario(ssp, data_dir)
+        hist, ssp_mc = pipeline.load_scenario(ssp, data_dir, resample_freq=freq)
         t0 = time.time()
         res = pipeline.run_scenario(
             hist, ssp_mc, obs, ssp,

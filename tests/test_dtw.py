@@ -239,3 +239,11 @@ def test_lanes_for_scales_with_t():
     assert _lanes_for(192, 48, 2048, 100) == 128
     # budget arithmetic: chosen chunk actually fits 12 MB
     assert 1984 * 48 * l_monthly <= 12 * 2**20
+
+
+def test_fused_dba_ceiling():
+    from bayesian_ensembling_tpu.ops.dtw_pallas import fused_dba_fits
+
+    assert fused_dba_fits(165)  # annual production config
+    assert fused_dba_fits(1032)  # monthly SSP resolution
+    assert not fused_dba_fits(1980)  # monthly historical: scan path
