@@ -283,16 +283,16 @@ def dba_batch(
 
     from bayesian_ensembling_tpu.ops.dtw_pallas import (
         dba_update_batch,
-        fused_dba_fits,
+        split_dba_fits,
         squared_dtw_cost_batch,
     )
 
-    # The fused kernel has a hard T ceiling (~1700: its scoped-VMEM working
-    # set at the minimum lane chunk; see dtw_pallas.fused_dba_fits).  Beyond
-    # it — e.g. the native monthly historical resolution, T = 1980 — the
-    # scan-based wavefront path takes over (it keeps no (T, lanes) residency;
-    # the move planes live in HBM).
-    if jax.default_backend() != "tpu" or not fused_dba_fits(t):
+    # The Pallas DBA update has a hard T ceiling (~2800: the split-kernel
+    # pair's scoped-VMEM working set at the minimum lane chunk; up to ~1700
+    # the faster single fused program is used — dba_update_batch picks).
+    # Beyond the ceiling the scan-based wavefront path takes over (it keeps
+    # no (T, lanes) residency; the move planes live in HBM).
+    if jax.default_backend() != "tpu" or not split_dba_fits(t):
         return jax.vmap(
             functools.partial(dba, n_iterations=n_iterations, init=init)
         )(series, mask)

@@ -83,16 +83,28 @@ def _lanes_for(t_pad: int, bytes_per_elem: int, requested: int, n: int) -> int:
 # carries + int8 staging), against the 16 MB scoped limit.  Annual T=165 at
 # 1024 lanes = 14.9 MB (fits, the production config); monthly SSP T=1032 at
 # the 128-lane minimum = 10.3 MB (fits); monthly historical T=1980 = 19.3 MB
-# (cannot fit at any lane width).
+# (cannot fit at any lane width) -> the SPLIT kernel pair takes over, whose
+# phases each hold roughly half the working set.
 _DBA_BYTES_PER_ELEM = 76
+_DBA_SPLIT_BYTES_PER_ELEM = 44  # max over the fwd / bwd phase kernels
 
 
 def fused_dba_fits(t: int) -> bool:
-    """Whether the fused DBA-update kernel fits scoped VMEM at T (at the
-    minimum 128-lane chunk).  Beyond this hard ceiling callers must use the
-    lax.scan wavefront path (ops/dtw.py), which has no VMEM residency."""
+    """Whether the single fused DBA-update kernel fits scoped VMEM at T (at
+    the minimum 128-lane chunk).  Beyond it ``dba_update_batch`` runs the
+    forward DP and the backward on-path sweep as two Pallas programs
+    (``split_dba_fits``); beyond THAT ceiling callers must use the lax.scan
+    wavefront path (ops/dtw.py), which has no VMEM residency."""
     tp_ = -(-t // 32) * 32
     return tp_ * 128 * _DBA_BYTES_PER_ELEM <= 15 * 2**20 + 2**19
+
+
+def split_dba_fits(t: int) -> bool:
+    """Whether the two-program (fwd / bwd) DBA update fits scoped VMEM at T
+    — covers the native monthly historical resolution (T = 1980) and up to
+    T ~ 2800."""
+    tp_ = -(-t // 32) * 32
+    return tp_ * 128 * _DBA_SPLIT_BYTES_PER_ELEM <= 15 * 2**20 + 2**19
 
 
 def squared_dtw_cost_batch(centers: jnp.ndarray, series: jnp.ndarray, lanes: int = 2048) -> jnp.ndarray:
@@ -271,36 +283,16 @@ def _make_dba_update_kernel(t: int):
     return kernel
 
 
-def dba_update_batch(
-    centers: jnp.ndarray, series: jnp.ndarray, lanes: int = 1024
-) -> tp.Tuple[jnp.ndarray, jnp.ndarray]:
-    """One DBA alignment pass for a batch of (centre, series) problems.
-
-    Args:
-      centers, series: ``(N, T)`` problem pairs.
-      lanes: problems per grid chunk.
-
-    Returns:
-      (sums, counts): ``(N, T)`` aligned-value sums and visit counts per
-      centre slot — identical to ops.dtw's squared_dtw_with_path +
-      _backtrack_accumulate per pair.
-    """
-    n, t = centers.shape
-    tp_ = -(-t // 32) * 32  # 32-aligned sublanes: int8 tile is (32, 128)
-    # 4 f32 in/out buffers + ~7 f32 backward carries + 4 int8 staging slots
-    # ≈ 48 B per (row, lane) element.
-    lanes = _lanes_for(tp_, 48, lanes, n)
-    n_pad = -(-n // lanes) * lanes
-    c = jnp.pad(centers, ((0, n_pad - n), (0, tp_ - t))).T  # (Tp, N_pad)
-    s_rev = jnp.pad(series[:, ::-1], ((0, n_pad - n), (0, tp_ - t))).T
-
+def _dba_update_fused(c: jnp.ndarray, s_rev: jnp.ndarray, t: int, lanes: int):
+    """Single-program path: (Tp, N_pad) layout in, (sums, counts) out."""
+    tp_, n_pad = c.shape
     grid = (n_pad // lanes,)
     sums, counts, _ = pl.pallas_call(
         _make_dba_update_kernel(t),
         grid=grid,
         out_shape=(
-            jax.ShapeDtypeStruct((tp_, n_pad), centers.dtype),
-            jax.ShapeDtypeStruct((tp_, n_pad), centers.dtype),
+            jax.ShapeDtypeStruct((tp_, n_pad), c.dtype),
+            jax.ShapeDtypeStruct((tp_, n_pad), c.dtype),
             # Move-code staging tensor: lives in HBM, reused sequentially by
             # every grid chunk (chunks are serial on a TensorCore).
             jax.ShapeDtypeStruct((2 * t - 1, tp_, lanes), jnp.int8),
@@ -322,4 +314,221 @@ def dba_update_batch(
         ],
         interpret=INTERPRET,
     )(c, s_rev)
+    return sums, counts
+
+
+# ----------------------------------------- split DBA update (large T)
+def _make_dba_fwd_kernel(t: int):
+    """Forward half of the DBA update as its own program: the wavefront DP
+    emitting move-code rows to HBM.  Splitting the fused kernel in two keeps
+    each phase's scoped-VMEM working set roughly half of the fused one,
+    which is what admits the native monthly historical resolution
+    (T = 1980; the fused kernel's 19.3 MB at 128 lanes cannot fit the 16 MB
+    scoped limit).  Same DP/tie-break semantics as _make_dba_update_kernel.
+    """
+
+    def kernel(center_ref, series_rev_ref, moves_hbm, mv_buf, w_sems):
+        tp_ = center_ref.shape[0]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (tp_, 1), 0)
+        center = center_ref[...]
+        series_rev = series_rev_ref[...]
+
+        def wr_dma(slot, k):
+            return pltpu.make_async_copy(
+                mv_buf.at[slot], moves_hbm.at[k], w_sems.at[slot]
+            )
+
+        sdiag0 = pltpu.roll(series_rev, (1 - t) % tp_, axis=0)
+        d0 = jnp.where(rows == 0, jnp.square(center - sdiag0), _BIG)
+        prev2_0 = d0 * 0.0 + _BIG
+
+        def fwd(k, carry):
+            prev2, prev1, sdiag = carry
+            sdiag = pltpu.roll(sdiag, 1, axis=0)
+            valid = (rows <= k) & (rows >= k - (t - 1)) & (rows < t)
+            delta = jnp.square(center - sdiag)
+            left = prev1
+            top = jnp.where(rows > 0, pltpu.roll(prev1, 1, axis=0), _BIG)
+            diag = jnp.where(rows > 0, pltpu.roll(prev2, 1, axis=0), _BIG)
+            take_diag = (diag <= left) & (diag <= top)
+            take_left = ~take_diag & (left <= top)
+            best = jnp.where(take_diag, diag, jnp.where(take_left, left, top))
+            move = jnp.where(take_diag, 0, jnp.where(take_left, 1, 2)).astype(
+                jnp.int8
+            )
+            cur = jnp.where(valid, jnp.minimum(best + delta, _BIG), _BIG)
+
+            slot = k % 2
+
+            @pl.when(k >= 3)
+            def _():
+                wr_dma(slot, k - 2).wait()
+
+            mv_buf[slot] = move
+            wr_dma(slot, k).start()
+            return (prev1, cur, sdiag)
+
+        jax.lax.fori_loop(1, 2 * t - 1, fwd, (prev2_0, d0, sdiag0))
+        wr_dma((2 * t - 2) % 2, 2 * t - 2).wait()
+        wr_dma((2 * t - 3) % 2, 2 * t - 3).wait()
+
+    return kernel
+
+
+def _make_dba_bwd_kernel(t: int):
+    """Backward half: path membership propagated over anti-diagonals with
+    move rows DMA'd back in double-buffered slots; sums/counts accumulate
+    IN the output refs (no extra carries).  The series diagonal at the
+    corner (k = 2T-2) is a static roll of the reversed series, so the
+    forward pass needs to hand over nothing but the move codes."""
+
+    def kernel(series_rev_ref, moves_hbm, sums_ref, counts_ref, rd_buf, r_sems):
+        tp_ = series_rev_ref.shape[0]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (tp_, 1), 0)
+        series_rev = series_rev_ref[...]
+        dtype = series_rev.dtype
+        # After 2T-2 forward rolls from (1-t) mod Tp the diagonal sits at
+        # (t-1) mod Tp: sdiag_last[i] = s[(2t-2)-i] for valid slots.
+        sdiag_last = pltpu.roll(series_rev, (t - 1) % tp_, axis=0)
+
+        def rd_dma(slot, k):
+            return pltpu.make_async_copy(
+                moves_hbm.at[k], rd_buf.at[slot], r_sems.at[slot]
+            )
+
+        rd_dma((2 * t - 2) % 2, 2 * t - 2).start()
+
+        counts_ref[...] = jnp.where(rows == t - 1, 1.0, 0.0) + series_rev * 0.0
+        on_k1_0 = counts_ref[...]
+        sums_ref[...] = jnp.where(rows == t - 1, sdiag_last, 0.0)
+        zeros = on_k1_0 * 0.0
+
+        def shift_up(x):
+            return jnp.where(rows < tp_ - 1, pltpu.roll(x, tp_ - 1, axis=0), 0.0)
+
+        def bwd(step, carry):
+            on_k1, on_k2, movesf_k2, sdiag = carry
+            k = 2 * t - 3 - step
+            sdiag = pltpu.roll(sdiag, tp_ - 1, axis=0)
+
+            slot = (k + 1) % 2
+            rd_dma(slot, k + 1).wait()
+            movesf_k1 = rd_buf[slot].astype(dtype)
+
+            @pl.when(k >= 1)
+            def _():
+                rd_dma(k % 2, k).start()
+
+            diag_t = shift_up(on_k2 * jnp.where(movesf_k2 == 0, 1.0, 0.0))
+            left_t = on_k1 * jnp.where(movesf_k1 == 1, 1.0, 0.0)
+            top_t = shift_up(on_k1 * jnp.where(movesf_k1 == 2, 1.0, 0.0))
+            valid = ((rows <= k) & (rows >= k - (t - 1)) & (rows < t)).astype(
+                dtype
+            )
+            on_k = jnp.minimum(diag_t + left_t + top_t, 1.0) * valid
+            sums_ref[...] = sums_ref[...] + on_k * sdiag
+            counts_ref[...] = counts_ref[...] + on_k
+            return (on_k, on_k1, movesf_k1, sdiag)
+
+        jax.lax.fori_loop(
+            0, 2 * t - 2, bwd, (on_k1_0, zeros, zeros, sdiag_last)
+        )
+
+    return kernel
+
+
+def _dba_update_split(c: jnp.ndarray, s_rev: jnp.ndarray, t: int, lanes: int):
+    """Two-program path for T beyond the fused kernel's VMEM ceiling.
+
+    Lane chunks run through a lax.map so XLA reuses ONE (2T-1, Tp, lanes)
+    int8 move tensor in HBM across chunks (~1 GB at T = 1980 / 128 lanes).
+    """
+    tp_, n_pad = c.shape
+
+    def one_chunk(blocks):
+        c_blk, s_blk = blocks  # (Tp, lanes)
+        moves = pl.pallas_call(
+            _make_dba_fwd_kernel(t),
+            out_shape=jax.ShapeDtypeStruct((2 * t - 1, tp_, lanes), jnp.int8),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((2, tp_, lanes), jnp.int8),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=INTERPRET,
+        )(c_blk, s_blk)
+        sums, counts = pl.pallas_call(
+            _make_dba_bwd_kernel(t),
+            out_shape=(
+                jax.ShapeDtypeStruct((tp_, lanes), c.dtype),
+                jax.ShapeDtypeStruct((tp_, lanes), c.dtype),
+            ),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=(
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, tp_, lanes), jnp.int8),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=INTERPRET,
+        )(s_blk, moves)
+        return sums, counts
+
+    n_chunks = n_pad // lanes
+    c_chunks = jnp.moveaxis(c.reshape(tp_, n_chunks, lanes), 1, 0)
+    s_chunks = jnp.moveaxis(s_rev.reshape(tp_, n_chunks, lanes), 1, 0)
+    sums, counts = jax.lax.map(one_chunk, (c_chunks, s_chunks))
+    sums = jnp.moveaxis(sums, 0, 1).reshape(tp_, n_pad)
+    counts = jnp.moveaxis(counts, 0, 1).reshape(tp_, n_pad)
+    return sums, counts
+
+
+def dba_update_batch(
+    centers: jnp.ndarray,
+    series: jnp.ndarray,
+    lanes: int = 1024,
+    impl: str = "auto",
+) -> tp.Tuple[jnp.ndarray, jnp.ndarray]:
+    """One DBA alignment pass for a batch of (centre, series) problems.
+
+    Args:
+      centers, series: ``(N, T)`` problem pairs.
+      lanes: problems per grid chunk.
+      impl: ``"auto"`` (fused kernel when it fits scoped VMEM, else the
+        split fwd/bwd program pair), or ``"fused"`` / ``"split"`` to force.
+
+    Returns:
+      (sums, counts): ``(N, T)`` aligned-value sums and visit counts per
+      centre slot — identical to ops.dtw's squared_dtw_with_path +
+      _backtrack_accumulate per pair.
+    """
+    n, t = centers.shape
+    tp_ = -(-t // 32) * 32  # 32-aligned sublanes: int8 tile is (32, 128)
+    if impl == "auto":
+        impl = "fused" if fused_dba_fits(t) else "split"
+    # Fused: 4 f32 in/out buffers + ~7 f32 backward carries + 4 int8 staging
+    # slots ≈ 48 B per (row, lane) element at the default budget; the split
+    # phases peak at ~44 B (bwd: out refs + 4 carries + staging).
+    lanes = _lanes_for(
+        tp_, 48 if impl == "fused" else _DBA_SPLIT_BYTES_PER_ELEM, lanes, n
+    )
+    n_pad = -(-n // lanes) * lanes
+    c = jnp.pad(centers, ((0, n_pad - n), (0, tp_ - t))).T  # (Tp, N_pad)
+    s_rev = jnp.pad(series[:, ::-1], ((0, n_pad - n), (0, tp_ - t))).T
+
+    if impl == "fused":
+        sums, counts = _dba_update_fused(c, s_rev, t, lanes)
+    elif impl == "split":
+        sums, counts = _dba_update_split(c, s_rev, t, lanes)
+    else:
+        raise ValueError(f"unknown impl {impl!r}")
     return sums.T[:n, :t], counts.T[:n, :t]

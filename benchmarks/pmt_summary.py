@@ -34,8 +34,11 @@ def summarise(campaign_dir: str) -> pd.DataFrame:
             continue
         wname, ssp = m.groups()
         df = pd.read_csv(path)
+        # include-sim runs suffix the FILE name with _plus_sim but keep the
+        # plain weighter name in the metric columns (validation.py).
+        col_name = wname.removesuffix("_plus_sim")
         bary_cols = {
-            metric: f"{metric}_bary_{wname}" for metric in ("nll", "rmse", "w2")
+            metric: f"{metric}_bary_{col_name}" for metric in ("nll", "rmse", "w2")
         }
         row = {"ssp": ssp, "weighter": wname, "n_folds": len(df)}
         for metric, col in bary_cols.items():

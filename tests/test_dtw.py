@@ -247,3 +247,52 @@ def test_fused_dba_ceiling():
     assert fused_dba_fits(165)  # annual production config
     assert fused_dba_fits(1032)  # monthly SSP resolution
     assert not fused_dba_fits(1980)  # monthly historical: scan path
+
+
+def test_dba_update_split_interpret_matches_scan(rng):
+    """Split (fwd/bwd program pair) DBA update == the scan-path pair,
+    interpret mode — the large-T path used beyond the fused kernel's
+    scoped-VMEM ceiling (monthly historical T = 1980)."""
+    import jax
+    import jax.numpy as jnp
+
+    from bayesian_ensembling_tpu.ops import dtw as dtw_ops
+    from bayesian_ensembling_tpu.ops import dtw_pallas as dp
+
+    old = dp.INTERPRET
+    dp.INTERPRET = True
+    try:
+        for t in (9, 24, 165):
+            n = 5
+            centers = rng.normal(size=(n, t)).astype(np.float32)
+            series = rng.normal(size=(n, t)).astype(np.float32)
+            sums, counts = dp.dba_update_batch(
+                jnp.asarray(centers), jnp.asarray(series), impl="split"
+            )
+
+            def one(c, s):
+                _, path = dtw_ops.squared_dtw_with_path(c, s)
+                return dtw_ops._backtrack_accumulate(path, s)
+
+            w_sums, w_counts = jax.vmap(one)(
+                jnp.asarray(centers), jnp.asarray(series)
+            )
+            np.testing.assert_array_equal(np.asarray(counts), np.asarray(w_counts))
+            np.testing.assert_allclose(
+                np.asarray(sums), np.asarray(w_sums), rtol=1e-6, atol=1e-6
+            )
+    finally:
+        dp.INTERPRET = old
+
+
+def test_dba_ceilings():
+    from bayesian_ensembling_tpu.ops.dtw_pallas import (
+        fused_dba_fits,
+        split_dba_fits,
+    )
+
+    assert fused_dba_fits(165) and split_dba_fits(165)
+    assert fused_dba_fits(1032)
+    assert not fused_dba_fits(1980)  # fused cannot fit monthly historical
+    assert split_dba_fits(1980)  # ...the split pair can
+    assert not split_dba_fits(3000)  # beyond it: scan path
