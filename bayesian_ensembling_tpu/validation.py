@@ -28,13 +28,233 @@ from bayesian_ensembling_tpu.data import ModelCollection, ProcessModel
 from bayesian_ensembling_tpu.schemes import MultiModelMean
 from bayesian_ensembling_tpu.weights import ModelSimilarityWeight
 
-__all__ = ["PerfectModelTest", "load_model_collection"]
+__all__ = ["PerfectModelTest", "batched_pmt", "load_model_collection"]
 
 
 def load_model_collection(path: str) -> ModelCollection:
     """Load a checkpointed ModelCollection (reference utils.py:22-30, minus
     the pickle format and its stray ``self`` parameter)."""
     return ModelCollection.load(path)
+
+
+#: library weighter class name -> batched_pmt weight_kind
+BATCHED_WEIGHT_KINDS = {
+    "LogLikelihoodWeight": "loglik",
+    "InverseSquareWeight": "inverse_square",
+    "UniformWeight": "uniform",
+    "KernelSteinDiscrepancyWeight": "ksd",
+    "ContinuousRankedProbabilityScoreWeight": "crps",
+}
+
+
+def batched_pmt(
+    hindcast_models: ModelCollection,
+    forecast_models: ModelCollection,
+    weight_kind: str,
+    *,
+    compat_fixed_point: bool = False,
+) -> np.ndarray:
+    """ALL leave-one-out folds of the perfect-model test as ONE jitted
+    program.
+
+    The reference's PMT driver is a serial Python loop over pseudo-truth
+    models (utils.py:184-225), each fold re-running the weight -> combine ->
+    score pipeline; with prefit posteriors every fold is pure array math, so
+    here the folds are vmapped over the leave-one-out index with a model
+    mask — the last remaining Python hot loop of the reference's call
+    stacks (SURVEY §3.4) becomes one XLA program.
+
+    Matches ``PerfectModelTest.run(use_prefit_models=True)`` numerically for
+    the five campaign weighters (``BATCHED_WEIGHT_KINDS``), including the
+    full-covariance constant-vector log-likelihood branch and the
+    reference-faithful fixed-point barycentre under ``compat_fixed_point``;
+    equality is tested in ``tests/test_validation.py``.
+
+    Args:
+      hindcast_models / forecast_models: PREFIT collections (posteriors set).
+      weight_kind: one of crps / loglik / ksd / inverse_square / uniform.
+
+    Returns:
+      ``(n_models, 6)`` float array, columns
+      ``[nll_bary, rmse_bary, w2_bary, nll_mmm, rmse_mmm, w2_mmm]`` in
+      leave-one-out order (fold i = model i as pseudo truth).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from bayesian_ensembling_tpu.ops import scoring
+    from bayesian_ensembling_tpu.ops.distributions import FullCovGaussian
+    from bayesian_ensembling_tpu.ops.wasserstein import (
+        batched_gaussian_barycentre,
+        gaussian_w2_distance,
+    )
+
+    m = len(hindcast_models)
+    hist_block, hist_rmask = hindcast_models.padded_stack()
+    fore_block, fore_rmask = forecast_models.padded_stack()
+    hist_mean = jnp.stack(
+        [jnp.asarray(pm.distribution.gaussian.mean) for pm in hindcast_models]
+    )
+    hist_var = jnp.stack(
+        [jnp.asarray(pm.distribution.gaussian.variance) for pm in hindcast_models]
+    )
+    fore_mean = jnp.stack(
+        [jnp.asarray(pm.distribution.gaussian.mean) for pm in forecast_models]
+    )
+    fore_var = jnp.stack(
+        [jnp.asarray(pm.distribution.gaussian.variance) for pm in forecast_models]
+    )
+    dtype = hist_mean.dtype
+    t_s = fore_mean.shape[1]
+    fore_cov = jnp.stack(
+        [
+            jnp.asarray(pm.distribution.gaussian.cov)
+            if isinstance(pm.distribution.gaussian, FullCovGaussian)
+            else jnp.diag(jnp.asarray(pm.distribution.gaussian.variance))
+            for pm in forecast_models
+        ]
+    )
+    hist_full = all(
+        isinstance(pm.distribution.gaussian, FullCovGaussian)
+        for pm in hindcast_models
+    )
+    if weight_kind == "loglik" and hist_full:
+        hist_chol = jnp.stack(
+            [jnp.asarray(pm.distribution.gaussian.chol()) for pm in hindcast_models]
+        )
+    else:
+        hist_chol = None
+
+    hist_block = jnp.asarray(hist_block, dtype)
+    fore_block = jnp.asarray(fore_block, dtype)
+    hist_w = jnp.asarray(hist_rmask, dtype)
+    fore_w = jnp.asarray(fore_rmask, dtype)
+
+    def masked_mean_r(x, w_r):  # x: (R, T), w_r: (R,)
+        return jnp.einsum("rt,r->t", x, w_r) / jnp.maximum(jnp.sum(w_r), 1.0)
+
+    def masked_imq_ksd(samples, grads, w_r, c=1.0, beta=-0.5):
+        """imq_ksd_1d with padded samples masked out of the k0 double sum."""
+        d = samples[:, None] - samples[None, :]
+        imq = c**2 + jnp.square(d)
+        gg = grads[:, None] * grads[None, :]
+        term1 = gg * imq**beta
+        term2 = -2.0 * beta * grads[:, None] * d * imq ** (beta - 1.0)
+        term3 = 2.0 * beta * grads[None, :] * d * imq ** (beta - 1.0)
+        term4 = -2.0 * beta * imq ** (beta - 1.0)
+        term5 = -4.0 * beta * (beta - 1.0) * imq ** (beta - 2.0) * jnp.square(d)
+        k0 = term1 + term2 + term3 + term4 + term5
+        total = jnp.sum(k0 * (w_r[:, None] * w_r[None, :]))
+        n = jnp.maximum(jnp.sum(w_r), 1.0)
+        return jnp.sqrt(total) / n
+
+    def fold_weights(i, mmask):
+        obs = hist_block[i]  # (R, T_h)
+        ow = hist_w[i]  # (R,)
+        if weight_kind == "uniform":
+            raw = jnp.ones_like(hist_mean)
+        elif weight_kind == "inverse_square":
+            mu_models = jnp.einsum("mrt,mr->mt", hist_block, hist_w) / jnp.maximum(
+                jnp.sum(hist_w, axis=1), 1.0
+            )[:, None]
+            obs_mu = masked_mean_r(obs, ow)
+            # The held-out model's distance to its own obs is 0 -> guard the
+            # inversion (its row is masked out below anyway).
+            sq = jnp.square(mu_models - obs_mu[None, :])
+            raw = 1.0 / jnp.where(mmask[:, None] > 0, sq, 1.0)
+        elif weight_kind == "crps":
+            crps = jax.vmap(
+                lambda mu, sg: masked_mean_r(scoring.gaussian_crps(obs, mu, sg), ow)
+            )(hist_mean, jnp.sqrt(hist_var))
+            raw = 1.0 / crps
+        elif weight_kind == "ksd":
+            def per_model(mu, sg):
+                def per_point(mu_t, sg_t, x_t):
+                    grads = -(x_t - mu_t) / jnp.square(sg_t)
+                    return masked_imq_ksd(x_t, grads, ow)
+
+                return jax.vmap(per_point, in_axes=(0, 0, 1))(mu, sg, obs)
+
+            ksd = jax.vmap(per_model)(hist_mean, jnp.sqrt(hist_var))
+            raw = 1.0 / ksd
+        elif weight_kind == "loglik":
+            if hist_chol is not None:
+                ll = jax.vmap(
+                    lambda mu, ch: scoring.fullcov_constant_vector_log_likelihood(
+                        mu, ch, obs
+                    )
+                )(hist_mean, hist_chol)  # (M, R, T_h)
+            else:
+                ll = jax.vmap(
+                    lambda mu, vr: scoring.diag_log_likelihood(mu, vr, obs)
+                )(hist_mean, hist_var)
+            ll = jax.vmap(lambda l: masked_mean_r(l, ow))(ll)  # (M, T_h)
+            # softmax over the REMAINING models == the reduced-collection
+            # softmax of the library path (weights.py LogLikelihoodWeight).
+            ll = jnp.where(mmask[:, None] > 0, ll, -jnp.inf)
+            return jax.nn.softmax(ll, axis=0)
+        else:
+            raise ValueError(f"unknown weight_kind {weight_kind!r}")
+        raw = raw * mmask[:, None]
+        return raw / jnp.sum(raw, axis=0, keepdims=True)
+
+    def fold(i):
+        mmask = (jnp.arange(m) != i).astype(dtype)
+        weights_t = fold_weights(i, mmask)  # (M, T_h), sums to 1 over models
+        w = jnp.mean(weights_t, axis=1)  # time-mean, one weight per model
+
+        w_b = jnp.broadcast_to(w[:, None], (m, t_s))
+        if compat_fixed_point:
+            bary_mu, bary_sigma, _ = batched_gaussian_barycentre(
+                fore_mean, jnp.sqrt(fore_var), w_b, compat_fixed_point=True
+            )
+        else:
+            bary_mu, bary_sigma = batched_gaussian_barycentre(
+                fore_mean, jnp.sqrt(fore_var), w_b
+            )
+
+        truth = fore_block[i]  # (R, T_s)
+        tw = fore_w[i]
+
+        def nll_of(mu, var):
+            ll = scoring.diag_log_likelihood(mu, var, truth)  # (R, T_s)
+            return -jnp.sum(ll * tw[:, None]) / (
+                jnp.maximum(jnp.sum(tw), 1.0) * t_s
+            )
+
+        def rmse_of(mu):
+            se = jnp.square(mu[None, :] - truth)
+            return jnp.mean(
+                jnp.sqrt(
+                    jnp.einsum("rt,r->t", se, tw) / jnp.maximum(jnp.sum(tw), 1.0)
+                )
+            )
+
+        nll_b = nll_of(bary_mu, jnp.square(bary_sigma))
+        rmse_b = rmse_of(bary_mu)
+        w2_b = gaussian_w2_distance(
+            bary_mu, jnp.diag(jnp.square(bary_sigma)), fore_mean[i], fore_cov[i]
+        )
+
+        # Pooled multi-model-mean baseline over the remaining models
+        # (population std, schemes.MultiModelMean semantics).
+        pw = fore_w * mmask[:, None]  # (M, R)
+        cnt = jnp.maximum(jnp.sum(pw), 1.0)
+        mmm_mu = jnp.einsum("mrt,mr->t", fore_block, pw) / cnt
+        mmm_var = (
+            jnp.einsum("mrt,mr->t", jnp.square(fore_block), pw) / cnt
+            - jnp.square(mmm_mu)
+        )
+        mmm_var = jnp.maximum(mmm_var, 1e-12)
+        nll_m = nll_of(mmm_mu, mmm_var)
+        rmse_m = rmse_of(mmm_mu)
+        w2_m = gaussian_w2_distance(
+            mmm_mu, jnp.diag(mmm_var), fore_mean[i], fore_cov[i]
+        )
+        return jnp.stack([nll_b, rmse_b, w2_b, nll_m, rmse_m, w2_m])
+
+    run = jax.jit(jax.vmap(fold))
+    return np.asarray(run(jnp.arange(m)))
 
 
 class PerfectModelTest:
@@ -171,6 +391,54 @@ class PerfectModelTest:
         )
         if self.save_dir:
             suffix = f"{wname}_plus_sim" if self.include_sim else wname
+            path = os.path.join(
+                self.csv_dir, f"perfect_model_test_results_{suffix}_{self.ssp}.csv"
+            )
+            df.to_csv(path)
+            print(f"Saved results to {path}")
+        return df
+
+    def run_batched(self):
+        """All leave-one-out folds in one XLA program (``batched_pmt``).
+
+        Requires prefit collections (posteriors set), the Barycentre scheme,
+        no include_sim, and a weighter in ``BATCHED_WEIGHT_KINDS``; produces
+        the same DataFrame as ``run(use_prefit_models=True)`` (no figures).
+        Equality with the loop path is tested in tests/test_validation.py.
+        """
+        import pandas as pd
+
+        wname = self.weight_method().name
+        kind = BATCHED_WEIGHT_KINDS.get(wname)
+        if kind is None:
+            raise ValueError(
+                f"{wname} has no batched scoring path; use run() "
+                f"(supported: {sorted(BATCHED_WEIGHT_KINDS)})"
+            )
+        if self.include_sim:
+            raise ValueError("include_sim is only supported by run()")
+        out = batched_pmt(
+            self.hindcast_models,
+            self.forecast_models,
+            kind,
+            compat_fixed_point=bool(
+                self.scheme_kwargs.get("compat_fixed_point", False)
+            ),
+        )
+        df = pd.DataFrame(
+            out,
+            columns=[
+                f"nll_bary_{wname}",
+                f"rmse_bary_{wname}",
+                f"w2_bary_{wname}",
+                "nll_mmm",
+                "rmse_mmm",
+                "w2_mmm",
+            ],
+        )
+        df.insert(0, "model as pseudo obs", list(self.hindcast_models.model_names))
+        if self.save_dir:
+            suffix = wname
             path = os.path.join(
                 self.csv_dir, f"perfect_model_test_results_{suffix}_{self.ssp}.csv"
             )

@@ -35,6 +35,12 @@ def main():
         action="store_true",
         help="use the reference-faithful fixed-point barycentre sigma",
     )
+    ap.add_argument(
+        "--batched",
+        action="store_true",
+        help="all leave-one-out folds in one XLA program (prefit only, "
+        "no figures; validation.batched_pmt)",
+    )
     args = ap.parse_args()
 
     import bayesian_ensembling_tpu as bet
@@ -67,7 +73,14 @@ def main():
                     {"compat_fixed_point": True} if args.compat_fixed_point else None
                 ),
             )
-            df = pmt.run(n_optim_nits=args.n_optim_nits, use_prefit_models=use_prefit)
+            if args.batched:
+                if not use_prefit:
+                    raise SystemExit("--batched requires --prefit-dir")
+                df = pmt.run_batched()
+            else:
+                df = pmt.run(
+                    n_optim_nits=args.n_optim_nits, use_prefit_models=use_prefit
+                )
             print(f"{ssp} / {wname}:\n{df.describe().loc[['mean']]}", flush=True)
 
 

@@ -146,3 +146,68 @@ def test_orbax_checkpoint_roundtrip(rng, tmp_path):
             np.asarray(a.distribution.gaussian.variance),
             np.asarray(b.distribution.gaussian.variance),
         )
+
+
+def _prefit(rng, n_models=4, n_months=14):
+    from bayesian_ensembling_tpu.models.gp_dtw import GPDTW1D
+
+    hind = make_collection(rng, n_models=n_models, n_reals=(2, 3, 4), n_months=n_months)
+    fore = make_collection(rng, n_models=n_models, n_reals=(2, 3, 4), n_months=n_months)
+    hind.fit(GPDTW1D(dtype=np.float64), n_optim_nits=5, dba_iterations=2)
+    fore.fit(GPDTW1D(dtype=np.float64), n_optim_nits=5, dba_iterations=2)
+    return hind, fore
+
+
+def test_batched_pmt_matches_loop(rng):
+    """All-folds-in-one-program PMT == the serial loop path, every campaign
+    weighter, ragged realisation counts, full-covariance prefit posteriors
+    (exercises the constant-vector log-likelihood branch)."""
+    import pytest as _pt
+
+    hind, fore = _prefit(rng)
+    for weight_cls in (
+        bet.CRPSWeight,
+        bet.LogLikelihoodWeight,
+        bet.KSDWeight,
+        bet.InverseSquareWeight,
+        bet.UniformWeight,
+    ):
+        pmt = PerfectModelTest(
+            hindcast_models=hind,
+            forecast_models=fore,
+            emulate_method=None,
+            weight_method=weight_cls,
+            ensemble_method=bet.Barycentre,
+            ssp="testssp",
+        )
+        want = pmt.run(use_prefit_models=True)
+        got = pmt.run_batched()
+        assert list(got.columns) == list(want.columns)
+        np.testing.assert_allclose(
+            got.iloc[:, 1:].to_numpy(dtype=float),
+            want.iloc[:, 1:].to_numpy(dtype=float),
+            rtol=1e-5,
+            atol=1e-8,
+            err_msg=f"batched != loop for {weight_cls.__name__}",
+        )
+
+
+def test_batched_pmt_compat_fixed_point(rng):
+    hind, fore = _prefit(rng, n_models=3, n_months=10)
+    pmt = PerfectModelTest(
+        hindcast_models=hind,
+        forecast_models=fore,
+        emulate_method=None,
+        weight_method=bet.CRPSWeight,
+        ensemble_method=bet.Barycentre,
+        ssp="testssp",
+        scheme_kwargs={"compat_fixed_point": True},
+    )
+    want = pmt.run(use_prefit_models=True)
+    got = pmt.run_batched()
+    np.testing.assert_allclose(
+        got.iloc[:, 1:].to_numpy(dtype=float),
+        want.iloc[:, 1:].to_numpy(dtype=float),
+        rtol=1e-5,
+        atol=1e-8,
+    )
