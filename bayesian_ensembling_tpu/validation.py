@@ -53,6 +53,7 @@ def batched_pmt(
     weight_kind: str,
     *,
     compat_fixed_point: bool = False,
+    include_sim: bool = False,
 ) -> np.ndarray:
     """ALL leave-one-out folds of the perfect-model test as ONE jitted
     program.
@@ -130,6 +131,31 @@ def batched_pmt(
     hist_w = jnp.asarray(hist_rmask, dtype)
     fore_w = jnp.asarray(fore_rmask, dtype)
 
+    if include_sim:
+        # Full pairwise W2 matrix over the hindcast posteriors, computed
+        # ONCE; each fold takes its reduced row-means (ModelSimilarityWeight
+        # mode="single" on the reduced collection uses exactly these
+        # entries, diagonal included).
+        from bayesian_ensembling_tpu.ops.wasserstein import (
+            gaussian_w2_distance_diag,
+        )
+
+        if hist_full:
+            hist_covs = jnp.stack(
+                [jnp.asarray(pm.distribution.gaussian.cov) for pm in hindcast_models]
+            )
+            sim_pair = jax.vmap(
+                jax.vmap(gaussian_w2_distance, in_axes=(None, None, 0, 0)),
+                in_axes=(0, 0, None, None),
+            )(hist_mean, hist_covs, hist_mean, hist_covs)
+        else:
+            sim_pair = jax.vmap(
+                jax.vmap(gaussian_w2_distance_diag, in_axes=(None, None, 0, 0)),
+                in_axes=(0, 0, None, None),
+            )(hist_mean, hist_var, hist_mean, hist_var)
+    else:
+        sim_pair = None
+
     def masked_mean_r(x, w_r):  # x: (R, T), w_r: (R,)
         return jnp.einsum("rt,r->t", x, w_r) / jnp.maximum(jnp.sum(w_r), 1.0)
 
@@ -202,6 +228,16 @@ def batched_pmt(
         mmask = (jnp.arange(m) != i).astype(dtype)
         weights_t = fold_weights(i, mmask)  # (M, T_h), sums to 1 over models
         w = jnp.mean(weights_t, axis=1)  # time-mean, one weight per model
+        if sim_pair is not None:
+            # Reduced-collection similarity vector: mean over remaining
+            # columns, normalised, multiplied in, renormalised
+            # (PerfectModelTest._run_single_test include_sim branch).
+            red = sim_pair * mmask[None, :]
+            sim = jnp.sum(red, axis=1) / jnp.maximum(jnp.sum(mmask), 1.0)
+            sim = sim * mmask
+            sim = sim / jnp.sum(sim)
+            w = w * sim
+            w = w / jnp.sum(w)
 
         w_b = jnp.broadcast_to(w[:, None], (m, t_s))
         if compat_fixed_point:
@@ -402,9 +438,10 @@ class PerfectModelTest:
         """All leave-one-out folds in one XLA program (``batched_pmt``).
 
         Requires prefit collections (posteriors set), the Barycentre scheme,
-        no include_sim, and a weighter in ``BATCHED_WEIGHT_KINDS``; produces
-        the same DataFrame as ``run(use_prefit_models=True)`` (no figures).
-        Equality with the loop path is tested in tests/test_validation.py.
+        and a weighter in ``BATCHED_WEIGHT_KINDS``; produces the same
+        DataFrame as ``run(use_prefit_models=True)`` (no figures), including
+        the ``include_sim`` similarity multiplier.  Equality with the loop
+        path is tested in tests/test_validation.py.
         """
         import pandas as pd
 
@@ -415,8 +452,6 @@ class PerfectModelTest:
                 f"{wname} has no batched scoring path; use run() "
                 f"(supported: {sorted(BATCHED_WEIGHT_KINDS)})"
             )
-        if self.include_sim:
-            raise ValueError("include_sim is only supported by run()")
         out = batched_pmt(
             self.hindcast_models,
             self.forecast_models,
@@ -424,6 +459,7 @@ class PerfectModelTest:
             compat_fixed_point=bool(
                 self.scheme_kwargs.get("compat_fixed_point", False)
             ),
+            include_sim=self.include_sim,
         )
         df = pd.DataFrame(
             out,
@@ -438,7 +474,7 @@ class PerfectModelTest:
         )
         df.insert(0, "model as pseudo obs", list(self.hindcast_models.model_names))
         if self.save_dir:
-            suffix = wname
+            suffix = f"{wname}_plus_sim" if self.include_sim else wname
             path = os.path.join(
                 self.csv_dir, f"perfect_model_test_results_{suffix}_{self.ssp}.csv"
             )

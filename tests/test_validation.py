@@ -211,3 +211,24 @@ def test_batched_pmt_compat_fixed_point(rng):
         rtol=1e-5,
         atol=1e-8,
     )
+
+
+def test_batched_pmt_include_sim_matches_loop(rng):
+    hind, fore = _prefit(rng, n_models=3, n_months=10)
+    pmt = PerfectModelTest(
+        hindcast_models=hind,
+        forecast_models=fore,
+        emulate_method=None,
+        weight_method=bet.CRPSWeight,
+        ensemble_method=bet.Barycentre,
+        ssp="testssp",
+        include_sim=True,
+    )
+    want = pmt.run(use_prefit_models=True)
+    got = pmt.run_batched()
+    np.testing.assert_allclose(
+        got.iloc[:, 1:].to_numpy(dtype=float),
+        want.iloc[:, 1:].to_numpy(dtype=float),
+        rtol=1e-5,
+        atol=1e-8,
+    )
