@@ -21,7 +21,11 @@ from bayesian_ensembling_tpu.models.gp_3d import GPDTW3D
 from bayesian_ensembling_tpu.models.gp_dtw import GPDTW1D
 from bayesian_ensembling_tpu.models.mean_field import MeanField, MeanFieldApproximation
 from bayesian_ensembling_tpu.ops.dtw import dba
-from bayesian_ensembling_tpu.validation import PerfectModelTest, load_model_collection
+from bayesian_ensembling_tpu.validation import (
+    PerfectModelTest,
+    batched_pmt,
+    load_model_collection,
+)
 from bayesian_ensembling_tpu.schemes import (
     Barycentre,
     MultiModelMean,
@@ -56,11 +60,14 @@ __all__ = [
     "ops",
     "metrics",
     "pipeline",
-    "plotters",
+    # NB: "plotters" is deliberately NOT in __all__ — it imports matplotlib
+    # lazily via module __getattr__, and `import *` must stay working in a
+    # matplotlib-free install.
     "serve",
     "DimArray",
     "GPDTW3D",
     "PerfectModelTest",
+    "batched_pmt",
     "load_model_collection",
     "ModelCollection",
     "Posterior",

@@ -110,11 +110,18 @@ def annual_mean(data: np.ndarray, time: np.ndarray, time_axis: int = 1):
     return resample_mean(data, time, "Y", time_axis=time_axis)
 
 
-# pandas-style frequency aliases -> canonical period kind
+# pandas-style frequency aliases -> (canonical period kind, start-anchored?)
+# End-anchored aliases (M/ME, Q/QE, Y/YE/A) label period ENDS; the
+# start-anchored spellings (MS, QS, YS/AS) label period STARTS, matching
+# pandas' resample label conventions.  Values are identical either way.
 _FREQ_ALIASES = {
-    "M": "M", "ME": "M", "1M": "M",
-    "Q": "Q", "QE": "Q", "1Q": "Q",
-    "Y": "Y", "YE": "Y", "A": "Y", "1Y": "Y", "AS": "Y", "YS": "Y",
+    "M": ("M", False), "ME": ("M", False), "1M": ("M", False),
+    "MS": ("M", True),
+    "Q": ("Q", False), "QE": ("Q", False), "1Q": ("Q", False),
+    "QS": ("Q", True),
+    "Y": ("Y", False), "YE": ("Y", False), "A": ("Y", False),
+    "1Y": ("Y", False),
+    "AS": ("Y", True), "YS": ("Y", True),
 }
 
 
@@ -137,23 +144,35 @@ def resample_mean(
 
     Returns (resampled_data, new_time); groups appear in chronological order.
     """
-    kind = _FREQ_ALIASES.get(str(freq).upper())
-    if kind is None:
+    kind_anchor = _FREQ_ALIASES.get(str(freq).upper())
+    if kind_anchor is None:
         raise NotImplementedError(
             f"resample_freq={freq!r} unsupported; use one of "
             f"{sorted(set(_FREQ_ALIASES))}"
         )
+    kind, start_anchored = kind_anchor
     years = years_of(time)
     months = months_of(time)
     if kind == "M":
         keys = years * 12 + (months - 1)
-        label = lambda k: _month_end(k // 12, k % 12 + 1)
+        if start_anchored:
+            label = lambda k: np.datetime64(f"{k // 12}-{k % 12 + 1:02d}-01", "D")
+        else:
+            label = lambda k: _month_end(k // 12, k % 12 + 1)
     elif kind == "Q":
         keys = years * 4 + (months - 1) // 3
-        label = lambda k: _month_end(k // 4, (k % 4) * 3 + 3)
+        if start_anchored:
+            label = lambda k: np.datetime64(
+                f"{k // 4}-{(k % 4) * 3 + 1:02d}-01", "D"
+            )
+        else:
+            label = lambda k: _month_end(k // 4, (k % 4) * 3 + 3)
     else:  # Y
         keys = years
-        label = lambda k: np.datetime64(f"{k}-12-31", "D")
+        if start_anchored:
+            label = lambda k: np.datetime64(f"{k}-01-01", "D")
+        else:
+            label = lambda k: np.datetime64(f"{k}-12-31", "D")
     uniq = np.unique(keys)
     pieces = [
         np.take(data, np.nonzero(keys == k)[0], axis=time_axis).mean(axis=time_axis)

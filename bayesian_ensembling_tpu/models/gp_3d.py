@@ -88,7 +88,7 @@ class GPDTW3D(AbstractEmulator):
         self,
         name: str = "GP3DRegressor",
         mode: str = "batched",
-        kernel: str = "matern32",
+        kernel: tp.Optional[str] = None,
         dtype=jnp.float32,
         config=None,
     ) -> None:
@@ -96,10 +96,14 @@ class GPDTW3D(AbstractEmulator):
         from bayesian_ensembling_tpu.utils.config import GPRParameters, SGPRParameters
 
         self.config = config or (
-            SGPRParameters() if mode == "svgp" else GPRParameters(kernel=kernel)
+            SGPRParameters()
+            if mode == "svgp"
+            else GPRParameters(kernel=kernel or "matern32")
         )
         self.mode = mode
-        self.kernel = kernel
+        # Explicit kernel arg wins; otherwise honour config.kernel (same
+        # contract as GPDTW1D — the typed-config layer drives defaults).
+        self.kernel = kernel or getattr(self.config, "kernel", "matern32")
         self.dtype = dtype
         if mode == "svgp":
             warnings.warn(

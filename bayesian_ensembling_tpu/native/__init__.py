@@ -52,22 +52,34 @@ def _load() -> tp.Optional[ctypes.CDLL]:
     _tried = True
     if not os.path.exists(_LIB) and not _build():
         return None
+
+    def bind(lib: ctypes.CDLL) -> ctypes.CDLL:
+        dptr = ctypes.POINTER(ctypes.c_double)
+        lib.bet_squared_dtw.restype = ctypes.c_double
+        lib.bet_squared_dtw.argtypes = [dptr, dptr, ctypes.c_int]
+        lib.bet_dtw_pairwise.restype = None
+        lib.bet_dtw_pairwise.argtypes = [dptr, ctypes.c_int, ctypes.c_int, dptr]
+        lib.bet_dba.restype = None
+        lib.bet_dba.argtypes = [dptr, ctypes.c_int, ctypes.c_int, ctypes.c_int, dptr]
+        lib.bet_dba_batch.restype = None
+        lib.bet_dba_batch.argtypes = [
+            dptr, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, dptr
+        ]
+        return lib
+
     try:
-        lib = ctypes.CDLL(_LIB)
+        _lib = bind(ctypes.CDLL(_LIB))
     except OSError:
         return None
-    dptr = ctypes.POINTER(ctypes.c_double)
-    lib.bet_squared_dtw.restype = ctypes.c_double
-    lib.bet_squared_dtw.argtypes = [dptr, dptr, ctypes.c_int]
-    lib.bet_dtw_pairwise.restype = None
-    lib.bet_dtw_pairwise.argtypes = [dptr, ctypes.c_int, ctypes.c_int, dptr]
-    lib.bet_dba.restype = None
-    lib.bet_dba.argtypes = [dptr, ctypes.c_int, ctypes.c_int, ctypes.c_int, dptr]
-    lib.bet_dba_batch.restype = None
-    lib.bet_dba_batch.argtypes = [
-        dptr, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, dptr
-    ]
-    _lib = lib
+    except AttributeError:
+        # Stale prebuilt library missing a newer entry point: rebuild once
+        # from source; report unavailable (-> JAX fallback) if that fails.
+        _lib = None
+        if _build():
+            try:
+                _lib = bind(ctypes.CDLL(_LIB))
+            except (OSError, AttributeError):
+                _lib = None
     return _lib
 
 

@@ -145,26 +145,112 @@ def squared_dtw_cost_batch(centers: jnp.ndarray, series: jnp.ndarray, lanes: int
 
 
 # ------------------------------------------------------- fused DBA update
+#
+# The DBA update = a forward wavefront DP emitting move-code rows to HBM
+# (0=diag, 1=left, 2=top; reference tie-break dtwa.py:113-126) + a backward
+# on-path sweep reading them back (a cell is on the path iff a successor
+# chose it), with the series diagonal maintained by static roll-by-1 per
+# step.  The two pass bodies below are SHARED by the single fused program
+# (small T) and the split fwd/bwd program pair (large T) so the DP
+# semantics, tie-break, and DMA double-buffer protocol live in one place.
+
+
+def _dba_forward_pass(t, center, series_rev, rows, mv_buf, wr_dma):
+    """2T-2 wavefront steps; each emits a (Tp, L) int8 move row through the
+    double-buffered ``mv_buf`` slot via ``wr_dma`` (the full (2T-1, Tp, L)
+    code tensor exceeds VMEM).  Returns the final series diagonal."""
+    tp_ = rows.shape[0]
+    # sdiag holds s[k-i] at slot i for the current diagonal k; advancing
+    # k rolls it by one (init: diagonal 0 = roll by (1-t) mod Tp).
+    sdiag0 = pltpu.roll(series_rev, (1 - t) % tp_, axis=0)
+    d0 = jnp.where(rows == 0, jnp.square(center - sdiag0), _BIG)
+    # Derive from d0 so the init layout matches the loop body's
+    # (a constant splat is lane-replicated and Mosaic refuses the
+    # replicated->non-replicated carry relayout).
+    prev2_0 = d0 * 0.0 + _BIG
+
+    def fwd(k, carry):
+        prev2, prev1, sdiag = carry
+        sdiag = pltpu.roll(sdiag, 1, axis=0)
+        valid = (rows <= k) & (rows >= k - (t - 1)) & (rows < t)
+        delta = jnp.square(center - sdiag)
+        left = prev1
+        top = jnp.where(rows > 0, pltpu.roll(prev1, 1, axis=0), _BIG)
+        diag = jnp.where(rows > 0, pltpu.roll(prev2, 1, axis=0), _BIG)
+        # Reference tie-break: diag, then left, then top (dtwa.py:113-126).
+        take_diag = (diag <= left) & (diag <= top)
+        take_left = ~take_diag & (left <= top)
+        best = jnp.where(take_diag, diag, jnp.where(take_left, left, top))
+        move = jnp.where(take_diag, 0, jnp.where(take_left, 1, 2)).astype(jnp.int8)
+        cur = jnp.where(valid, jnp.minimum(best + delta, _BIG), _BIG)
+
+        slot = k % 2
+
+        @pl.when(k >= 3)
+        def _():
+            wr_dma(slot, k - 2).wait()
+
+        mv_buf[slot] = move
+        wr_dma(slot, k).start()
+        return (prev1, cur, sdiag)
+
+    _, _, sdiag_last = jax.lax.fori_loop(1, 2 * t - 1, fwd, (prev2_0, d0, sdiag0))
+    wr_dma((2 * t - 2) % 2, 2 * t - 2).wait()
+    wr_dma((2 * t - 3) % 2, 2 * t - 3).wait()
+    return sdiag_last
+
+
+def _dba_backward_pass(t, sdiag_last, rows, sums_ref, counts_ref, rd_buf, rd_dma):
+    """Backward on-path sweep: move rows are prefetched one step ahead via
+    ``rd_dma``; aligned-value sums and visit counts accumulate directly into
+    the output refs (no extra loop carries)."""
+    tp_ = rows.shape[0]
+    dtype = sdiag_last.dtype
+    # Start at the corner diagonal k = 2T-2 (always on the path);
+    # prefetching its move row is not needed separately — it is consumed at
+    # the first step below as "moves_k1".
+    rd_dma((2 * t - 2) % 2, 2 * t - 2).start()
+
+    # Round-trip the inits through the output refs so every loop carry
+    # starts with a concrete (non-replicated) VMEM layout.
+    counts_ref[...] = jnp.where(rows == t - 1, 1.0, 0.0) + sdiag_last * 0.0
+    on_k1_0 = counts_ref[...]
+    sums_ref[...] = jnp.where(rows == t - 1, sdiag_last, 0.0)
+    zeros = on_k1_0 * 0.0
+
+    def shift_up(x):
+        # roll by Tp-1 == roll by -1 (pltpu.roll needs non-negative shifts)
+        return jnp.where(rows < tp_ - 1, pltpu.roll(x, tp_ - 1, axis=0), 0.0)
+
+    def bwd(step, carry):
+        on_k1, on_k2, movesf_k2, sdiag = carry
+        k = 2 * t - 3 - step
+        sdiag = pltpu.roll(sdiag, tp_ - 1, axis=0)
+
+        slot = (k + 1) % 2
+        rd_dma(slot, k + 1).wait()
+        movesf_k1 = rd_buf[slot].astype(dtype)
+
+        @pl.when(k >= 1)
+        def _():
+            rd_dma(k % 2, k).start()
+
+        diag_t = shift_up(on_k2 * jnp.where(movesf_k2 == 0, 1.0, 0.0))
+        left_t = on_k1 * jnp.where(movesf_k1 == 1, 1.0, 0.0)
+        top_t = shift_up(on_k1 * jnp.where(movesf_k1 == 2, 1.0, 0.0))
+        valid = ((rows <= k) & (rows >= k - (t - 1)) & (rows < t)).astype(dtype)
+        on_k = jnp.minimum(diag_t + left_t + top_t, 1.0) * valid
+        sums_ref[...] = sums_ref[...] + on_k * sdiag
+        counts_ref[...] = counts_ref[...] + on_k
+        return (on_k, on_k1, movesf_k1, sdiag)
+
+    jax.lax.fori_loop(0, 2 * t - 2, bwd, (on_k1_0, zeros, zeros, sdiag_last))
+
+
 def _make_dba_update_kernel(t: int):
-    """Forward DTW DP (with move codes) + backward on-path DBA sweep, fused.
-
-    One Pallas program per lane chunk runs BOTH passes of the DBA update
-    (semantics of reference dtwa.py:48-143, structured like ops/dtw.py's
-    scan pair but without XLA per-diagonal loop overhead):
-
-      * forward: 2T-2 wavefront steps; each emits a (Tp, L) int8 row of move
-        codes (0=diag, 1=left, 2=top, reference tie-break dtwa.py:113-126),
-        staged through a double-buffered VMEM slot and DMA'd to an HBM
-        scratch (the full (2T-1, Tp, L) code tensor exceeds VMEM);
-      * backward: path membership propagates backward over anti-diagonals —
-        a cell is on the path iff a successor chose it — with move rows
-        DMA'd back in double-buffered slots one step ahead; aligned-value
-        sums and visit counts accumulate per centre slot.
-
-    The series diagonal is maintained by a static roll-by-1 per step (the
-    cost kernel's dynamic rotate was the next-largest overhead after the
-    loop itself).
-    """
+    """Both DBA passes in ONE Pallas program per lane chunk (semantics of
+    reference dtwa.py:48-143, structured like ops/dtw.py's scan pair but
+    without XLA per-diagonal loop overhead)."""
 
     def kernel(
         center_ref,  # (Tp, L) VMEM
@@ -179,9 +265,6 @@ def _make_dba_update_kernel(t: int):
     ):
         tp_ = center_ref.shape[0]
         rows = jax.lax.broadcasted_iota(jnp.int32, (tp_, 1), 0)
-        center = center_ref[...]
-        series_rev = series_rev_ref[...]
-        dtype = center.dtype
 
         def wr_dma(slot, k):
             return pltpu.make_async_copy(mv_buf.at[slot], moves_hbm.at[k], w_sems.at[slot])
@@ -189,96 +272,10 @@ def _make_dba_update_kernel(t: int):
         def rd_dma(slot, k):
             return pltpu.make_async_copy(moves_hbm.at[k], rd_buf.at[slot], r_sems.at[slot])
 
-        # ---------------------------------------------------------- forward
-        # sdiag holds s[k-i] at slot i for the current diagonal k; advancing
-        # k rolls it by one (init: diagonal 0 = roll by (1-t) mod Tp).
-        sdiag0 = pltpu.roll(series_rev, (1 - t) % tp_, axis=0)
-        d0 = jnp.where(rows == 0, jnp.square(center - sdiag0), _BIG)
-        # Derive from d0 so the init layout matches the loop body's
-        # (a constant splat is lane-replicated and Mosaic refuses the
-        # replicated->non-replicated carry relayout).
-        prev2_0 = d0 * 0.0 + _BIG
-
-        def fwd(k, carry):
-            prev2, prev1, sdiag = carry
-            sdiag = pltpu.roll(sdiag, 1, axis=0)
-            valid = (rows <= k) & (rows >= k - (t - 1)) & (rows < t)
-            delta = jnp.square(center - sdiag)
-            left = prev1
-            top = jnp.where(rows > 0, pltpu.roll(prev1, 1, axis=0), _BIG)
-            diag = jnp.where(rows > 0, pltpu.roll(prev2, 1, axis=0), _BIG)
-            # Reference tie-break: diag, then left, then top (dtwa.py:113-126).
-            take_diag = (diag <= left) & (diag <= top)
-            take_left = ~take_diag & (left <= top)
-            best = jnp.where(take_diag, diag, jnp.where(take_left, left, top))
-            move = jnp.where(take_diag, 0, jnp.where(take_left, 1, 2)).astype(jnp.int8)
-            cur = jnp.where(valid, jnp.minimum(best + delta, _BIG), _BIG)
-
-            slot = k % 2
-
-            @pl.when(k >= 3)
-            def _():
-                wr_dma(slot, k - 2).wait()
-
-            mv_buf[slot] = move
-            wr_dma(slot, k).start()
-            return (prev1, cur, sdiag)
-
-        _, _, sdiag_last = jax.lax.fori_loop(
-            1, 2 * t - 1, fwd, (prev2_0, d0, sdiag0)
+        sdiag_last = _dba_forward_pass(
+            t, center_ref[...], series_rev_ref[...], rows, mv_buf, wr_dma
         )
-        wr_dma((2 * t - 2) % 2, 2 * t - 2).wait()
-        wr_dma((2 * t - 3) % 2, 2 * t - 3).wait()
-
-        # --------------------------------------------------------- backward
-        # Start at the corner diagonal k = 2T-2 (always on the path);
-        # prefetch its move row is not needed (row 2T-2 is consumed at the
-        # first step below as "moves_k1").
-        rd_dma((2 * t - 2) % 2, 2 * t - 2).start()
-
-        # Round-trip the inits through the output refs so every loop carry
-        # starts with a concrete (non-replicated) VMEM layout.
-        counts_ref[...] = jnp.where(rows == t - 1, 1.0, 0.0) + center * 0.0
-        on_k1_0 = counts_ref[...]
-        sums_ref[...] = jnp.where(rows == t - 1, sdiag_last, 0.0)
-        sums0 = sums_ref[...]
-        counts0 = on_k1_0
-        zeros = on_k1_0 * 0.0
-
-        def shift_up(x):
-            # roll by Tp-1 == roll by -1 (pltpu.roll needs non-negative shifts)
-            return jnp.where(rows < tp_ - 1, pltpu.roll(x, tp_ - 1, axis=0), 0.0)
-
-        def bwd(step, carry):
-            on_k1, on_k2, movesf_k2, sums, counts, sdiag = carry
-            k = 2 * t - 3 - step
-            sdiag = pltpu.roll(sdiag, tp_ - 1, axis=0)
-
-            slot = (k + 1) % 2
-            rd_dma(slot, k + 1).wait()
-            movesf_k1 = rd_buf[slot].astype(dtype)
-
-            @pl.when(k >= 1)
-            def _():
-                rd_dma(k % 2, k).start()
-
-            diag_t = shift_up(on_k2 * jnp.where(movesf_k2 == 0, 1.0, 0.0))
-            left_t = on_k1 * jnp.where(movesf_k1 == 1, 1.0, 0.0)
-            top_t = shift_up(on_k1 * jnp.where(movesf_k1 == 2, 1.0, 0.0))
-            valid = ((rows <= k) & (rows >= k - (t - 1)) & (rows < t)).astype(dtype)
-            on_k = jnp.minimum(diag_t + left_t + top_t, 1.0) * valid
-            sums = sums + on_k * sdiag
-            counts = counts + on_k
-            return (on_k, on_k1, movesf_k1, sums, counts, sdiag)
-
-        _, _, _, sums, counts, _ = jax.lax.fori_loop(
-            0,
-            2 * t - 2,
-            bwd,
-            (on_k1_0, zeros, zeros, sums0, counts0, sdiag_last),
-        )
-        sums_ref[...] = sums
-        counts_ref[...] = counts
+        _dba_backward_pass(t, sdiag_last, rows, sums_ref, counts_ref, rd_buf, rd_dma)
 
     return kernel
 
@@ -319,120 +316,48 @@ def _dba_update_fused(c: jnp.ndarray, s_rev: jnp.ndarray, t: int, lanes: int):
 
 # ----------------------------------------- split DBA update (large T)
 def _make_dba_fwd_kernel(t: int):
-    """Forward half of the DBA update as its own program: the wavefront DP
-    emitting move-code rows to HBM.  Splitting the fused kernel in two keeps
-    each phase's scoped-VMEM working set roughly half of the fused one,
-    which is what admits the native monthly historical resolution
-    (T = 1980; the fused kernel's 19.3 MB at 128 lanes cannot fit the 16 MB
-    scoped limit).  Same DP/tie-break semantics as _make_dba_update_kernel.
-    """
+    """Forward half of the DBA update as its own program.  Splitting the
+    fused kernel in two keeps each phase's scoped-VMEM working set roughly
+    half of the fused one, which is what admits the native monthly
+    historical resolution (T = 1980; the fused kernel's 19.3 MB at 128
+    lanes cannot fit the 16 MB scoped limit).  Shares the pass body with
+    the fused kernel (_dba_forward_pass)."""
 
     def kernel(center_ref, series_rev_ref, moves_hbm, mv_buf, w_sems):
         tp_ = center_ref.shape[0]
         rows = jax.lax.broadcasted_iota(jnp.int32, (tp_, 1), 0)
-        center = center_ref[...]
-        series_rev = series_rev_ref[...]
 
         def wr_dma(slot, k):
             return pltpu.make_async_copy(
                 mv_buf.at[slot], moves_hbm.at[k], w_sems.at[slot]
             )
 
-        sdiag0 = pltpu.roll(series_rev, (1 - t) % tp_, axis=0)
-        d0 = jnp.where(rows == 0, jnp.square(center - sdiag0), _BIG)
-        prev2_0 = d0 * 0.0 + _BIG
-
-        def fwd(k, carry):
-            prev2, prev1, sdiag = carry
-            sdiag = pltpu.roll(sdiag, 1, axis=0)
-            valid = (rows <= k) & (rows >= k - (t - 1)) & (rows < t)
-            delta = jnp.square(center - sdiag)
-            left = prev1
-            top = jnp.where(rows > 0, pltpu.roll(prev1, 1, axis=0), _BIG)
-            diag = jnp.where(rows > 0, pltpu.roll(prev2, 1, axis=0), _BIG)
-            take_diag = (diag <= left) & (diag <= top)
-            take_left = ~take_diag & (left <= top)
-            best = jnp.where(take_diag, diag, jnp.where(take_left, left, top))
-            move = jnp.where(take_diag, 0, jnp.where(take_left, 1, 2)).astype(
-                jnp.int8
-            )
-            cur = jnp.where(valid, jnp.minimum(best + delta, _BIG), _BIG)
-
-            slot = k % 2
-
-            @pl.when(k >= 3)
-            def _():
-                wr_dma(slot, k - 2).wait()
-
-            mv_buf[slot] = move
-            wr_dma(slot, k).start()
-            return (prev1, cur, sdiag)
-
-        jax.lax.fori_loop(1, 2 * t - 1, fwd, (prev2_0, d0, sdiag0))
-        wr_dma((2 * t - 2) % 2, 2 * t - 2).wait()
-        wr_dma((2 * t - 3) % 2, 2 * t - 3).wait()
+        _dba_forward_pass(
+            t, center_ref[...], series_rev_ref[...], rows, mv_buf, wr_dma
+        )
 
     return kernel
 
 
 def _make_dba_bwd_kernel(t: int):
-    """Backward half: path membership propagated over anti-diagonals with
-    move rows DMA'd back in double-buffered slots; sums/counts accumulate
-    IN the output refs (no extra carries).  The series diagonal at the
-    corner (k = 2T-2) is a static roll of the reversed series, so the
-    forward pass needs to hand over nothing but the move codes."""
+    """Backward half: shares the pass body with the fused kernel
+    (_dba_backward_pass).  The series diagonal at the corner (k = 2T-2) is
+    a static roll of the reversed series, so the forward pass needs to hand
+    over nothing but the move codes."""
 
     def kernel(series_rev_ref, moves_hbm, sums_ref, counts_ref, rd_buf, r_sems):
         tp_ = series_rev_ref.shape[0]
         rows = jax.lax.broadcasted_iota(jnp.int32, (tp_, 1), 0)
-        series_rev = series_rev_ref[...]
-        dtype = series_rev.dtype
         # After 2T-2 forward rolls from (1-t) mod Tp the diagonal sits at
         # (t-1) mod Tp: sdiag_last[i] = s[(2t-2)-i] for valid slots.
-        sdiag_last = pltpu.roll(series_rev, (t - 1) % tp_, axis=0)
+        sdiag_last = pltpu.roll(series_rev_ref[...], (t - 1) % tp_, axis=0)
 
         def rd_dma(slot, k):
             return pltpu.make_async_copy(
                 moves_hbm.at[k], rd_buf.at[slot], r_sems.at[slot]
             )
 
-        rd_dma((2 * t - 2) % 2, 2 * t - 2).start()
-
-        counts_ref[...] = jnp.where(rows == t - 1, 1.0, 0.0) + series_rev * 0.0
-        on_k1_0 = counts_ref[...]
-        sums_ref[...] = jnp.where(rows == t - 1, sdiag_last, 0.0)
-        zeros = on_k1_0 * 0.0
-
-        def shift_up(x):
-            return jnp.where(rows < tp_ - 1, pltpu.roll(x, tp_ - 1, axis=0), 0.0)
-
-        def bwd(step, carry):
-            on_k1, on_k2, movesf_k2, sdiag = carry
-            k = 2 * t - 3 - step
-            sdiag = pltpu.roll(sdiag, tp_ - 1, axis=0)
-
-            slot = (k + 1) % 2
-            rd_dma(slot, k + 1).wait()
-            movesf_k1 = rd_buf[slot].astype(dtype)
-
-            @pl.when(k >= 1)
-            def _():
-                rd_dma(k % 2, k).start()
-
-            diag_t = shift_up(on_k2 * jnp.where(movesf_k2 == 0, 1.0, 0.0))
-            left_t = on_k1 * jnp.where(movesf_k1 == 1, 1.0, 0.0)
-            top_t = shift_up(on_k1 * jnp.where(movesf_k1 == 2, 1.0, 0.0))
-            valid = ((rows <= k) & (rows >= k - (t - 1)) & (rows < t)).astype(
-                dtype
-            )
-            on_k = jnp.minimum(diag_t + left_t + top_t, 1.0) * valid
-            sums_ref[...] = sums_ref[...] + on_k * sdiag
-            counts_ref[...] = counts_ref[...] + on_k
-            return (on_k, on_k1, movesf_k1, sdiag)
-
-        jax.lax.fori_loop(
-            0, 2 * t - 2, bwd, (on_k1_0, zeros, zeros, sdiag_last)
-        )
+        _dba_backward_pass(t, sdiag_last, rows, sums_ref, counts_ref, rd_buf, rd_dma)
 
     return kernel
 

@@ -105,22 +105,16 @@ def mean_gaussian_crps(mean: jnp.ndarray, sigma: jnp.ndarray, obs: jnp.ndarray) 
     return jnp.mean(gaussian_crps(obs, mean, sigma), axis=0)
 
 
-def imq_ksd_1d(samples: jnp.ndarray, grads: jnp.ndarray, c: float = 1.0, beta: float = -0.5) -> jnp.ndarray:
-    """Kernel Stein Discrepancy with an IMQ Stein kernel, 1-D marginals.
-
-    Vectorised form of the reference's ``k_0_fun`` + scan accumulation
-    (weights.py:360-393) for scalar samples (dim = 1):
+def imq_k0_matrix(
+    samples: jnp.ndarray, grads: jnp.ndarray, c: float = 1.0, beta: float = -0.5
+) -> jnp.ndarray:
+    """The ``(n, n)`` IMQ Stein kernel matrix (reference ``k_0_fun``,
+    weights.py:360-376, dim = 1):
 
       k0(x, y) = g_x g_y K + 2 beta (g_y - g_x) d K' - 2 beta K'
                  - 4 beta (beta-1) d^2 K''
-    with d = x - y, K = (c^2 + d^2)^beta.
-
-    Args:
-      samples: ``(n,)`` observation samples for one marginal.
-      grads: ``(n,)`` score function values d/dx log p(x) at the samples.
-
-    Returns:
-      scalar ``sqrt(sum_jk k0) / n`` (matching weights.py:393).
+    with d = x - y, K = (c^2 + d^2)^beta.  Shared by the dense KSD
+    (``imq_ksd_1d``) and the masked variant in validation.batched_pmt.
     """
     d = samples[:, None] - samples[None, :]
     imq = c**2 + jnp.square(d)
@@ -130,7 +124,23 @@ def imq_ksd_1d(samples: jnp.ndarray, grads: jnp.ndarray, c: float = 1.0, beta: f
     term3 = 2.0 * beta * grads[None, :] * d * imq ** (beta - 1.0)
     term4 = -2.0 * beta * imq ** (beta - 1.0)  # dim = 1
     term5 = -4.0 * beta * (beta - 1.0) * imq ** (beta - 2.0) * jnp.square(d)
-    total = jnp.sum(term1 + term2 + term3 + term4 + term5)
+    return term1 + term2 + term3 + term4 + term5
+
+
+def imq_ksd_1d(samples: jnp.ndarray, grads: jnp.ndarray, c: float = 1.0, beta: float = -0.5) -> jnp.ndarray:
+    """Kernel Stein Discrepancy with an IMQ Stein kernel, 1-D marginals.
+
+    Vectorised form of the reference's ``k_0_fun`` + scan accumulation
+    (weights.py:360-393) for scalar samples (dim = 1).
+
+    Args:
+      samples: ``(n,)`` observation samples for one marginal.
+      grads: ``(n,)`` score function values d/dx log p(x) at the samples.
+
+    Returns:
+      scalar ``sqrt(sum_jk k0) / n`` (matching weights.py:393).
+    """
+    total = jnp.sum(imq_k0_matrix(samples, grads, c=c, beta=beta))
     n = samples.shape[0]
     return jnp.sqrt(total) / n
 

@@ -91,8 +91,6 @@ def batched_pmt(
     )
 
     m = len(hindcast_models)
-    hist_block, hist_rmask = hindcast_models.padded_stack()
-    fore_block, fore_rmask = forecast_models.padded_stack()
     hist_mean = jnp.stack(
         [jnp.asarray(pm.distribution.gaussian.mean) for pm in hindcast_models]
     )
@@ -106,6 +104,10 @@ def batched_pmt(
         [jnp.asarray(pm.distribution.gaussian.variance) for pm in forecast_models]
     )
     dtype = hist_mean.dtype
+    # Stack raw realisations at the POSTERIOR dtype — the default f32 stack
+    # would silently truncate the float64 oracle path's data.
+    hist_block, hist_rmask = hindcast_models.padded_stack(dtype=np.dtype(str(dtype)))
+    fore_block, fore_rmask = forecast_models.padded_stack(dtype=np.dtype(str(dtype)))
     t_s = fore_mean.shape[1]
     fore_cov = jnp.stack(
         [
@@ -159,17 +161,15 @@ def batched_pmt(
     def masked_mean_r(x, w_r):  # x: (R, T), w_r: (R,)
         return jnp.einsum("rt,r->t", x, w_r) / jnp.maximum(jnp.sum(w_r), 1.0)
 
-    def masked_imq_ksd(samples, grads, w_r, c=1.0, beta=-0.5):
+    # Fold-invariant: per-model realisation means for the inverse-square
+    # scorer (hoisted out of the vmapped fold — M-fold recompute otherwise).
+    hist_real_mu = jnp.einsum("mrt,mr->mt", hist_block, hist_w) / jnp.maximum(
+        jnp.sum(hist_w, axis=1), 1.0
+    )[:, None]
+
+    def masked_imq_ksd(samples, grads, w_r):
         """imq_ksd_1d with padded samples masked out of the k0 double sum."""
-        d = samples[:, None] - samples[None, :]
-        imq = c**2 + jnp.square(d)
-        gg = grads[:, None] * grads[None, :]
-        term1 = gg * imq**beta
-        term2 = -2.0 * beta * grads[:, None] * d * imq ** (beta - 1.0)
-        term3 = 2.0 * beta * grads[None, :] * d * imq ** (beta - 1.0)
-        term4 = -2.0 * beta * imq ** (beta - 1.0)
-        term5 = -4.0 * beta * (beta - 1.0) * imq ** (beta - 2.0) * jnp.square(d)
-        k0 = term1 + term2 + term3 + term4 + term5
+        k0 = scoring.imq_k0_matrix(samples, grads)
         total = jnp.sum(k0 * (w_r[:, None] * w_r[None, :]))
         n = jnp.maximum(jnp.sum(w_r), 1.0)
         return jnp.sqrt(total) / n
@@ -180,9 +180,7 @@ def batched_pmt(
         if weight_kind == "uniform":
             raw = jnp.ones_like(hist_mean)
         elif weight_kind == "inverse_square":
-            mu_models = jnp.einsum("mrt,mr->mt", hist_block, hist_w) / jnp.maximum(
-                jnp.sum(hist_w, axis=1), 1.0
-            )[:, None]
+            mu_models = hist_real_mu
             obs_mu = masked_mean_r(obs, ow)
             # The held-out model's distance to its own obs is 0 -> guard the
             # inversion (its row is masked out below anyway).

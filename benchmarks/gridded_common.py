@@ -33,29 +33,19 @@ def make_workload(n_cells: int, dtype=np.float32):
 def gridded_experiment(blocks, obs, n_iters: int):
     """(M,C,R,T) blocks + (C,R_obs,T) obs -> per-cell barycentre moments.
 
-    Emulate every (model, cell) GP in one program, CRPS-weight per cell,
-    W2-barycentre per cell.  Returns (bary_mean (C,T), bary_std (C,T), w (M,C)).
+    Thin wrapper over the LIBRARY's gridded pipeline
+    (parallel/gridded.gridded_ensemble_step, weight_kind="crps") so the
+    benchmark and its CPU oracle validate exactly the code path users run.
+    Returns (bary_mean (C,T), bary_std (C,T), w (M,C)).
     """
-    import jax
     import jax.numpy as jnp
 
-    from bayesian_ensembling_tpu.ops import scoring
-    from bayesian_ensembling_tpu.parallel.step import emulate_marginals
+    from bayesian_ensembling_tpu.parallel.gridded import gridded_ensemble_step
 
-    m, c, r, t = blocks.shape
-    mean, var = emulate_marginals(
-        blocks.reshape(m * c, r, t),
-        jnp.ones((m * c, r), bool),
+    m, c, r, _ = blocks.shape
+    return gridded_ensemble_step(
+        jnp.asarray(blocks),
+        jnp.asarray(obs),
+        jnp.ones((m, c, r), bool),
         n_optim_nits=n_iters,
     )
-    mean = mean.reshape(m, c, t)
-    var = var.reshape(m, c, t)
-    score = jax.vmap(  # over models
-        jax.vmap(scoring.mean_gaussian_crps)  # over cells
-    )(mean, jnp.sqrt(var), jnp.broadcast_to(obs, (m,) + obs.shape))
-    raw = 1.0 / score  # (M, C, T)
-    w_t = raw / jnp.sum(raw, axis=0, keepdims=True)
-    w = jnp.mean(w_t, axis=2)  # (M, C)
-    bary_mean = jnp.sum(w[:, :, None] * mean, axis=0)  # (C, T)
-    bary_std = jnp.sum(w[:, :, None] * jnp.sqrt(var), axis=0)
-    return bary_mean, bary_std, w

@@ -145,29 +145,36 @@ void bet_dba(const double* series, int r, int t, int n_iters,
   std::vector<double> center(series + medoid * t, series + (medoid + 1) * t);
 
   std::vector<double> sums(t), counts(t);
+  // Per-realisation partials: alignments against the fixed centre are
+  // independent, so each row writes its own slice in parallel and the
+  // reduction runs serially in realisation order afterwards — bitwise
+  // deterministic regardless of thread count or scheduling (an
+  // omp-critical merge of thread-local buffers would sum in thread-arrival
+  // order and vary in the last ulp run-to-run).
+  std::vector<double> psums(static_cast<size_t>(r) * t);
+  std::vector<double> pcounts(static_cast<size_t>(r) * t);
 
   for (int it = 0; it < n_iters; ++it) {
-    std::fill(sums.begin(), sums.end(), 0.0);
-    std::fill(counts.begin(), counts.end(), 0.0);
-    // Alignments against the fixed centre are independent: accumulate into
-    // thread-local buffers, reduce afterwards (deterministic order).
+    std::fill(psums.begin(), psums.end(), 0.0);
+    std::fill(pcounts.begin(), pcounts.end(), 0.0);
 #ifdef _OPENMP
 #pragma omp parallel
 #endif
     {
       std::vector<double> cost(static_cast<size_t>(t) * t);
       std::vector<int8_t> move(static_cast<size_t>(t) * t);
-      std::vector<double> lsums(t, 0.0), lcounts(t, 0.0);
 #ifdef _OPENMP
 #pragma omp for schedule(dynamic) nowait
 #endif
       for (int sdx = 0; sdx < r; ++sdx) {
         const double* s = series + static_cast<size_t>(sdx) * t;
+        double* ls = psums.data() + static_cast<size_t>(sdx) * t;
+        double* lc = pcounts.data() + static_cast<size_t>(sdx) * t;
         dtw_path(center.data(), s, t, cost, move);
         int i = t - 1, j = t - 1;
         while (true) {
-          lsums[i] += s[j];
-          lcounts[i] += 1.0;
+          ls[i] += s[j];
+          lc[i] += 1.0;
           const int8_t mv = move[static_cast<size_t>(i) * t + j];
           if (mv == -1) break;
           if (mv == 0) {
@@ -180,12 +187,15 @@ void bet_dba(const double* series, int r, int t, int n_iters,
           }
         }
       }
-#ifdef _OPENMP
-#pragma omp critical
-#endif
+    }
+    std::fill(sums.begin(), sums.end(), 0.0);
+    std::fill(counts.begin(), counts.end(), 0.0);
+    for (int sdx = 0; sdx < r; ++sdx) {
+      const double* ls = psums.data() + static_cast<size_t>(sdx) * t;
+      const double* lc = pcounts.data() + static_cast<size_t>(sdx) * t;
       for (int k = 0; k < t; ++k) {
-        sums[k] += lsums[k];
-        counts[k] += lcounts[k];
+        sums[k] += ls[k];
+        counts[k] += lc[k];
       }
     }
     for (int k = 0; k < t; ++k) center[k] = sums[k] / counts[k];

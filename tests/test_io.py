@@ -93,3 +93,19 @@ def test_resample_mean_unsupported_freq():
     time = np.array(["2000-01-31"], dtype="datetime64[ns]")
     with pytest.raises(NotImplementedError):
         timeutils.resample_mean(np.zeros((1, 1)), time, "W")
+
+
+def test_resample_mean_start_anchored_labels(rng):
+    """YS/AS/MS/QS label period STARTS (pandas start-anchored spellings);
+    values are identical to the end-anchored forms."""
+    time = (np.datetime64("2000-01", "M") + np.arange(24)).astype("datetime64[ns]")
+    data = rng.normal(size=(2, 24))
+    end_vals, end_t = timeutils.resample_mean(data, time, "Y")
+    start_vals, start_t = timeutils.resample_mean(data, time, "YS")
+    np.testing.assert_array_equal(end_vals, start_vals)
+    assert str(end_t[0])[:10] == "2000-12-31"
+    assert str(start_t[0])[:10] == "2000-01-01"
+    _, ms_t = timeutils.resample_mean(data, time, "MS")
+    assert str(ms_t[1])[:10] == "2000-02-01"
+    _, qs_t = timeutils.resample_mean(data, time, "QS")
+    assert str(qs_t[1])[:10] == "2000-04-01"

@@ -138,3 +138,16 @@ def test_config_drives_emulator_defaults(rng):
 
     with pytest.raises(ValueError):
         GPRParameters(learning_rate=-1.0)
+
+
+def test_config_kernel_drives_gpdtw3d():
+    """GPDTW3D honours config.kernel like GPDTW1D (the explicit kernel arg
+    still wins when given)."""
+    from bayesian_ensembling_tpu.models.gp_3d import GPDTW3D
+    from bayesian_ensembling_tpu.utils.config import GPRParameters
+
+    em = GPDTW3D(config=GPRParameters(kernel="rbf"))
+    assert em.kernel == "rbf"
+    em2 = GPDTW3D(kernel="matern32", config=GPRParameters(kernel="rbf"))
+    assert em2.kernel == "matern32"
+    assert GPDTW3D().kernel == "matern32"
