@@ -130,9 +130,16 @@ def dtw_pairwise_sq(series: jnp.ndarray, mask: tp.Optional[jnp.ndarray] = None) 
     if jax.default_backend() == "tpu":
         from bayesian_ensembling_tpu.ops.dtw_pallas import squared_dtw_cost_batch
 
-        centers = jnp.repeat(series, r, axis=0)  # (R*R, T): i varies slowly
-        others = jnp.tile(series, (r, 1))
-        d = squared_dtw_cost_batch(centers, others).reshape(r, r)
+        # Squared-DTW is symmetric with a zero diagonal (the DP recurrence
+        # mirrors under i<->j), so only the R(R-1)/2 upper-triangle problems
+        # run through the kernel — half the wavefront work of all R^2 pairs.
+        if r == 1:
+            d = jnp.zeros((1, 1), series.dtype)
+        else:
+            iu, ju = jnp.triu_indices(r, k=1)
+            d_half = squared_dtw_cost_batch(series[iu], series[ju])
+            d = jnp.zeros((r, r), d_half.dtype).at[iu, ju].set(d_half)
+            d = d + d.T
     else:
         f = jax.vmap(jax.vmap(squared_dtw, in_axes=(None, 0)), in_axes=(0, None))
         d = f(series, series)
@@ -186,7 +193,10 @@ def _backtrack_accumulate(path: jnp.ndarray, series: jnp.ndarray):
         diag_t = shift_up(on_k2 & (moves_k2 == 0), False)
         left_t = on_k1 & (moves_k1 == 1)
         top_t = shift_up(on_k1 & (moves_k1 == 2), False)
-        valid = (k - i_idx >= 0) & (i_idx <= k)
+        # cell (i, j=k-i) is in the matrix iff 0 <= i < t and 0 <= j < t
+        # (the second clause bounds j; it was previously a duplicate of the
+        # first and relied on move codes never pointing outside the matrix).
+        valid = (k - i_idx >= 0) & (k - i_idx <= t - 1)
         on_k = (diag_t | left_t | top_t) & valid
         sums = sums + jnp.where(on_k, diag_vals(k), 0.0)
         counts = counts + on_k.astype(dtype)
@@ -303,10 +313,17 @@ def dba_batch(
             jnp.sum(w, axis=1, keepdims=True), 1.0
         )
     elif init == "medoid":
-        # All B*R^2 pairwise costs in one fused kernel call.
-        ci = jnp.repeat(series.reshape(b * r, t), r, axis=0)
-        sj = jnp.tile(series, (1, r, 1)).reshape(b * r * r, t)
-        d = squared_dtw_cost_batch(ci, sj).reshape(b, r, r)
+        # All B*R(R-1)/2 upper-triangle costs in one fused kernel call
+        # (squared-DTW is symmetric with a zero diagonal).
+        if r == 1:
+            d = jnp.zeros((b, 1, 1), series.dtype)
+        else:
+            iu, ju = jnp.triu_indices(r, k=1)
+            ci = series[:, iu].reshape(b * iu.size, t)
+            sj = series[:, ju].reshape(b * ju.size, t)
+            d_half = squared_dtw_cost_batch(ci, sj).reshape(b, iu.size)
+            d = jnp.zeros((b, r, r), d_half.dtype).at[:, iu, ju].set(d_half)
+            d = d + jnp.swapaxes(d, 1, 2)
         valid = mask[:, :, None] & mask[:, None, :]
         ss = jnp.sum(jnp.where(valid, d, 0.0), axis=2)
         ss = jnp.where(mask, ss, jnp.inf)

@@ -17,6 +17,8 @@ move codes.
 
 from __future__ import annotations
 
+import typing as tp
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -68,12 +70,24 @@ def _make_dtw_cost_kernel(t: int):
     return kernel
 
 
-def _lanes_for(t_pad: int, bytes_per_elem: int, requested: int, n: int) -> int:
+# Scoped-VMEM allowance used for lane sizing AND the fused/split dispatch
+# gates — one constant so the chunk chosen always satisfies the gate that
+# admitted the kernel (a looser sizing budget would pick lane widths the
+# gate's own arithmetic rejects at mid-range T).
+_SCOPED_VMEM_BUDGET = 15 * 2**20 + 2**19  # ~15.5 MiB of the 16 MiB limit
+
+
+def _lanes_for(
+    t_pad: int,
+    bytes_per_elem: int,
+    requested: int,
+    n: int,
+    budget: int = 12 * 2**20,
+) -> int:
     """Largest 128-multiple lane chunk whose (T_pad, lanes) working set fits
     the VMEM budget — annual workloads (T ~ 165) keep the wide defaults,
     monthly resolutions (T ~ 1032) shrink the chunk instead of
     overflowing VMEM."""
-    budget = 12 * 2**20
     fit = max(budget // (t_pad * bytes_per_elem) // 128 * 128, 128)
     return min(requested, fit, max(-(-n // 128) * 128, 128))
 
@@ -96,7 +110,7 @@ def fused_dba_fits(t: int) -> bool:
     (``split_dba_fits``); beyond THAT ceiling callers must use the lax.scan
     wavefront path (ops/dtw.py), which has no VMEM residency."""
     tp_ = -(-t // 32) * 32
-    return tp_ * 128 * _DBA_BYTES_PER_ELEM <= 15 * 2**20 + 2**19
+    return tp_ * 128 * _DBA_BYTES_PER_ELEM <= _SCOPED_VMEM_BUDGET
 
 
 def split_dba_fits(t: int) -> bool:
@@ -104,7 +118,7 @@ def split_dba_fits(t: int) -> bool:
     — covers the native monthly historical resolution (T = 1980) and up to
     T ~ 2800."""
     tp_ = -(-t // 32) * 32
-    return tp_ * 128 * _DBA_SPLIT_BYTES_PER_ELEM <= 15 * 2**20 + 2**19
+    return tp_ * 128 * _DBA_SPLIT_BYTES_PER_ELEM <= _SCOPED_VMEM_BUDGET
 
 
 def squared_dtw_cost_batch(centers: jnp.ndarray, series: jnp.ndarray, lanes: int = 2048) -> jnp.ndarray:
@@ -437,14 +451,24 @@ def dba_update_batch(
       _backtrack_accumulate per pair.
     """
     n, t = centers.shape
+    if t == 1:
+        # Trivial alignment: the single centre slot is visited once per
+        # series (the kernels' forward loop has zero iterations at T=1, so
+        # their final DMA waits would deadlock on never-started copies).
+        return series.astype(centers.dtype), jnp.ones_like(centers)
     tp_ = -(-t // 32) * 32  # 32-aligned sublanes: int8 tile is (32, 128)
     if impl == "auto":
         impl = "fused" if fused_dba_fits(t) else "split"
-    # Fused: 4 f32 in/out buffers + ~7 f32 backward carries + 4 int8 staging
-    # slots ≈ 48 B per (row, lane) element at the default budget; the split
-    # phases peak at ~44 B (bwd: out refs + 4 carries + staging).
+    # Size lane chunks with the SAME per-element constants and budget the
+    # dispatch gates use, so any T the gate admits also gets a chunk width
+    # that fits (a 48 B/12 MiB heuristic previously overflowed for
+    # T ~ 200-1700 at wide chunks).
     lanes = _lanes_for(
-        tp_, 48 if impl == "fused" else _DBA_SPLIT_BYTES_PER_ELEM, lanes, n
+        tp_,
+        _DBA_BYTES_PER_ELEM if impl == "fused" else _DBA_SPLIT_BYTES_PER_ELEM,
+        lanes,
+        n,
+        budget=_SCOPED_VMEM_BUDGET,
     )
     n_pad = -(-n // lanes) * lanes
     c = jnp.pad(centers, ((0, n_pad - n), (0, tp_ - t))).T  # (Tp, N_pad)

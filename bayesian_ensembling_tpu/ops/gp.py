@@ -227,8 +227,7 @@ def posterior_marginals_batch(
       mean = K alpha,  var_i = k_ii - [K K^-1 K]_ii.
     """
     from bayesian_ensembling_tpu.ops.linalg_pallas import (
-        cholesky_batched,
-        solve_vec_batched,
+        cholesky_solve_fused,
         tri_inv_batched,
     )
 
@@ -237,8 +236,9 @@ def posterior_marginals_batch(
     k = jax.vmap(apply_fn)(params, stat)  # (B, T, T)
     t = k.shape[-1]
     ky = k + jax.vmap(jnp.diag)(noise_var) + jitter * jnp.eye(t, dtype=k.dtype)
-    lt = cholesky_batched(jnp.transpose(ky, (1, 2, 0)))
-    _, alpha, _ = solve_vec_batched(lt, y.T)  # (T, B)
+    # Fused factorise+solve: saves a kernel launch and the HBM round-trip of
+    # the (T, T, B) factor vs separate cholesky_batched + solve_vec_batched.
+    lt, _, alpha, _ = cholesky_solve_fused(jnp.transpose(ky, (1, 2, 0)), y.T)
     mean = jnp.einsum(
         "bij,jb->bi", k, alpha, precision=jax.lax.Precision.HIGHEST
     )

@@ -76,11 +76,10 @@ def _panel_width(t: int) -> int:
     return max(-(-t // 6) // 8 * 8, 8)
 
 
-def _chol_kernel(a_hbm, out_ref, sem):
-    """Single-VMEM-buffer right-looking Cholesky, panel-blocked updates.
+def _chol_factorise(out_ref, rows, col_hook=None):
+    """Shared right-looking panel-blocked Cholesky body (factorises
+    ``out_ref`` in place into the L^T layout).
 
-    The input stays in HBM and is DMA'd once into the output VMEM buffer
-    (two VMEM windows of (165, 165, 128) f32 would blow the ~16 MB budget).
     At step k, row k still holds the current trailing-matrix row (== column,
     by symmetry of the not-yet-finalised part), gets overwritten with column
     k of L, and the masked rank-1 update leaves rows <= k untouched (col_s is
@@ -89,12 +88,12 @@ def _chol_kernel(a_hbm, out_ref, sem):
     The rank-1 trailing update of step k only has support on rows/cols > k,
     so each panel restricts it to the static trailing sub-block — ~3x less
     VMEM traffic than full-matrix updates (the asymptotic T^3 vs T^3/3).
+
+    ``col_hook(k, col_l, inv, dval)``, when given, runs once per finalised
+    column — the fused cholesky+solve kernel uses it for the forward
+    substitution, which consumes L's columns in exactly this order.
     """
-    dma = pltpu.make_async_copy(a_hbm, out_ref, sem)
-    dma.start()
-    dma.wait()
     t = out_ref.shape[0]
-    rows = _row_ids(t)  # (T, 1)
     pp = _panel_width(t)
 
     for pstart in range(0, t, pp):  # static phases, unrolled
@@ -112,7 +111,8 @@ def _chol_kernel(a_hbm, out_ref, sem):
                 jnp.asarray(jnp.nan, dval.dtype),
             )
             col = colraw * inv[None, :]
-            out_ref[k] = jnp.where(rows >= k, col, 0.0)
+            col_l = jnp.where(rows >= k, col, 0.0)
+            out_ref[k] = col_l
             col_s = jnp.where(rows > k, col, 0.0)[pstart:]
             # Trailing update restricted to the phase's static sub-block;
             # masking keeps rows/cols <= k (within the block) untouched.
@@ -120,9 +120,44 @@ def _chol_kernel(a_hbm, out_ref, sem):
                 out_ref[pstart:, pstart:, :]
                 - col_s[:, None, :] * col_s[None, :, :]
             )
+            if col_hook is not None:
+                col_hook(k, col_l, inv, dval)
             return 0
 
         jax.lax.fori_loop(0, min(pp, t - pstart), body, 0)
+
+
+def _backward_substitute(lt_ref, z_ref, alpha_ref, rows):
+    """alpha = L^-T z by backward substitution over an L^T-layout factor
+    (shared by the fused cholesky+solve and the standalone vector-solve
+    kernels)."""
+    t = lt_ref.shape[0]
+    alpha_ref[...] = jnp.zeros_like(alpha_ref)
+
+    def bwd(step, _):
+        i = t - 1 - step
+        lrow = lt_ref[i]  # (T, B): row i of L^T == column i of L
+        lii = jnp.sum(jnp.where(rows == i, lrow, 0.0), axis=0)
+        zi = jnp.sum(jnp.where(rows == i, z_ref[...], 0.0), axis=0)
+        # sum_{j > i} L[j, i] alpha[j]: L[j, i] is element j of column i.
+        s = jnp.sum(jnp.where(rows > i, lrow * alpha_ref[...], 0.0), axis=0)
+        ai = (zi - s) / lii
+        alpha_ref[...] = jnp.where(rows == i, ai[None, :], alpha_ref[...])
+        return 0
+
+    jax.lax.fori_loop(0, t, bwd, 0)
+
+
+def _chol_kernel(a_hbm, out_ref, sem):
+    """Single-VMEM-buffer right-looking Cholesky (shared body above).
+
+    The input stays in HBM and is DMA'd once into the output VMEM buffer
+    (two VMEM windows of (165, 165, 128) f32 would blow the ~16 MB budget).
+    """
+    dma = pltpu.make_async_copy(a_hbm, out_ref, sem)
+    dma.start()
+    dma.wait()
+    _chol_factorise(out_ref, _row_ids(out_ref.shape[0]))
 
 
 def _cholesky_batched_tpu(ky_tlb: jnp.ndarray) -> jnp.ndarray:
@@ -202,58 +237,23 @@ def _chol_solve_kernel(a_hbm, y_ref, lt_ref, z_ref, alpha_ref, logdet_ref, sem, 
     dma = pltpu.make_async_copy(a_hbm, lt_ref, sem)
     dma.start()
     dma.wait()
-    t = lt_ref.shape[0]
-    rows = _row_ids(t)
-    pp = _panel_width(t)
+    rows = _row_ids(lt_ref.shape[0])
 
     acc[...] = jnp.zeros_like(acc)
     logdet_ref[...] = jnp.zeros_like(logdet_ref)
 
-    for pstart in range(0, t, pp):
+    def solve_hook(k, col_l, inv, dval):
+        # Fused forward substitution: z[k] = (y[k] - acc[k]) / L_kk.
+        # (NaN pivots propagate through inv AND log(dval).)
+        yk = jnp.sum(jnp.where(rows == k, y_ref[...], 0.0), axis=0)
+        acck = jnp.sum(jnp.where(rows == k, acc[...], 0.0), axis=0)
+        zk = (yk - acck) * inv
+        z_ref[...] = jnp.where(rows == k, zk[None, :], z_ref[...])
+        acc[...] = acc[...] + col_l * zk[None, :]
+        logdet_ref[...] = logdet_ref[...] + jnp.log(dval)[None, :]
 
-        def body(k_local, _, pstart=pstart):
-            k = pstart + k_local
-            colraw = lt_ref[k]
-            dval = jnp.sum(jnp.where(rows == k, colraw, 0.0), axis=0)
-            # NaN on non-positive pivots (match the XLA fallback's failure
-            # mode; see _chol_kernel).  log(dval) below is NaN too.
-            inv = jnp.where(
-                dval > 0.0,
-                jax.lax.rsqrt(jnp.maximum(dval, 1e-30)),
-                jnp.asarray(jnp.nan, dval.dtype),
-            )
-            col = colraw * inv[None, :]
-            col_l = jnp.where(rows >= k, col, 0.0)
-            lt_ref[k] = col_l
-            col_s = jnp.where(rows > k, col, 0.0)[pstart:]
-            lt_ref[pstart:, pstart:, :] = (
-                lt_ref[pstart:, pstart:, :] - col_s[:, None, :] * col_s[None, :, :]
-            )
-            # Fused forward substitution: z[k] = (y[k] - acc[k]) / L_kk.
-            yk = jnp.sum(jnp.where(rows == k, y_ref[...], 0.0), axis=0)
-            acck = jnp.sum(jnp.where(rows == k, acc[...], 0.0), axis=0)
-            zk = (yk - acck) * inv
-            z_ref[...] = jnp.where(rows == k, zk[None, :], z_ref[...])
-            acc[...] = acc[...] + col_l * zk[None, :]
-            logdet_ref[...] = logdet_ref[...] + jnp.log(dval)[None, :]
-            return 0
-
-        jax.lax.fori_loop(0, min(pp, t - pstart), body, 0)
-
-    # Backward substitution for alpha = L^-T z.
-    alpha_ref[...] = jnp.zeros_like(alpha_ref)
-
-    def bwd(step, _):
-        i = t - 1 - step
-        lrow = lt_ref[i]
-        lii = jnp.sum(jnp.where(rows == i, lrow, 0.0), axis=0)
-        zi = jnp.sum(jnp.where(rows == i, z_ref[...], 0.0), axis=0)
-        s = jnp.sum(jnp.where(rows > i, lrow * alpha_ref[...], 0.0), axis=0)
-        ai = (zi - s) / lii
-        alpha_ref[...] = jnp.where(rows == i, ai[None, :], alpha_ref[...])
-        return 0
-
-    jax.lax.fori_loop(0, t, bwd, 0)
+    _chol_factorise(lt_ref, rows, col_hook=solve_hook)
+    _backward_substitute(lt_ref, z_ref, alpha_ref, rows)
 
 
 def _chol_solve_fused_tpu(ky_tlb: jnp.ndarray, y_tb: jnp.ndarray):
@@ -343,19 +343,7 @@ def _solve_vec_kernel(lt_ref, y_ref, z_ref, alpha_ref, logdet_ref, acc):
     logdet = jax.lax.fori_loop(0, t, fwd, jnp.zeros((lt_ref.shape[2],), lt_ref.dtype))
     logdet_ref[...] = logdet[None, :]
 
-    def bwd(step, _):
-        i = t - 1 - step
-        lrow = lt_ref[i]  # (T, B): row i of L^T = L[:, i] ... = column i of L
-        lii = jnp.sum(jnp.where(rows == i, lrow, 0.0), axis=0)
-        zi = jnp.sum(jnp.where(rows == i, z_ref[...], 0.0), axis=0)
-        # sum_{j > i} L[j, i] alpha[j]: L[j, i] is element j of column i = lrow.
-        s = jnp.sum(jnp.where(rows > i, lrow * alpha_ref[...], 0.0), axis=0)
-        ai = (zi - s) / lii
-        alpha_ref[...] = jnp.where(rows == i, ai[None, :], alpha_ref[...])
-        return 0
-
-    alpha_ref[...] = jnp.zeros_like(alpha_ref)
-    jax.lax.fori_loop(0, t, bwd, 0)
+    _backward_substitute(lt_ref, z_ref, alpha_ref, rows)
 
 
 def _pad_lt(lt: jnp.ndarray) -> jnp.ndarray:

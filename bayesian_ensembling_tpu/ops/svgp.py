@@ -40,19 +40,25 @@ def default_feature_groups(n_features: int) -> tp.Tuple[tp.Tuple[int, ...], ...]
 
 
 def _additive_matern32(params, x1, x2, groups):
-    """Sum of Matern-3/2 kernels over feature groups."""
+    """Sum of Matern-3/2 kernels over feature groups.
+
+    Distance/kernel math shared with ops.gp (``_sq_dists`` carries the
+    HIGHEST-precision matmul + PSD clip; ``_matern32_from_dist`` the
+    sqrt-guarded Matern form) so numerical fixes there reach the SVGP path.
+    """
+    from bayesian_ensembling_tpu.ops.gp import (
+        GPParams,
+        _matern32_from_dist,
+        _sq_dists,
+    )
+
     total = 0.0
     for g, idx in enumerate(groups):
-        ls = jax.nn.softplus(params["raw_ls"][g])
-        var = jax.nn.softplus(params["raw_var"][g])
-        a = x1[:, idx]
-        b = x2[:, idx]
-        n1 = jnp.sum(jnp.square(a), axis=-1)
-        n2 = jnp.sum(jnp.square(b), axis=-1)
-        cross = jnp.matmul(a, b.T, precision=jax.lax.Precision.HIGHEST)
-        d2 = jnp.clip(n1[:, None] + n2[None, :] - 2.0 * cross, 0.0, None)
-        r = jnp.sqrt(d2 + 1e-36) / ls
-        total = total + var * (1.0 + _SQRT3 * r) * jnp.exp(-_SQRT3 * r)
+        gp_params = GPParams(
+            raw_lengthscale=params["raw_ls"][g], raw_variance=params["raw_var"][g]
+        )
+        dist = jnp.sqrt(_sq_dists(x1[:, idx], x2[:, idx]) + 1e-36)
+        total = total + _matern32_from_dist(gp_params, dist)
     return total
 
 

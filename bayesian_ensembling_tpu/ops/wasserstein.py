@@ -173,7 +173,7 @@ def batched_gaussian_barycentre(
     mask: tp.Optional[jnp.ndarray] = None,
     *,
     compat_fixed_point: bool = False,
-) -> tp.Tuple[jnp.ndarray, jnp.ndarray]:
+) -> tp.Tuple[jnp.ndarray, ...]:
     """Barycentre over the model axis for every point at once.
 
     Args:
@@ -183,8 +183,11 @@ def batched_gaussian_barycentre(
         closed form.
 
     Returns:
-      ``(mu, sigma)`` arrays of shape ``(n_points,)``.  This one vmapped call
-      replaces the reference's serial loop over points
+      ``(mu, sigma)`` arrays of shape ``(n_points,)`` — or, with
+      ``compat_fixed_point=True``, ``(mu, sigma, n_iters)`` where the extra
+      ``(n_points,)`` int array reports each point's fixed-point iteration
+      count (callers use it for the non-convergence warning).  This one
+      vmapped call replaces the reference's serial loop over points
       (ensemble_scheme.py:53-69, the ``TODO want to parallelise this!``).
     """
     if mask is not None:

@@ -107,6 +107,7 @@ def load_scenario(
     ssp: str,
     data_dir: tp.Optional[str] = None,
     resample_freq: tp.Optional[str] = "Y",
+    collocate_obs_time: bool = True,
 ) -> tp.Tuple[ModelCollection, ModelCollection]:
     """Load (historical, ssp) anomaly collections for one scenario.
 
@@ -116,6 +117,14 @@ def load_scenario(
     applied to its SSP run.  ``resample_freq`` is any calendar frequency
     from io.timeutils.resample_mean ('M'/'Q'/'Y'); ``None`` keeps the native
     monthly resolution (T = 1980 hist / 1032 SSP — the large-T regime).
+
+    ``collocate_obs_time`` reproduces the reference's calendar-collocation
+    hack (full_experiment_script.py:53: ``da['time'] = obs_time``): model
+    calendars differ from HadCRUT5's in day-of-month conventions, so the
+    historical models' monthly time axis is overwritten with the
+    observations' when the lengths match.  Resampled (annual/quarterly)
+    labels coincide anyway; the native monthly resolution NEEDS this for
+    the weighters' time-alignment check.
     """
     data_dir = data_dir or default_data_dir()
     hist_files = {
@@ -130,9 +139,23 @@ def load_scenario(
     if not common:
         raise FileNotFoundError(f"no overlapping models for {ssp} under {data_dir}")
 
+    obs_time = None
+    if collocate_obs_time:
+        obs_path = os.path.join(
+            data_dir, "obs/gmst/HadCRUT.5.0.1.0.analysis.anomalies_gmst.nc"
+        )
+        if os.path.exists(obs_path):
+            obs_time = netcdf.open_dataarray(obs_path, name="tas").time
+
     hist_models, ssp_models = [], []
     for name in common:
         hist_da = netcdf.open_dataarray(hist_files[name], name="tas")
+        if obs_time is not None and hist_da.time.shape == obs_time.shape:
+            coords = dict(hist_da.coords)
+            coords["time"] = obs_time
+            from bayesian_ensembling_tpu.coords import DimArray
+
+            hist_da = DimArray(hist_da.values, hist_da.dims, coords, name=hist_da.name)
         hist_pm = ProcessModel(hist_da, name)
         hist_anom = hist_pm.calculate_anomaly(resample_freq=resample_freq)
         hist_models.append(hist_anom)

@@ -152,6 +152,10 @@ def test_load_native_monthly_resolution():
     hist, ssp = pipeline.load_scenario("ssp119", resample_freq=None)
     assert hist[0].data.values.shape[1] == 1980
     assert ssp[0].data.values.shape[1] == 1032
+    # The reference's calendar-collocation hack (full_experiment_script.py:53)
+    # must leave hist model time axes identical to the observations' — the
+    # weighters' alignment check requires it at native monthly resolution.
+    np.testing.assert_array_equal(hist.time, obs.data.time)
     # quarterly goes through the generic resampler (12 -> 4 labels/year)
     obs_q = pipeline.load_observations(resample_freq="Q")
     assert obs_q.data.values.shape[1] == 1980 // 3
