@@ -293,11 +293,22 @@ class ModelCollection:
         return {m.name: m.distribution for m in self.models}
 
     def check_time_axes(self):
-        """Warn + naively repair mismatched time axes (data.py:542-562)."""
+        """Warn + naively repair mismatched time axes (data.py:542-562).
+
+        The naive repair only makes sense for equal-LENGTH axes (calendar /
+        label mismatches); differing lengths cannot be collocated by
+        relabelling — assigning anyway would corrupt every model's coords
+        and surface later as opaque broadcast errors, so raise instead.
+        """
         t0 = self.models[0].time
-        mismatch = any(
-            len(m.time) != len(t0) or np.any(m.time != t0) for m in self.models[1:]
-        )
+        bad_len = [m.name for m in self.models[1:] if len(m.time) != len(t0)]
+        if bad_len:
+            raise ValueError(
+                f"models {bad_len} have different time-axis LENGTHS than "
+                f"{self.models[0].name} ({len(t0)} steps); align or resample "
+                "the data before building the collection"
+            )
+        mismatch = any(np.any(m.time != t0) for m in self.models[1:])
         if mismatch:
             warnings.warn(
                 "Time axes of models don't match: applying naive fix. Check "
@@ -433,5 +444,9 @@ class ModelCollection:
 
             blobs = orbax_ckpt.load_blobs(path)
             return cls._from_blobs(blobs, list(blobs))
+        # np.savez_compressed appends '.npz' to extensionless paths — accept
+        # the same spelling the caller used with save().
+        if not os.path.exists(path) and os.path.exists(path + ".npz"):
+            path = path + ".npz"
         with np.load(path, allow_pickle=False) as z:
             return cls._from_blobs(z, z.files)

@@ -118,6 +118,7 @@ class GPDTW3D(AbstractEmulator):
         n_optim_nits: int,
         learning_rate: float,
         dba_iterations: int,
+        jitter: float = 1e-6,
     ) -> tp.List[Posterior]:
         posts = []
         for pm in collection:  # models may have different R; cells batch inside
@@ -135,6 +136,7 @@ class GPDTW3D(AbstractEmulator):
                 n_optim_nits=n_optim_nits,
                 learning_rate=learning_rate,
                 dba_iterations=dba_iterations,
+                jitter=jitter,
             )  # (C, T) each
             # Back to flattened (time, lat, lon) order for the template.
             mean_f = np.asarray(mean).T.reshape(-1)
@@ -168,11 +170,17 @@ class GPDTW3D(AbstractEmulator):
             c = la * lo
             vals = pm.data.values.astype(np.dtype(self.dtype))
             cell_block = np.transpose(vals.reshape(r, t, c), (2, 0, 1))
-            # Per-cell DBA mean + variance targets (models.py:238-268).
+            # Per-cell DBA mean + variance targets (models.py:238-268) via
+            # the batched entry point: stable jit cache across models (a
+            # fresh jit(vmap(...)) per model recompiled every iteration) and
+            # the fused Pallas pairwise-cost path on TPU.
             y_mean = np.asarray(
-                jax.jit(
-                    jax.vmap(functools.partial(dtw_ops.dba, n_iterations=dba_iterations))
-                )(jnp.asarray(cell_block), jnp.ones((c, r), bool))
+                dtw_ops.dba_batch(
+                    jnp.asarray(cell_block),
+                    jnp.ones((c, r), bool),
+                    n_iterations=dba_iterations,
+                    init="medoid",
+                )
             )  # (C, T)
             y_var = cell_block.var(axis=1)  # (C, T)
             y_mean_f = y_mean.T.reshape(-1)  # (T*C,) in (time, cell) order
@@ -222,6 +230,7 @@ class GPDTW3D(AbstractEmulator):
         dba_iterations: tp.Optional[int] = None,
         n_inducing: tp.Optional[int] = None,
         minibatch_size: tp.Optional[int] = None,
+        jitter: tp.Optional[float] = None,
         **_: tp.Any,
     ) -> tp.List[Posterior]:
         cfg = self.config
@@ -234,11 +243,12 @@ class GPDTW3D(AbstractEmulator):
         minibatch_size = (
             getattr(cfg, "minibatch_size", 500) if minibatch_size is None else minibatch_size
         )
+        jitter = getattr(cfg, "jitter", 1e-6) if jitter is None else jitter
         for pm in collection:
             _check_dims(pm)
         if self.mode == "batched":
             return self._fit_batched(
-                collection, n_optim_nits, learning_rate, dba_iterations
+                collection, n_optim_nits, learning_rate, dba_iterations, jitter
             )
         if self.mode == "svgp":
             return self._fit_svgp(

@@ -129,6 +129,7 @@ class GPDTW1D(AbstractEmulator):
         n_optim_nits: tp.Optional[int] = None,
         learning_rate: tp.Optional[float] = None,
         dba_iterations: tp.Optional[int] = None,
+        jitter: tp.Optional[float] = None,
         optimizer: str = "adam",
         **_: tp.Any,
     ) -> tp.List[Posterior]:
@@ -136,6 +137,7 @@ class GPDTW1D(AbstractEmulator):
         n_optim_nits = cfg.n_optim_nits if n_optim_nits is None else n_optim_nits
         learning_rate = cfg.learning_rate if learning_rate is None else learning_rate
         dba_iterations = cfg.dba_iterations if dba_iterations is None else dba_iterations
+        jitter = getattr(cfg, "jitter", 1e-6) if jitter is None else jitter
         if collection[0].ndim > 2:
             raise NotImplementedError(
                 "GPDTW1D handles (realisation, time) data only — use GPDTW3D "
@@ -149,6 +151,7 @@ class GPDTW1D(AbstractEmulator):
             n_optim_nits=n_optim_nits,
             learning_rate=learning_rate,
             dba_iterations=dba_iterations,
+            jitter=jitter,
             optimizer=optimizer,
         )
         posts = []

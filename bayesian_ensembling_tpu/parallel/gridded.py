@@ -51,6 +51,25 @@ def pad_cells(
     return block, mask, c
 
 
+@functools.lru_cache(maxsize=32)
+def _sharded_marginals_program(mesh: Mesh, axis: str, kwargs_items: tuple):
+    """Build + jit the sharded emulation program ONCE per (mesh, axis,
+    kwargs) — constructing shard_map/jit wrappers per call would defeat the
+    jit cache and recompile on every invocation."""
+    fn = functools.partial(emulate_marginals, **dict(kwargs_items))
+    smapped = shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=(P(axis), P(axis)),
+        # The emulation scans mix device-varying carries with replicated
+        # constants; varying-axis checking can't follow that, and the program
+        # is collective-free by construction.
+        check_vma=False,
+    )
+    return jax.jit(smapped)
+
+
 def sharded_gridded_marginals(
     mesh: Mesh,
     block: jnp.ndarray,  # (C, R, T) per-cell realisation stacks
@@ -64,18 +83,10 @@ def sharded_gridded_marginals(
     (DBA wavefront scans + Pallas batched-cholesky GP fits) on its local
     cell slab — the partitioner never has to see inside the kernels.
     """
-    fn = functools.partial(emulate_marginals, **emulate_kwargs)
-    smapped = shard_map(
-        fn,
-        mesh=mesh,
-        in_specs=(P(axis), P(axis)),
-        out_specs=(P(axis), P(axis)),
-        # The emulation scans mix device-varying carries with replicated
-        # constants; varying-axis checking can't follow that, and the program
-        # is collective-free by construction.
-        check_vma=False,
+    program = _sharded_marginals_program(
+        mesh, axis, tuple(sorted(emulate_kwargs.items()))
     )
-    return jax.jit(smapped)(block, mask)
+    return program(block, mask)
 
 
 def gridded_ensemble_step(

@@ -79,7 +79,16 @@ def fused_raw_weights(
         ll = jax.vmap(scoring.diag_log_likelihood, in_axes=(0, 0, None))(
             hist_mean, hist_var, obs
         )  # (M, R_obs, T)
-        return jnp.exp(jnp.mean(ll, axis=1))
+        ll = jnp.mean(ll, axis=1)
+        # Subtract the per-point max over models before exp (a pmax when the
+        # model axis is sharded): the downstream sum-to-one normalisation is
+        # invariant to the shift, and naive exp underflows to all-zero
+        # weights -> NaN at f32 for log-likelihoods below ~-88 (the same
+        # failure the library path fixes via softmax, weights.py:176-180).
+        m = jnp.max(ll, axis=0, keepdims=True)
+        if model_axis is not None:
+            m = jax.lax.pmax(m, model_axis)
+        return jnp.exp(ll - m)
     if weight_kind == "ksd":
         ksd = jax.vmap(scoring.batched_imq_ksd, in_axes=(0, 0, None))(
             hist_mean, jnp.sqrt(hist_var), obs

@@ -121,12 +121,6 @@ def batched_pmt(
         isinstance(pm.distribution.gaussian, FullCovGaussian)
         for pm in hindcast_models
     )
-    if weight_kind == "loglik" and hist_full:
-        hist_chol = jnp.stack(
-            [jnp.asarray(pm.distribution.gaussian.chol()) for pm in hindcast_models]
-        )
-    else:
-        hist_chol = None
 
     hist_block = jnp.asarray(hist_block, dtype)
     fore_block = jnp.asarray(fore_block, dtype)
@@ -167,6 +161,33 @@ def batched_pmt(
         jnp.sum(hist_w, axis=1), 1.0
     )[:, None]
 
+    if weight_kind == "loglik":
+        # Per-(model, pseudo-obs) mean log-likelihood table, precomputed
+        # OUTSIDE the fold vmap with each model's OWN branch — full-cov
+        # constant-vector where the posterior carries a covariance, diag
+        # otherwise — so mixed collections match the library path exactly
+        # (weights.py:165-180 dispatches per model, not per collection).
+        def model_ll(pm, mean_m, var_m):
+            g = pm.distribution.gaussian
+            if isinstance(g, FullCovGaussian):
+                ch = jnp.asarray(g.chol())
+                score_fn = lambda ob: scoring.fullcov_constant_vector_log_likelihood(
+                    mean_m, ch, ob
+                )
+            else:
+                score_fn = lambda ob: scoring.diag_log_likelihood(mean_m, var_m, ob)
+            ll_folds = jax.vmap(score_fn)(hist_block)  # (M_fold, R, T_h)
+            return jax.vmap(masked_mean_r)(ll_folds, hist_w)  # (M_fold, T_h)
+
+        ll_table = jnp.stack(
+            [
+                model_ll(pm, hist_mean[mi], hist_var[mi])
+                for mi, pm in enumerate(hindcast_models)
+            ]
+        )  # (M_model, M_fold, T_h)
+    else:
+        ll_table = None
+
     def masked_imq_ksd(samples, grads, w_r):
         """imq_ksd_1d with padded samples masked out of the k0 double sum."""
         k0 = scoring.imq_k0_matrix(samples, grads)
@@ -202,17 +223,7 @@ def batched_pmt(
             ksd = jax.vmap(per_model)(hist_mean, jnp.sqrt(hist_var))
             raw = 1.0 / ksd
         elif weight_kind == "loglik":
-            if hist_chol is not None:
-                ll = jax.vmap(
-                    lambda mu, ch: scoring.fullcov_constant_vector_log_likelihood(
-                        mu, ch, obs
-                    )
-                )(hist_mean, hist_chol)  # (M, R, T_h)
-            else:
-                ll = jax.vmap(
-                    lambda mu, vr: scoring.diag_log_likelihood(mu, vr, obs)
-                )(hist_mean, hist_var)
-            ll = jax.vmap(lambda l: masked_mean_r(l, ow))(ll)  # (M, T_h)
+            ll = ll_table[:, i]  # (M_model, T_h), per-model branch precomputed
             # softmax over the REMAINING models == the reduced-collection
             # softmax of the library path (weights.py LogLikelihoodWeight).
             ll = jnp.where(mmask[:, None] > 0, ll, -jnp.inf)
@@ -449,6 +460,24 @@ class PerfectModelTest:
             raise ValueError(
                 f"{wname} has no batched scoring path; use run() "
                 f"(supported: {sorted(BATCHED_WEIGHT_KINDS)})"
+            )
+        from bayesian_ensembling_tpu.schemes import Barycentre
+
+        if not issubclass(self.ensemble_method, Barycentre):
+            raise ValueError(
+                f"run_batched computes the Barycentre combine; "
+                f"{self.ensemble_method.__name__} needs run()"
+            )
+        unfitted = [
+            pm.name
+            for mc in (self.hindcast_models, self.forecast_models)
+            for pm in mc
+            if pm.distribution is None
+        ]
+        if unfitted:
+            raise ValueError(
+                f"run_batched needs PREFIT collections; missing posteriors "
+                f"for {sorted(set(unfitted))}"
             )
         out = batched_pmt(
             self.hindcast_models,

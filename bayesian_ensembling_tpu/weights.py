@@ -254,6 +254,13 @@ class ModelSimilarityWeight(AbstractWeight):
         observations: tp.Optional[ProcessModel] = None,
         mode: str = "single",
     ) -> DimArray:
+        if len(process_models) < 2:
+            # The self-dissimilarity vector is identically zero, so the
+            # sum-to-one normalisation would be 0/0 = NaN — fail loudly.
+            raise ValueError(
+                "ModelSimilarityWeight needs at least 2 models (a single "
+                "model has zero dissimilarity to itself -> 0/0 weights)"
+            )
         means, varis = _posterior_moments(process_models)
 
         if mode == "single":

@@ -212,3 +212,25 @@ def test_single_model_collection_weights_are_one(rng):
         np.asarray(mc[0].distribution.gaussian.mean),
         rtol=1e-12,
     )
+
+
+def test_time_axis_length_mismatch_raises(rng):
+    """Differing time-axis LENGTHS cannot be 'naively repaired' — the old
+    relabelling corrupted coords and failed later with opaque broadcast
+    errors; now it raises at construction."""
+    import pytest
+
+    m1 = ProcessModel(make_da(rng, n_reals=2, n_months=10), "a")
+    m2 = ProcessModel(make_da(rng, n_reals=2, n_months=8), "b")
+    with pytest.raises(ValueError, match="time-axis LENGTH"):
+        ModelCollection([m1, m2])
+
+
+def test_save_load_extensionless_path(rng, tmp_path):
+    """np.savez appends '.npz'; load() must accept the same spelling the
+    caller used with save()."""
+    mc = make_collection(rng, n_models=2, n_reals=(2, 2), n_months=6)
+    p = str(tmp_path / "ckpt")  # no extension
+    mc.save(p)
+    loaded = ModelCollection.load(p)
+    assert loaded.model_names == mc.model_names

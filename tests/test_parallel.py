@@ -255,3 +255,19 @@ def test_scenario_model_2d_mesh_matches_unsharded():
     for g, w in zip(got, want):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=2e-4, atol=1e-7)
     np.testing.assert_allclose(np.asarray(got[2]).sum(axis=1), np.ones(s), rtol=1e-5)
+
+
+def test_fused_loglik_no_underflow(rng):
+    """Tight posteriors push diag log-likelihoods far below the f32 exp
+    underflow point; the fused loglik scorer must stay finite (the library
+    path's softmax fix, weights.py)."""
+    from bayesian_ensembling_tpu.parallel.step import fused_raw_weights
+
+    m, t, ro = 3, 6, 4
+    mean = jnp.asarray(rng.normal(size=(m, t)).astype(np.float32))
+    var = jnp.full((m, t), 1e-6, jnp.float32)  # tight -> ll ~ -1e6
+    obs = jnp.asarray(mean[0] + 2.0)[None, :] * jnp.ones((ro, 1), jnp.float32)
+    raw = fused_raw_weights("loglik", mean, var, obs)
+    w = raw / jnp.sum(raw, axis=0, keepdims=True)
+    assert np.isfinite(np.asarray(w)).all()
+    np.testing.assert_allclose(np.asarray(w).sum(axis=0), np.ones(t), rtol=1e-5)

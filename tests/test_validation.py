@@ -232,3 +232,60 @@ def test_batched_pmt_include_sim_matches_loop(rng):
         rtol=1e-5,
         atol=1e-8,
     )
+
+
+def test_batched_pmt_mixed_posterior_types_matches_loop(rng):
+    """A collection mixing FullCov (GPDTW1D) and Diag (MeanField) posteriors
+    must score each model with ITS posterior's log-likelihood branch, like
+    the library path does per model."""
+    from bayesian_ensembling_tpu.models.gp_dtw import GPDTW1D
+
+    hind = make_collection(rng, n_models=3, n_reals=(2, 3), n_months=10)
+    fore = make_collection(rng, n_models=3, n_reals=(2, 3), n_months=10)
+    hind.fit(GPDTW1D(dtype=np.float64), n_optim_nits=3, dba_iterations=1)
+    fore.fit(GPDTW1D(dtype=np.float64), n_optim_nits=3, dba_iterations=1)
+    # Replace one model's posterior with a Diag fit (mixed collection).
+    hind[1].distribution = MeanField(dtype=np.float64).fit(hind[1], n_optim_nits=0)
+    pmt = PerfectModelTest(
+        hindcast_models=hind,
+        forecast_models=fore,
+        emulate_method=None,
+        weight_method=bet.LogLikelihoodWeight,
+        ensemble_method=bet.Barycentre,
+        ssp="testssp",
+    )
+    want = pmt.run(use_prefit_models=True)
+    got = pmt.run_batched()
+    np.testing.assert_allclose(
+        got.iloc[:, 1:].to_numpy(dtype=float),
+        want.iloc[:, 1:].to_numpy(dtype=float),
+        rtol=1e-5,
+        atol=1e-8,
+    )
+
+
+def test_run_batched_guards(rng):
+    import pytest as _pt
+
+    hind = make_collection(rng, n_models=2, n_reals=(2,), n_months=8)
+    fore = make_collection(rng, n_models=2, n_reals=(2,), n_months=8)
+    pmt = PerfectModelTest(
+        hindcast_models=hind,
+        forecast_models=fore,
+        emulate_method=None,
+        weight_method=bet.CRPSWeight,
+        ensemble_method=bet.WeightedModelMean,
+        ssp="testssp",
+    )
+    with _pt.raises(ValueError, match="Barycentre"):
+        pmt.run_batched()
+    pmt2 = PerfectModelTest(
+        hindcast_models=hind,
+        forecast_models=fore,
+        emulate_method=None,
+        weight_method=bet.CRPSWeight,
+        ensemble_method=bet.Barycentre,
+        ssp="testssp",
+    )
+    with _pt.raises(ValueError, match="PREFIT"):
+        pmt2.run_batched()

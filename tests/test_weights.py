@@ -153,3 +153,14 @@ def test_similarity_fullcov_single(rng):
     )
     w = bet.ModelSimilarityWeight()(mc, mode="single")
     np.testing.assert_allclose(w.values.sum(), 1.0, rtol=1e-6)
+
+
+def test_similarity_single_model_raises(rng):
+    import pytest
+
+    from test_data import make_collection
+
+    mc = make_collection(rng, n_models=1, n_reals=(2,), n_months=8)
+    mc.fit(MeanField(dtype=np.float64), n_optim_nits=0)
+    with pytest.raises(ValueError, match="at least 2 models"):
+        bet.ModelSimilarityWeight()(mc)
