@@ -115,15 +115,26 @@ class DimArray:
 
     # -------------------------------------------------------------- selection
     def isel(self, **indexers) -> "DimArray":
-        """Integer/slice selection along named dims (like ``xarray.isel``)."""
-        index: tp.List[tp.Any] = [slice(None)] * self.ndim
+        """Integer/slice selection along named dims (like ``xarray.isel``).
+
+        Array indexers on several dims select OUTER products (xarray
+        semantics), not numpy's broadcast/diagonal indexing — each dim is
+        indexed independently.
+        """
         dropped = set()
+        values = self.values
+        # Apply one dim at a time (np.take) so multiple array indexers give
+        # the xarray outer selection instead of numpy fancy indexing.
         for dim, sel in indexers.items():
             ax = self.axis_of(dim)
-            index[ax] = sel
             if np.isscalar(sel) or (isinstance(sel, np.ndarray) and sel.ndim == 0):
                 dropped.add(dim)
-        values = self.values[tuple(index)]
+            index: tp.List[tp.Any] = [slice(None)] * values.ndim
+            # Axis positions shift as scalar-selected dims collapse; recompute
+            # against the dims not yet dropped in earlier iterations.
+            live_dims = [d for d in self.dims if d not in dropped or d == dim]
+            index[live_dims.index(dim)] = sel
+            values = values[tuple(index)]
         new_dims = tuple(d for d in self.dims if d not in dropped)
         new_coords = {}
         for k, v in self.coords.items():

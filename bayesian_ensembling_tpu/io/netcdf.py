@@ -50,37 +50,77 @@ def _dim_names(f: h5py.File, var: h5py.Dataset) -> tp.Tuple[str, ...]:
             ref = ax_refs[0]
             names.append(f[ref].name.lstrip("/"))
         return tuple(names)
-    # Fall back: match dimension-scale datasets by length.
+    # Fall back: match dimension-scale datasets by length, consuming each
+    # scale at most once (two equal-length axes must not both claim the
+    # same name — duplicate dims would silently collide in DimArray.coords).
     scales = {n: d for n, d in f.items() if isinstance(d, h5py.Dataset) and _is_dim_scale(d)}
+    used: set = set()
     for size in var.shape:
-        match = [n for n, d in scales.items() if d.shape == (size,)]
-        names.append(match[0] if match else f"dim_{len(names)}")
+        match = [
+            n for n, d in scales.items() if d.shape == (size,) and n not in used
+        ]
+        if match:
+            names.append(match[0])
+            used.add(match[0])
+        else:
+            names.append(f"dim_{len(names)}")
     return tuple(names)
+
+
+_GREGORIAN_CALENDARS = {"standard", "gregorian", "proleptic_gregorian", ""}
+
+
+def _attr_str(attrs, key: str) -> str:
+    v = attrs.get(key, b"")
+    return v.decode() if isinstance(v, bytes) else str(v)
 
 
 def open_dataarray(path: str, name: tp.Optional[str] = None) -> DimArray:
     """Read the main variable of a netCDF4 file as a :class:`DimArray`.
 
-    Decodes CF time into ``datetime64[ns]`` and applies ``_FillValue`` as NaN
-    for floating data.
+    Decodes CF time into ``datetime64[ns]`` (gregorian-family calendars
+    only; other CMIP calendars like ``360_day``/``noleap`` raise instead of
+    silently mis-decoding), unpacks CF ``scale_factor``/``add_offset``, and
+    applies ``_FillValue``/``missing_value`` as NaN.
     """
     with h5py.File(path, "r") as f:
         var_name, var = _main_variable(f)
         dims = _dim_names(f, var)
         values = var[...]
-        fill = var.attrs.get("_FillValue")
-        if fill is not None and np.issubdtype(values.dtype, np.floating):
-            fv = np.asarray(fill).ravel()[0]
-            if not np.isnan(fv):
+        scale = var.attrs.get("scale_factor")
+        offset = var.attrs.get("add_offset")
+        fills = [
+            np.asarray(var.attrs[k]).ravel()[0]
+            for k in ("_FillValue", "missing_value")
+            if k in var.attrs
+        ]
+        if scale is not None or offset is not None or (
+            fills and not np.issubdtype(values.dtype, np.floating)
+        ):
+            # CF packed data: unpack to float BEFORE fill masking so integer
+            # fill sentinels can become NaN.
+            values = values.astype(np.float64)
+        for fv in fills:
+            if not (np.issubdtype(type(fv), np.floating) and np.isnan(fv)):
                 values = np.where(values == fv, np.nan, values)
+        if scale is not None:
+            values = values * np.asarray(scale).ravel()[0]
+        if offset is not None:
+            values = values + np.asarray(offset).ravel()[0]
         coords: tp.Dict[str, np.ndarray] = {}
         for d in dims:
             if d not in f:
                 continue
             cv = f[d][...]
-            units = f[d].attrs.get("units", b"")
-            units = units.decode() if isinstance(units, bytes) else str(units)
+            units = _attr_str(f[d].attrs, "units")
             if d == "time" and "since" in units:
+                calendar = _attr_str(f[d].attrs, "calendar").lower()
+                if calendar not in _GREGORIAN_CALENDARS:
+                    raise NotImplementedError(
+                        f"time calendar {calendar!r} in {path} is not a "
+                        "gregorian-family calendar; decoding it as gregorian "
+                        "would silently shift every date"
+                    )
                 cv = timeutils.decode_cf_time(cv, units)
             elif cv.dtype == object or cv.dtype.kind in "SU":
                 cv = np.arange(len(cv))
@@ -102,15 +142,22 @@ def save_dataarray(path: str, da: DimArray, var_name: tp.Optional[str] = None):
             coord = da.get_coord(d)
             if d == "time" and np.issubdtype(coord.dtype, np.datetime64):
                 epoch = coord[0].astype("datetime64[ns]")
-                hours = (
-                    (coord.astype("datetime64[ns]") - epoch).astype("int64")
-                    // _NS_PER_HOUR
-                )
-                ds = f.create_dataset(d, data=hours.astype(np.int64))
+                offsets_ns = (coord.astype("datetime64[ns]") - epoch).astype("int64")
+                # Choose the coarsest CF unit that represents the offsets
+                # EXACTLY (a fixed hours-floor silently corrupted sub-hour
+                # stamps); fall back to float64 seconds (sub-microsecond
+                # precision over century ranges) for sub-second offsets.
+                for unit, div in (("hours", _NS_PER_HOUR), ("seconds", 10**9)):
+                    if not np.any(offsets_ns % div):
+                        enc = (offsets_ns // div).astype(np.int64)
+                        break
+                else:
+                    unit, enc = "seconds", offsets_ns / 1e9
+                ds = f.create_dataset(d, data=enc)
                 epoch_s = np.datetime_as_string(
                     epoch.astype("datetime64[s]"), unit="s"
                 ).replace("T", " ")
-                ds.attrs["units"] = np.bytes_(f"hours since {epoch_s}")
+                ds.attrs["units"] = np.bytes_(f"{unit} since {epoch_s}")
                 ds.attrs["calendar"] = np.bytes_("proleptic_gregorian")
             else:
                 ds = f.create_dataset(d, data=np.asarray(coord))

@@ -76,7 +76,9 @@ def monthly_climatology(
     """Per-month climatology averaged over realisations and window years.
 
     Equivalent to ``da.sel(time=slice(*window)).groupby("time.month").mean()
-    .mean("realisation")`` (data.py:246-247).
+    .mean("realisation")`` (data.py:246-247) — including xarray's
+    NaN-skipping mean semantics (missing cells reduce the sample count
+    instead of poisoning the whole month).
 
     Args:
       data: ``(realisation, time, *space)`` array.
@@ -95,7 +97,7 @@ def monthly_climatology(
         sel = in_win & (months == m)
         if not sel.any():
             raise ValueError(f"no samples for month {m} in climatology window")
-        clim[m - 1] = data[:, sel].mean(axis=(0, 1))
+        clim[m - 1] = np.nanmean(data[:, sel], axis=(0, 1))
     return clim
 
 
@@ -174,8 +176,12 @@ def resample_mean(
         else:
             label = lambda k: np.datetime64(f"{k}-12-31", "D")
     uniq = np.unique(keys)
+    # nanmean matches xarray's resample().mean() NaN-skipping semantics.
     pieces = [
-        np.take(data, np.nonzero(keys == k)[0], axis=time_axis).mean(axis=time_axis)
+        np.nanmean(
+            np.take(data, np.nonzero(keys == k)[0], axis=time_axis),
+            axis=time_axis,
+        )
         for k in uniq
     ]
     out = np.stack(pieces, axis=time_axis)

@@ -11,9 +11,17 @@ from __future__ import annotations
 
 import typing as tp
 
+import os
+import sys
+
 import matplotlib
 
-matplotlib.use("Agg")
+# Headless default WITHOUT hijacking an interactive session: only force Agg
+# when no GUI backend can work and pyplot hasn't already picked one (a
+# module-level use("Agg") switched the backend for the whole process,
+# killing the caller's own interactive figures).
+if "matplotlib.pyplot" not in sys.modules and not os.environ.get("DISPLAY"):
+    matplotlib.use("Agg")
 import matplotlib.pyplot as plt
 import numpy as np
 from cycler import cycler

@@ -112,6 +112,10 @@ class ProjectionService:
         }
 
     def trajectory(self, scenario: str) -> tp.Dict[str, tp.List[float]]:
+        if scenario not in self._art:
+            raise ValueError(
+                f"unknown scenario {scenario!r}; have {self.scenarios()}"
+            )
         a = self._art[scenario]
         return {
             "years": a["years"].tolist(),

@@ -32,7 +32,11 @@ def device_sync(tree: tp.Any) -> None:
     """
     for leaf in jax.tree_util.tree_leaves(tree):
         if hasattr(leaf, "shape"):
-            np.asarray(leaf).ravel()[:1]
+            # Slice ON DEVICE before the host copy — np.asarray(leaf) would
+            # transfer the whole array, so timing big pytrees measured
+            # device->host bandwidth instead of compute.
+            first = leaf.ravel()[:1] if getattr(leaf, "size", 1) else leaf
+            np.asarray(first)
 
 
 @contextlib.contextmanager

@@ -109,3 +109,80 @@ def test_resample_mean_start_anchored_labels(rng):
     assert str(ms_t[1])[:10] == "2000-02-01"
     _, qs_t = timeutils.resample_mean(data, time, "QS")
     assert str(qs_t[1])[:10] == "2000-04-01"
+
+
+def test_netcdf_subhour_time_roundtrip(rng, tmp_path):
+    """Sub-hour time stamps must round-trip exactly (the old writer floored
+    offsets to whole hours)."""
+    from bayesian_ensembling_tpu.coords import DimArray
+    from bayesian_ensembling_tpu.io import netcdf
+
+    time = np.array(
+        ["2000-01-01T00:30", "2000-01-01T01:45", "2000-01-01T03:10"],
+        dtype="datetime64[ns]",
+    )
+    da = DimArray(rng.normal(size=(2, 3)), ("realisation", "time"), {"time": time}, name="tas")
+    p = str(tmp_path / "subhour.nc")
+    netcdf.save_dataarray(p, da)
+    back = netcdf.open_dataarray(p)
+    np.testing.assert_array_equal(back.time, time)
+    np.testing.assert_allclose(back.values, da.values)
+
+
+def test_climatology_and_resample_skip_nan(rng):
+    """NaN cells reduce the sample count (xarray semantics) instead of
+    poisoning the whole month/year."""
+    n = 24
+    time = (np.datetime64("1961-01", "M") + np.arange(n)).astype("datetime64[ns]")
+    data = np.ones((2, n))
+    data[0, 0] = np.nan  # one missing January sample
+    clim = timeutils.monthly_climatology(data, time, ("1961-01-01", "1962-12-31"))
+    assert np.isfinite(clim).all() and clim[0] == 1.0
+    out, _ = timeutils.resample_mean(data, time, "Y")
+    assert np.isfinite(out).all()
+
+
+def test_netcdf_rejects_nongregorian_calendar(tmp_path):
+    import h5py
+
+    from bayesian_ensembling_tpu.io import netcdf
+
+    p = str(tmp_path / "cal360.nc")
+    with h5py.File(p, "w") as f:
+        v = f.create_dataset("tas", data=np.zeros((1, 3)))
+        t = f.create_dataset("time", data=np.arange(3) * 30.0)
+        t.attrs["units"] = np.bytes_("days since 1850-01-01")
+        t.attrs["calendar"] = np.bytes_("360_day")
+        r = f.create_dataset("realisation", data=np.arange(1))
+        t.make_scale("time")
+        r.make_scale("realisation")
+        v.dims[0].attach_scale(r)
+        v.dims[1].attach_scale(t)
+    with pytest.raises(NotImplementedError, match="360_day"):
+        netcdf.open_dataarray(p)
+
+
+def test_netcdf_unpacks_scaled_integers(tmp_path):
+    """CF packed data (scale_factor/add_offset on integer storage) must be
+    unpacked, with integer fill sentinels masked to NaN."""
+    import h5py
+
+    from bayesian_ensembling_tpu.io import netcdf
+
+    p = str(tmp_path / "packed.nc")
+    raw = np.array([[100, 200, -32767]], dtype=np.int16)
+    with h5py.File(p, "w") as f:
+        v = f.create_dataset("tas", data=raw)
+        v.attrs["scale_factor"] = np.float64(0.01)
+        v.attrs["add_offset"] = np.float64(273.15)
+        v.attrs["_FillValue"] = np.int16(-32767)
+        t = f.create_dataset("time", data=np.arange(3, dtype=np.float64))
+        t.attrs["units"] = np.bytes_("days since 2000-01-01")
+        r = f.create_dataset("realisation", data=np.arange(1))
+        t.make_scale("time")
+        r.make_scale("realisation")
+        v.dims[0].attach_scale(r)
+        v.dims[1].attach_scale(t)
+    da = netcdf.open_dataarray(p)
+    np.testing.assert_allclose(da.values[0, :2], [274.15, 275.15])
+    assert np.isnan(da.values[0, 2])
