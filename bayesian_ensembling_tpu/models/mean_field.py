@@ -76,7 +76,11 @@ def _masked_moments(block: np.ndarray, mask: np.ndarray):
     n = np.maximum(w.sum(axis=1), 1.0)
     mean = (block * w).sum(axis=1) / n
     var = (np.square(block - mean[:, None, :]) * w).sum(axis=1) / n
-    return mean, var
+    # Variance floor: a single-realisation member has var == 0 exactly,
+    # which turns every sigma-dividing weighter (CRPS, log-lik) into NaN for
+    # the WHOLE collection after the sum-to-one normalisation.  Same floor
+    # as the fused pipeline (parallel/step.emulate_marginals).
+    return mean, np.maximum(var, 1e-8)
 
 
 class MeanField(AbstractEmulator):

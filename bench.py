@@ -73,11 +73,7 @@ def main():
         )
     )
 
-    def sync(tree):
-        # On the tunnelled TPU backend block_until_ready is a no-op; a
-        # device->host fetch is the only reliable synchronisation point.
-        for leaf in jax.tree_util.tree_leaves(tree):
-            np.asarray(leaf)
+    from bayesian_ensembling_tpu.utils.profiling import device_sync as sync
 
     t0 = time.perf_counter()
     sync(step(hb, hm, sb, sm, obs, mmask))
@@ -117,7 +113,12 @@ def main():
     if os.path.exists(baseline_path):
         with open(baseline_path) as f:
             cpu = json.load(f)
-        if cpu.get("n_optim_nits") == N_ITERS:
+        # Comparable only when BOTH workload knobs match the anchor's
+        # (the anchor ran run_scenario's default of 10 DBA iterations).
+        if (
+            cpu.get("n_optim_nits") == N_ITERS
+            and cpu.get("dba_iterations", 10) == DBA_ITERS
+        ):
             vs = cpu["total_seconds"] / elapsed
             mdiffs, sdiffs = [], []
             for i, (ssp, _, _) in enumerate(scenarios):

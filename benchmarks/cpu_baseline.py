@@ -53,7 +53,7 @@ for ssp in pipeline.ALL_SSPS:
     print(ssp, f"{dt:.1f}s", summ[2100], flush=True)
 
 total = time.time() - t_all
-out = {"n_optim_nits": N_ITERS, "total_seconds": total, "scenarios": results}
+out = {"n_optim_nits": N_ITERS, "dba_iterations": 10, "total_seconds": total, "scenarios": results}
 with open(os.path.join(os.path.dirname(__file__), "cpu_baseline.json"), "w") as f:
     json.dump(out, f, indent=1)
 print(json.dumps({"total_seconds": total}))

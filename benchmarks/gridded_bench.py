@@ -61,9 +61,7 @@ def main():
     block, obs = gc.make_workload(c, dtype=np.float32)
     step = jax.jit(lambda b, o: gc.gridded_experiment(b, o, n_iters))
 
-    def sync(tree):
-        for leaf in jax.tree_util.tree_leaves(tree):
-            np.asarray(leaf)
+    from bayesian_ensembling_tpu.utils.profiling import device_sync as sync
 
     # Whole-grid mode: the inputs fit HBM, so transfer ONCE outside the
     # timed runs (the slab mode streams transfers by design and pipelines

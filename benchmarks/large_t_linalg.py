@@ -13,6 +13,7 @@ Usage: python benchmarks/large_t_linalg.py [B] [T ...]
 """
 
 import functools
+import os
 import sys
 import time
 
@@ -20,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bayesian_ensembling_tpu.ops import gp as gp_ops
 

@@ -67,9 +67,7 @@ def main():
         obs,
     )
 
-    def sync(tree):
-        for leaf in jax.tree_util.tree_leaves(tree):
-            np.asarray(leaf)
+    from bayesian_ensembling_tpu.utils.profiling import device_sync as sync
 
     t0 = time.perf_counter()
     sync(step(*args))

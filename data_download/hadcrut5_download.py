@@ -29,15 +29,28 @@ def download(out_dir: str):
         dest = os.path.join(out_dir, os.path.basename(url))
         if not os.path.exists(dest):
             print(f"fetching {url}")
+            # Download to a temp name and rename on success: an interrupted
+            # urlretrieve straight to dest leaves a truncated zip that every
+            # rerun then treats as complete and crashes on.
+            tmp = dest + ".part"
             try:
-                urllib.request.urlretrieve(url, dest)
+                urllib.request.urlretrieve(url, tmp)
+                os.replace(tmp, dest)
             except OSError as e:
+                if os.path.exists(tmp):
+                    os.remove(tmp)
                 raise SystemExit(
                     f"download failed ({e}); this environment may be "
                     "air-gapped — use the bundled experiments/data/obs files"
                 )
-        with zipfile.ZipFile(dest) as z:
-            z.extractall(out_dir)
+        try:
+            with zipfile.ZipFile(dest) as z:
+                z.extractall(out_dir)
+        except zipfile.BadZipFile:
+            os.remove(dest)
+            raise SystemExit(
+                f"{dest} was corrupt (removed); re-run to fetch it again"
+            )
         print(f"unpacked {dest}")
 
 

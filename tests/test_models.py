@@ -113,3 +113,25 @@ def test_gpdtw1d_padding_invariance(rng):
         rtol=1e-5,
         atol=1e-10,
     )
+
+
+def test_meanfield_single_realisation_variance_floor(rng):
+    """An R=1 member's closed-form variance is floored above zero so
+    sigma-dividing weighters stay finite for the whole collection."""
+    import bayesian_ensembling_tpu as bet
+    from test_data import make_collection, make_da
+    from bayesian_ensembling_tpu.data import ModelCollection, ProcessModel
+    from bayesian_ensembling_tpu.models.mean_field import MeanField
+
+    mc = ModelCollection(
+        [
+            ProcessModel(make_da(rng, n_reals=1, n_months=12), "single"),
+            ProcessModel(make_da(rng, n_reals=3, n_months=12), "multi"),
+        ]
+    )
+    mc.fit(MeanField(dtype=np.float64), n_optim_nits=0)
+    assert (np.asarray(mc[0].distribution.gaussian.variance) > 0).all()
+    obs = ProcessModel(make_da(rng, n_reals=2, n_months=12), "obs")
+    w = bet.CRPSWeight()(mc, obs)
+    assert np.isfinite(np.asarray(w.values)).all()
+    np.testing.assert_allclose(np.asarray(w.values).sum(axis=0), 1.0, rtol=1e-6)
