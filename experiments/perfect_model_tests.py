@@ -22,7 +22,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--data-dir", default=None)
     ap.add_argument("--out-dir", default="pmt_results")
-    ap.add_argument("--ssps", default="ssp119,ssp434,ssp460")
+    ap.add_argument(
+        "--ssps",
+        default="ssp119,ssp126,ssp245,ssp370,ssp434,ssp460,ssp585",
+    )
     ap.add_argument(
         "--weights",
         default="LogLikelihoodWeight,InverseSquareWeight,UniformWeight,KSDWeight,CRPSWeight",

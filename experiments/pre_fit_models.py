@@ -23,7 +23,10 @@ def main():
     ap.add_argument("--data-dir", default=None)
     ap.add_argument("--out-dir", default="pre_fit_models")
     ap.add_argument("--n-optim-nits", type=int, default=2500)
-    ap.add_argument("--ssps", default="ssp119,ssp434,ssp460")
+    ap.add_argument(
+        "--ssps",
+        default="ssp119,ssp126,ssp245,ssp370,ssp434,ssp460,ssp585",
+    )
     args = ap.parse_args()
 
     import numpy as np
