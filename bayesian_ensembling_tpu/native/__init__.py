@@ -74,7 +74,14 @@ def _load() -> tp.Optional[ctypes.CDLL]:
     except AttributeError:
         # Stale prebuilt library missing a newer entry point: rebuild once
         # from source; report unavailable (-> JAX fallback) if that fails.
+        # Unlink first so the rebuilt .so gets a fresh inode — dlopen caches
+        # handles by path/inode, and rebuilding in place can hand the
+        # re-dlopen the SAME stale mapping (the AttributeError would recur).
         _lib = None
+        try:
+            os.remove(_LIB)
+        except OSError:
+            pass
         if _build():
             try:
                 _lib = bind(ctypes.CDLL(_LIB))

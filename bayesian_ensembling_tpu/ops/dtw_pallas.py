@@ -71,10 +71,12 @@ def _make_dtw_cost_kernel(t: int):
 
 
 # Scoped-VMEM allowance used for lane sizing AND the fused/split dispatch
-# gates — one constant so the chunk chosen always satisfies the gate that
-# admitted the kernel (a looser sizing budget would pick lane widths the
-# gate's own arithmetic rejects at mid-range T).
-_SCOPED_VMEM_BUDGET = 15 * 2**20 + 2**19  # ~15.5 MiB of the 16 MiB limit
+# gates — ONE shared constant (ops/vmem.py) so the chunk chosen always
+# satisfies the gate that admitted the kernel (a looser sizing budget would
+# pick lane widths the gate's own arithmetic rejects at mid-range T).
+from bayesian_ensembling_tpu.ops import vmem as _vmem
+
+_SCOPED_VMEM_BUDGET = _vmem.SCOPED_VMEM_BUDGET  # ~15.5 MiB of the 16 MiB limit
 
 
 def _lanes_for(
@@ -82,14 +84,15 @@ def _lanes_for(
     bytes_per_elem: int,
     requested: int,
     n: int,
-    budget: int = 12 * 2**20,
+    budget: int = _SCOPED_VMEM_BUDGET,
 ) -> int:
     """Largest 128-multiple lane chunk whose (T_pad, lanes) working set fits
     the VMEM budget — annual workloads (T ~ 165) keep the wide defaults,
     monthly resolutions (T ~ 1032) shrink the chunk instead of
     overflowing VMEM."""
-    fit = max(budget // (t_pad * bytes_per_elem) // 128 * 128, 128)
-    return min(requested, fit, max(-(-n // 128) * 128, 128))
+    return _vmem.max_lane_chunk(
+        t_pad * bytes_per_elem, budget, requested=requested, n=n
+    )
 
 
 # Measured scoped-VMEM footprint of the fused DBA kernel: ~76 B per
@@ -101,6 +104,16 @@ def _lanes_for(
 # phases each hold roughly half the working set.
 _DBA_BYTES_PER_ELEM = 76
 _DBA_SPLIT_BYTES_PER_ELEM = 44  # max over the fwd / bwd phase kernels
+# Cost-only wavefront kernel: ~5 f32 buffers + loop carries per element.
+_DTW_COST_BYTES_PER_ELEM = 24
+
+
+def dtw_cost_fits(t: int) -> bool:
+    """Whether ``squared_dtw_cost_batch`` fits scoped VMEM at T (at the
+    minimum 128-lane chunk) — T up to ~5300 on v5e; beyond it callers must
+    use the lax.scan wavefront path (ops/dtw.py)."""
+    t_pad = -(-t // 8) * 8
+    return _vmem.fits_min_chunk(t_pad * _DTW_COST_BYTES_PER_ELEM, _SCOPED_VMEM_BUDGET)
 
 
 def fused_dba_fits(t: int) -> bool:
@@ -110,7 +123,7 @@ def fused_dba_fits(t: int) -> bool:
     (``split_dba_fits``); beyond THAT ceiling callers must use the lax.scan
     wavefront path (ops/dtw.py), which has no VMEM residency."""
     tp_ = -(-t // 32) * 32
-    return tp_ * 128 * _DBA_BYTES_PER_ELEM <= _SCOPED_VMEM_BUDGET
+    return _vmem.fits_min_chunk(tp_ * _DBA_BYTES_PER_ELEM, _SCOPED_VMEM_BUDGET)
 
 
 def split_dba_fits(t: int) -> bool:
@@ -118,7 +131,7 @@ def split_dba_fits(t: int) -> bool:
     — covers the native monthly historical resolution (T = 1980) and up to
     T ~ 2800."""
     tp_ = -(-t // 32) * 32
-    return tp_ * 128 * _DBA_SPLIT_BYTES_PER_ELEM <= _SCOPED_VMEM_BUDGET
+    return _vmem.fits_min_chunk(tp_ * _DBA_SPLIT_BYTES_PER_ELEM, _SCOPED_VMEM_BUDGET)
 
 
 def squared_dtw_cost_batch(centers: jnp.ndarray, series: jnp.ndarray, lanes: int = 2048) -> jnp.ndarray:
@@ -133,8 +146,14 @@ def squared_dtw_cost_batch(centers: jnp.ndarray, series: jnp.ndarray, lanes: int
     """
     n, t = centers.shape
     t_pad = -(-t // 8) * 8  # dynamic_rotate needs 8-aligned sublanes
-    # ~5 f32 buffers + loop carries ≈ 24 B per (row, lane) element.
-    lanes = _lanes_for(t_pad, 24, lanes, n)
+    if not dtw_cost_fits(t):
+        raise ValueError(
+            f"T={t} exceeds the DTW cost kernel's scoped-VMEM ceiling even at "
+            "the minimum 128-lane chunk; use the lax.scan wavefront path "
+            "(ops.dtw.squared_dtw / dtw_pairwise_sq dispatch there "
+            "automatically for such T)"
+        )
+    lanes = _lanes_for(t_pad, _DTW_COST_BYTES_PER_ELEM, lanes, n)
     n_pad = -(-n // lanes) * lanes
     c = jnp.pad(centers, ((0, n_pad - n), (0, t_pad - t))).T  # (Tp, N_pad)
     s_rev = jnp.pad(series[:, ::-1], ((0, n_pad - n), (0, t_pad - t))).T
@@ -459,6 +478,22 @@ def dba_update_batch(
     tp_ = -(-t // 32) * 32  # 32-aligned sublanes: int8 tile is (32, 128)
     if impl == "auto":
         impl = "fused" if fused_dba_fits(t) else "split"
+    # Guard every resolved impl against its own VMEM gate so a caller beyond
+    # the ceiling gets a clear error instead of an opaque Mosaic VMEM
+    # failure (dba_batch in ops/dtw.py guards before calling; direct callers
+    # may not).
+    if impl == "fused" and not fused_dba_fits(t):
+        raise ValueError(
+            f"T={t} exceeds the fused DBA kernel's scoped-VMEM ceiling "
+            "(fused_dba_fits(T) is False); use impl='split' or the lax.scan "
+            "wavefront path (ops.dtw.dba_batch dispatches automatically)"
+        )
+    if impl == "split" and not split_dba_fits(t):
+        raise ValueError(
+            f"T={t} exceeds the split DBA kernel pair's scoped-VMEM ceiling "
+            "(split_dba_fits(T) is False, ~T<=2800 on v5e); use the lax.scan "
+            "wavefront path (ops.dtw.dba_batch dispatches automatically)"
+        )
     # Size lane chunks with the SAME per-element constants and budget the
     # dispatch gates use, so any T the gate admits also gets a chunk width
     # that fits (a 48 B/12 MiB heuristic previously overflowed for

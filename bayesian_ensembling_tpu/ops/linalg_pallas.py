@@ -35,6 +35,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from bayesian_ensembling_tpu.ops import vmem as _vmem
+
 # Set True (e.g. in tests) to run the Pallas kernels in interpreter mode on
 # any backend — used to validate kernel logic without TPU hardware.
 INTERPRET = False
@@ -175,12 +177,19 @@ def _cholesky_batched_tpu(ky_tlb: jnp.ndarray) -> jnp.ndarray:
     return out[:t, :t]
 
 
-def _max_lanes(t: int, budget_bytes: int = 12 * 2**20) -> int:
-    """Largest 128-multiple batch whose (T, T, lanes) f32 buffer fits VMEM."""
+def _max_lanes(t: int) -> int:
+    """Largest 128-multiple batch whose (T, T, lanes) f32 buffer fits the
+    linalg VMEM budget.
+
+    Sizing and the ``linalg_path`` dispatch gate share ONE budget
+    (``ops.vmem.LINALG_BUDGET``) so every T the gate admits gets a lane
+    width that fits — the consistency-bug class that bit the DBA kernels at
+    mid-range T (VERDICT r2 item 4).  The budget models only the dominant
+    (T, T, lanes) buffer; vmem.py documents the headroom for the small
+    vector outputs and staging.
+    """
     sub = -(-t // 8) * 8
-    per_lane = t * sub * 4
-    lanes = max(budget_bytes // per_lane // 128, 1) * 128
-    return lanes
+    return _vmem.max_lane_chunk(t * sub * 4, _vmem.LINALG_BUDGET)
 
 
 def _chunk_lanes(fn, x: jnp.ndarray, t: int):
@@ -523,7 +532,9 @@ def linalg_path(t: int, backend: tp.Optional[str] = None) -> str:
     (VERDICT r1 item 5).
     """
     backend = backend or jax.default_backend()
-    if INTERPRET or (backend == "tpu" and _vmem_bytes(t) < 14 * 2**20):
+    sub = -(-t // 8) * 8
+    fits = _vmem.fits_min_chunk(t * sub * 4, _vmem.LINALG_BUDGET)
+    if INTERPRET or (backend == "tpu" and fits):
         return "pallas"
     if backend == "tpu" and t not in _warned_fallback:
         _warned_fallback.add(t)

@@ -43,7 +43,22 @@ __all__ = [
 
 # Every reference weighter is available inside the fused step
 # (reference weights.py:56-515; VERDICT r1 asked for all six).
-WEIGHT_KINDS = ("crps", "loglik", "ksd", "inverse_square", "uniform", "similarity")
+# ``similarity`` is the reference's *temporal* mode (one weight per model
+# per timestep); ``similarity_single`` is its *single* mode (one
+# whole-series weight per model, broadcast over time).  The reference's
+# third mode, ``spatial`` (one weight per model per grid cell,
+# weights.py:268-300), is ``similarity_single`` applied inside the per-cell
+# vmapped gridded step (parallel/gridded.py) — each cell reduces over its
+# own time axis, which is exactly the spatial-mode reduction.
+WEIGHT_KINDS = (
+    "crps",
+    "loglik",
+    "ksd",
+    "inverse_square",
+    "uniform",
+    "similarity",
+    "similarity_single",
+)
 
 
 def fused_raw_weights(
@@ -65,10 +80,15 @@ def fused_raw_weights(
       * ``ksd``            — 1 / IMQ kernel Stein discrepancy (weights.py:336-441)
       * ``inverse_square`` — (realisation-mean − obs-mean)^-2 (weights.py:134-174)
       * ``uniform``        — constant (weights.py:177-212)
-      * ``similarity``     — mean-over-j pairwise W2 dissimilarity, temporal
-        mode (weights.py:214-333); the only weighter that couples models
-        *pairwise*, so under model-axis sharding it all-gathers the (small)
-        marginal moments over ``model_axis``.
+      * ``similarity``     — mean-over-j pairwise W2 dissimilarity,
+        *temporal* mode (weights.py:302-325)
+      * ``similarity_single`` — the reference's *single* mode
+        (weights.py:240-266): one whole-series pairwise W2 per model,
+        broadcast over time; applied inside the per-cell gridded step this
+        is the *spatial* mode's per-cell reduction (weights.py:268-300).
+        The similarity weighters are the only ones that couple models
+        *pairwise*, so under model-axis sharding they all-gather the
+        (small) marginal moments over ``model_axis``.
     """
     if weight_kind == "crps":
         score = jax.vmap(scoring.mean_gaussian_crps, in_axes=(0, 0, None))(
@@ -85,6 +105,12 @@ def fused_raw_weights(
         # invariant to the shift, and naive exp underflows to all-zero
         # weights -> NaN at f32 for log-likelihoods below ~-88 (the same
         # failure the library path fixes via softmax, weights.py:176-180).
+        # Padded models are excluded from the max — a junk padded row with a
+        # spuriously high log-likelihood would otherwise shrink the real
+        # models' exp(ll - m) headroom and reintroduce the underflow; their
+        # own rows exp(-inf) to exactly 0 (callers also mask downstream).
+        if model_mask is not None:
+            ll = jnp.where(model_mask[:, None] > 0, ll, -jnp.inf)
         m = jnp.max(ll, axis=0, keepdims=True)
         if model_axis is not None:
             m = jax.lax.pmax(m, model_axis)
@@ -104,7 +130,7 @@ def fused_raw_weights(
         return jnp.square(mu - obs_mean[None, :]) ** -1.0
     if weight_kind == "uniform":
         return jnp.ones_like(hist_mean)
-    if weight_kind == "similarity":
+    if weight_kind in ("similarity", "similarity_single"):
         std = jnp.sqrt(hist_var)
         if model_axis is not None:
             mean_all = jax.lax.all_gather(hist_mean, model_axis, tiled=True)
@@ -116,9 +142,23 @@ def fused_raw_weights(
             )
         else:
             mean_all, std_all, mask_all = hist_mean, std, model_mask
-        pair = jnp.abs(hist_mean[:, None, :] - mean_all[None, :, :]) + jnp.square(
-            std[:, None, :] - std_all[None, :, :]
-        )  # (M_local, M_total, T)
+        d_mu = hist_mean[:, None, :] - mean_all[None, :, :]  # (M_local, M_total, T)
+        d_sd = std[:, None, :] - std_all[None, :, :]
+        if weight_kind == "similarity_single":
+            # Whole-series diag W2 per pair (reference 'single' mode,
+            # weights.py:240-266, incl. the un-squared mean norm):
+            # ||d_mu||_2 over time + sum_t d_sd^2 -> one scalar per pair.
+            pair = jnp.sqrt(jnp.sum(jnp.square(d_mu), axis=-1)) + jnp.sum(
+                jnp.square(d_sd), axis=-1
+            )  # (M_local, M_total)
+            if mask_all is not None:
+                valid = mask_all.astype(pair.dtype)
+                vec = pair @ valid / jnp.maximum(jnp.sum(valid), 1.0)
+            else:
+                vec = jnp.mean(pair, axis=1)
+            return jnp.broadcast_to(vec[:, None], hist_mean.shape)
+        # 'temporal' mode: per-timestep scalar W2 per pair.
+        pair = jnp.abs(d_mu) + jnp.square(d_sd)  # (M_local, M_total, T)
         if mask_all is not None:
             valid = mask_all.astype(pair.dtype)
             return jnp.einsum("ijt,j->it", pair, valid) / jnp.maximum(

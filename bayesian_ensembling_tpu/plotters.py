@@ -19,8 +19,16 @@ import matplotlib
 # Headless default WITHOUT hijacking an interactive session: only force Agg
 # when no GUI backend can work and pyplot hasn't already picked one (a
 # module-level use("Agg") switched the backend for the whole process,
-# killing the caller's own interactive figures).
-if "matplotlib.pyplot" not in sys.modules and not os.environ.get("DISPLAY"):
+# killing the caller's own interactive figures).  The no-display probe is
+# only meaningful on X11/Wayland Linux — macOS and Windows have native GUI
+# backends that need no DISPLAY, and Wayland-only sessions set
+# WAYLAND_DISPLAY without DISPLAY.
+_headless = (
+    sys.platform.startswith("linux")
+    and not os.environ.get("DISPLAY")
+    and not os.environ.get("WAYLAND_DISPLAY")
+)
+if "matplotlib.pyplot" not in sys.modules and _headless:
     matplotlib.use("Agg")
 import matplotlib.pyplot as plt
 import numpy as np

@@ -99,7 +99,16 @@ def test_graft_entry_single_chip():
 
 
 @pytest.mark.parametrize(
-    "kind", ["crps", "loglik", "ksd", "inverse_square", "uniform", "similarity"]
+    "kind",
+    [
+        "crps",
+        "loglik",
+        "ksd",
+        "inverse_square",
+        "uniform",
+        "similarity",
+        "similarity_single",
+    ],
 )
 def test_all_weight_kinds_unsharded(kind):
     hb, hm, sb, sm, obs = toy()
@@ -112,7 +121,9 @@ def test_all_weight_kinds_unsharded(kind):
     assert np.isfinite(np.asarray(w)).all()
 
 
-@pytest.mark.parametrize("kind", ["ksd", "similarity", "inverse_square", "uniform"])
+@pytest.mark.parametrize(
+    "kind", ["ksd", "similarity", "similarity_single", "inverse_square", "uniform"]
+)
 def test_sharded_matches_unsharded_all_kinds(kind):
     """Every fused weighter gives identical results sharded vs unsharded —
     VERDICT r1 item 4 (was CRPS/loglik only)."""
@@ -171,6 +182,7 @@ def test_fused_weights_match_library_path(rng):
         "inverse_square": bet.InverseSquareWeight()(mc, obs_pm),
         "uniform": bet.UniformWeight()(mc),
         "similarity": bet.ModelSimilarityWeight()(mc, mode="temporal"),
+        "similarity_single": bet.ModelSimilarityWeight()(mc, mode="single"),
     }
     for kind, lib in cases.items():
         raw = np.asarray(
@@ -179,8 +191,14 @@ def test_fused_weights_match_library_path(rng):
             )
         )
         fused = raw / raw.sum(axis=0, keepdims=True)
+        lib_vals = np.asarray(lib.values)
+        if kind == "similarity_single":
+            # Library single mode returns one weight per model (time coord
+            # [0]); the fused path broadcasts that weight over T.
+            assert np.allclose(fused, fused[:, :1]), "single mode not constant in t"
+            fused = fused[:, :1]
         np.testing.assert_allclose(
-            fused, np.asarray(lib.values), rtol=1e-6, atol=1e-10,
+            fused, lib_vals, rtol=1e-6, atol=1e-10,
             err_msg=f"fused {kind} != library path",
         )
 
@@ -271,3 +289,33 @@ def test_fused_loglik_no_underflow(rng):
     w = raw / jnp.sum(raw, axis=0, keepdims=True)
     assert np.isfinite(np.asarray(w)).all()
     np.testing.assert_allclose(np.asarray(w).sum(axis=0), np.ones(t), rtol=1e-5)
+
+
+def test_fused_loglik_padded_model_excluded_from_max_shift(rng):
+    """A junk padded model with a spuriously HIGH log-likelihood must not
+    shrink the real models' exp(ll - max) headroom: the max-shift is taken
+    over real models only (ADVICE r2: model_mask applied before the max)."""
+    from bayesian_ensembling_tpu.parallel.step import fused_raw_weights
+
+    m, t, ro = 4, 6, 3
+    mean = jnp.asarray(rng.normal(size=(m, t)).astype(np.float32))
+    # Real models: tight posteriors far from obs -> very negative ll.
+    var = jnp.full((m, t), 1e-6, jnp.float32)
+    obs = jnp.asarray(mean[0] + 2.0)[None, :] * jnp.ones((ro, 1), jnp.float32)
+    # Padded model 3: posterior exactly on obs with moderate variance -> its
+    # ll is enormously higher than every real model's.
+    mean = mean.at[3].set(obs[0])
+    var = var.at[3].set(1.0)
+    model_mask = jnp.asarray([1.0, 1.0, 1.0, 0.0])
+
+    raw = fused_raw_weights("loglik", mean, var, obs, model_mask=model_mask)
+    raw = raw * model_mask[:, None]
+    w = np.asarray(raw / jnp.sum(raw, axis=0, keepdims=True))
+    assert np.isfinite(w).all()
+    # The padded row is exactly zeroed; the real rows still normalise.
+    np.testing.assert_allclose(w[3], np.zeros(t), atol=0.0)
+    np.testing.assert_allclose(w[:3].sum(axis=0), np.ones(t), rtol=1e-5)
+    # Without the fix the junk row's ll dominates the max and every real
+    # row underflows to zero -> 0/0 NaNs. Reproduce that the shift is
+    # keyed on the REAL max: at least one real row must be ~1 pre-norm.
+    assert np.asarray(raw).max() > 0.5

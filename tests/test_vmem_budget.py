@@ -1,0 +1,80 @@
+"""Gate <-> sizing consistency for every Pallas kernel family (VERDICT r2
+item 4).
+
+The invariant: for every problem size a dispatch gate admits, the lane
+chunk the sizer picks must fit the SAME budget the gate used, and that
+budget must sit under the hardware scoped-VMEM limit.  This is the bug
+class that bit the DBA kernels at mid-range T when sizing and gating used
+different constants — the sweep covers the full admissible T range for all
+four kernel families (fused DBA, split DBA, DTW cost, batched linalg).
+
+Pure arithmetic — no TPU, no compilation.
+"""
+
+import numpy as np
+import pytest
+
+from bayesian_ensembling_tpu.ops import vmem
+from bayesian_ensembling_tpu.ops import dtw_pallas as dp
+from bayesian_ensembling_tpu.ops import linalg_pallas as lp
+
+
+def test_budgets_under_hardware_limit():
+    assert vmem.SCOPED_VMEM_BUDGET <= vmem.SCOPED_VMEM_LIMIT
+    assert vmem.LINALG_BUDGET <= vmem.SCOPED_VMEM_LIMIT
+    # The linalg budget models only the main buffer; its headroom for the
+    # un-modelled (T, lanes) vectors must be real.
+    assert vmem.SCOPED_VMEM_LIMIT - vmem.LINALG_BUDGET >= 2**21
+
+
+@pytest.mark.parametrize("t", list(range(2, 3300, 7)) + [1700, 1980, 2800])
+def test_dba_gate_implies_chunk_fits(t):
+    """Every T the fused/split gates admit gets a lane width that fits."""
+    tp_ = -(-t // 32) * 32
+    for fits, bpe in (
+        (dp.fused_dba_fits, dp._DBA_BYTES_PER_ELEM),
+        (dp.split_dba_fits, dp._DBA_SPLIT_BYTES_PER_ELEM),
+    ):
+        if not fits(t):
+            continue
+        for requested in (128, 1024, 4096):
+            for n in (1, 100, 10_000):
+                lanes = dp._lanes_for(tp_, bpe, requested, n)
+                assert lanes >= 128 and lanes % 128 == 0
+                assert lanes * tp_ * bpe <= vmem.SCOPED_VMEM_BUDGET
+
+
+@pytest.mark.parametrize("t", list(range(2, 5400, 11)))
+def test_dtw_cost_gate_implies_chunk_fits(t):
+    t_pad = -(-t // 8) * 8
+    if not dp.dtw_cost_fits(t):
+        return
+    for requested in (128, 2048):
+        lanes = dp._lanes_for(t_pad, dp._DTW_COST_BYTES_PER_ELEM, requested, 10_000)
+        assert lanes * t_pad * dp._DTW_COST_BYTES_PER_ELEM <= vmem.SCOPED_VMEM_BUDGET
+
+
+@pytest.mark.parametrize("t", list(range(2, 260)))
+def test_linalg_gate_implies_chunk_fits(t):
+    """linalg_path('tpu') admitting T means _max_lanes(T)'s buffer fits the
+    SAME budget (previously: 14 MiB gate vs an unrelated 12 MiB sizer)."""
+    sub = -(-t // 8) * 8
+    admitted = vmem.fits_min_chunk(t * sub * 4, vmem.LINALG_BUDGET)
+    lanes = lp._max_lanes(t)
+    assert lanes >= 128 and lanes % 128 == 0
+    if admitted:
+        assert lanes * t * sub * 4 <= vmem.LINALG_BUDGET
+    # The production annual case must stay on the Pallas path.
+    if t == 165:
+        assert admitted
+
+
+def test_annual_config_unchanged():
+    """The headline configs keep their historical dispatch decisions."""
+    assert dp.fused_dba_fits(165) and dp.fused_dba_fits(1032)
+    assert not dp.fused_dba_fits(1980)
+    assert dp.split_dba_fits(1980)
+    assert not dp.split_dba_fits(3200)
+    assert dp.dtw_cost_fits(1980)
+    assert lp.linalg_path(165, backend="tpu") == "pallas"
+    assert lp.linalg_path(1032, backend="tpu") == "xla"
