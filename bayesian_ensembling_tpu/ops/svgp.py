@@ -14,6 +14,14 @@ ascent.  Differences that make it TPU-native:
   * the whole optimisation is one ``lax.scan`` of fused steps; minibatches
     are drawn on-device with a folded PRNG — zero host round-trips;
   * every step is dominated by (B,P)x(P,P) matmuls -> MXU work.
+
+Documented divergence from the reference: minibatches are drawn WITH
+replacement (``jax.random.randint`` per step) instead of the reference's
+shuffled-epoch ``tf.data`` iteration (models.py:379-381).  Sampling with
+replacement keeps the step a pure function of ``(params, key, step_index)``
+— no shuffle state to carry through the scan — and the SGD estimator stays
+unbiased; per-step gradient variance is marginally higher (a minibatch can
+repeat a point), which at the reference's 500-point minibatches is noise.
 """
 
 from __future__ import annotations

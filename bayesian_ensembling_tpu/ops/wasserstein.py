@@ -165,7 +165,11 @@ def gaussian_barycentre_1d_fixed_point(
     return mu, jnp.sqrt(var)
 
 
-@functools.partial(jax.jit, static_argnames=("compat_fixed_point",))
+#: Valid ``sigma_mode`` values for the pointwise Gaussian combination.
+SIGMA_MODES = ("w2", "compat", "mixture")
+
+
+@functools.partial(jax.jit, static_argnames=("compat_fixed_point", "sigma_mode"))
 def batched_gaussian_barycentre(
     means: jnp.ndarray,
     std_devs: jnp.ndarray,
@@ -173,26 +177,47 @@ def batched_gaussian_barycentre(
     mask: tp.Optional[jnp.ndarray] = None,
     *,
     compat_fixed_point: bool = False,
+    sigma_mode: str = "w2",
 ) -> tp.Tuple[jnp.ndarray, ...]:
     """Barycentre over the model axis for every point at once.
 
     Args:
       means / std_devs / weights: arrays of shape ``(n_models, n_points)``.
       mask: optional ``(n_models, n_points)`` validity mask for padded models.
-      compat_fixed_point: use the reference-faithful iteration instead of the
-        closed form.
+      compat_fixed_point: deprecated alias for ``sigma_mode="compat"``.
+      sigma_mode: how the combined sigma is formed (the mean is
+        ``sum w_i mu_i`` in every mode):
+          * ``"w2"`` — closed-form W2 barycentre ``sigma = sum w_i sigma_i``
+            (the exact fixed point of the reference's iteration).  Matches
+            the pseudo-truth *distribution* best (wins W2 35/35 in the PMT
+            campaign, BASELINE.md) but its tight intervals are overconfident
+            against held-out trajectories (NLL 0/35).
+          * ``"compat"`` — the reference-faithful fixed-point iteration
+            including its signed convergence test, which exits after one
+            step whenever ``sum w_i sigma_i < 1`` and returns
+            ``sqrt(sum w_i sigma_i)`` — inflating sigma on anomaly-scale
+            data (reference wasserstein.py:82-97).
+          * ``"mixture"`` — moment-matched Gaussian mixture:
+            ``sigma^2 = sum w_i (sigma_i^2 + (mu_i - mu)^2)``.  The exact
+            variance of the weighted mixture of the member posteriors; adds
+            the inter-model spread term the W2 barycentre drops, so it is
+            the *principled* calibrated option (VERDICT r2 item 2).
 
     Returns:
-      ``(mu, sigma)`` arrays of shape ``(n_points,)`` — or, with
-      ``compat_fixed_point=True``, ``(mu, sigma, n_iters)`` where the extra
-      ``(n_points,)`` int array reports each point's fixed-point iteration
-      count (callers use it for the non-convergence warning).  This one
-      vmapped call replaces the reference's serial loop over points
-      (ensemble_scheme.py:53-69, the ``TODO want to parallelise this!``).
+      ``(mu, sigma)`` arrays of shape ``(n_points,)`` — or, in compat mode,
+      ``(mu, sigma, n_iters)`` where the extra ``(n_points,)`` int array
+      reports each point's fixed-point iteration count (callers use it for
+      the non-convergence warning).  This one vmapped call replaces the
+      reference's serial loop over points (ensemble_scheme.py:53-69, the
+      ``TODO want to parallelise this!``).
     """
+    if compat_fixed_point:
+        sigma_mode = "compat"
+    if sigma_mode not in SIGMA_MODES:
+        raise ValueError(f"sigma_mode {sigma_mode!r} not in {SIGMA_MODES}")
     if mask is not None:
         weights = weights * mask
-    if compat_fixed_point:
+    if sigma_mode == "compat":
         fn = jax.vmap(
             functools.partial(gaussian_barycentre_1d_fixed_point, return_iters=True),
             in_axes=(1, 1, 1),
@@ -200,5 +225,11 @@ def batched_gaussian_barycentre(
         mu, sigma, n_iters = fn(means, std_devs, weights)
         return mu, sigma, n_iters
     mu = jnp.sum(weights * means, axis=0)
+    if sigma_mode == "mixture":
+        var = jnp.sum(
+            weights * (jnp.square(std_devs) + jnp.square(means - mu[None, :])),
+            axis=0,
+        )
+        return mu, jnp.sqrt(var)
     sigma = jnp.sum(weights * std_devs, axis=0)
     return mu, sigma

@@ -95,11 +95,18 @@ def _weights_block(collection: ModelCollection, weights: DimArray) -> np.ndarray
 
 
 class Barycentre(AbstractEnsembleScheme):
-    """Pointwise Gaussian W2 barycentre of the fitted posteriors.
+    """Pointwise Gaussian combination of the fitted posteriors.
 
-    ``compat_fixed_point=True`` switches from the closed form
-    ``sigma = sum_i w_i sigma_i`` to the reference-faithful fixed-point
-    iteration including its signed convergence test (see ops.wasserstein).
+    Three sigma modes (the mean is always ``sum w_i mu_i``; see
+    ops.wasserstein.batched_gaussian_barycentre for the full rationale):
+      * ``sigma_mode="w2"`` (default) — closed-form W2 barycentre
+        ``sigma = sum_i w_i sigma_i``;
+      * ``sigma_mode="compat"`` (or ``compat_fixed_point=True``) — the
+        reference-faithful fixed-point iteration including its signed
+        convergence test;
+      * ``sigma_mode="mixture"`` — moment-matched mixture variance
+        ``sigma^2 = sum w_i (sigma_i^2 + (mu_i - mu)^2)``, the calibrated
+        option (adds the inter-model spread the W2 barycentre drops).
     """
 
     def __init__(self, name: str = "Barycentre") -> None:
@@ -110,6 +117,7 @@ class Barycentre(AbstractEnsembleScheme):
         process_models: ModelCollection,
         weights: DimArray,
         compat_fixed_point: bool = False,
+        sigma_mode: str = "w2",
     ) -> Posterior:
         for pm in process_models:
             if pm.distribution is None:
@@ -122,6 +130,8 @@ class Barycentre(AbstractEnsembleScheme):
         )
         w = jnp.asarray(_weights_block(process_models, weights), dtype=means.dtype)
         if compat_fixed_point:
+            sigma_mode = "compat"
+        if sigma_mode == "compat":
             mu, sigma, n_iters = batched_gaussian_barycentre(
                 means, stds, w, compat_fixed_point=True
             )
@@ -134,7 +144,9 @@ class Barycentre(AbstractEnsembleScheme):
                     "(fixed-point cap reached; reference wasserstein.py:94-97)"
                 )
         else:
-            mu, sigma = batched_gaussian_barycentre(means, stds, w)
+            mu, sigma = batched_gaussian_barycentre(
+                means, stds, w, sigma_mode=sigma_mode
+            )
         template = process_models[0].blank_template()
         return Posterior(
             gaussian=DiagGaussian(mean=mu, var=jnp.square(sigma)), template=template

@@ -36,12 +36,25 @@ _Z = {0.5: 0.6744897501960817, 0.68: 0.9944578832097532,
 def _zvalue(interval: float) -> float:
     if interval in _Z:
         return _Z[interval]
-    # Acklam-style rational approximation of the normal quantile.
+    if not 0.0 < interval < 1.0:
+        raise ValueError(f"interval must be in (0, 1), got {interval}")
+    # Hastings rational approximation seeds Newton iterations on the exact
+    # normal CDF (math.erf): converges to machine precision in <= 3 steps,
+    # so non-tabled intervals (e.g. 0.93) are no longer served a silently
+    # degraded ~1e-3-error quantile.
     p = 0.5 + interval / 2.0
     t = math.sqrt(-2.0 * math.log(1.0 - p))
-    return t - (2.515517 + 0.802853 * t + 0.010328 * t * t) / (
+    z = t - (2.515517 + 0.802853 * t + 0.010328 * t * t) / (
         1.0 + 1.432788 * t + 0.189269 * t * t + 0.001308 * t * t * t
     )
+    for _ in range(3):
+        cdf = 0.5 * (1.0 + math.erf(z / math.sqrt(2.0)))
+        pdf = math.exp(-0.5 * z * z) / math.sqrt(2.0 * math.pi)
+        step = (cdf - p) / max(pdf, 1e-300)
+        z -= step
+        if abs(step) < 1e-12:
+            break
+    return z
 
 
 class ProjectionService:
@@ -205,6 +218,9 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None):
     args = ap.parse_args(argv)
 
     if args.cmd == "build":
+        from bayesian_ensembling_tpu.utils.compile_cache import enable_persistent_cache
+
+        enable_persistent_cache()
         ssps = args.ssps.split(",") if args.ssps else None
         svc = build_artifacts(args.out, ssps, args.data_dir, args.n_optim_nits)
         print(f"saved artifacts for {svc.scenarios()} to {args.out}")

@@ -53,6 +53,7 @@ def batched_pmt(
     weight_kind: str,
     *,
     compat_fixed_point: bool = False,
+    sigma_mode: str = "w2",
     include_sim: bool = False,
 ) -> np.ndarray:
     """ALL leave-one-out folds of the perfect-model test as ONE jitted
@@ -249,13 +250,13 @@ def batched_pmt(
             w = w / jnp.sum(w)
 
         w_b = jnp.broadcast_to(w[:, None], (m, t_s))
-        if compat_fixed_point:
+        if compat_fixed_point or sigma_mode == "compat":
             bary_mu, bary_sigma, _ = batched_gaussian_barycentre(
                 fore_mean, jnp.sqrt(fore_var), w_b, compat_fixed_point=True
             )
         else:
             bary_mu, bary_sigma = batched_gaussian_barycentre(
-                fore_mean, jnp.sqrt(fore_var), w_b
+                fore_mean, jnp.sqrt(fore_var), w_b, sigma_mode=sigma_mode
             )
 
         truth = fore_block[i]  # (R, T_s)
@@ -486,6 +487,7 @@ class PerfectModelTest:
             compat_fixed_point=bool(
                 self.scheme_kwargs.get("compat_fixed_point", False)
             ),
+            sigma_mode=self.scheme_kwargs.get("sigma_mode", "w2"),
             include_sim=self.include_sim,
         )
         df = pd.DataFrame(

@@ -25,6 +25,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from bayesian_ensembling_tpu.utils.compile_cache import enable_persistent_cache
+
+_CACHE_DIR = enable_persistent_cache()
+
 import jax
 import jax.numpy as jnp
 
@@ -75,9 +79,11 @@ def main():
 
     from bayesian_ensembling_tpu.utils.profiling import device_sync as sync
 
+    log(f"persistent compile cache: {_CACHE_DIR or 'disabled'}")
     t0 = time.perf_counter()
     sync(step(hb, hm, sb, sm, obs, mmask))
-    log(f"warmup (session init + compile + first run): {time.perf_counter() - t0:.1f}s")
+    warmup_s = time.perf_counter() - t0
+    log(f"warmup (session init + compile + first run): {warmup_s:.1f}s")
 
     if os.environ.get("BENCH_TRACE"):
         # Device trace for TensorBoard (SURVEY SS5.1 tracing subsystem).
@@ -150,6 +156,8 @@ def main():
         "value": round(elapsed, 3),
         "unit": "s",
         "vs_baseline": round(vs, 2) if vs else None,
+        "warmup_s": round(warmup_s, 1),
+        "compile_cache": bool(_CACHE_DIR),
         "parity_pointwise_mean_degC": round(parity_mean, 6) if parity_mean is not None else None,
         "parity_pointwise_std_degC": round(parity_std, 6) if parity_std is not None else None,
     }))

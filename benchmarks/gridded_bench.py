@@ -26,6 +26,10 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bayesian_ensembling_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np

@@ -23,6 +23,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from bayesian_ensembling_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 from bayesian_ensembling_tpu.ops import gp as gp_ops
 
 # v5e peak: 197 TFLOP/s bf16 MXU, ~1/4 that for f32 multiplicands.

@@ -16,6 +16,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from bayesian_ensembling_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 import numpy as np
 
 

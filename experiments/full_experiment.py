@@ -38,6 +38,9 @@ def main():
 
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
+    from bayesian_ensembling_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     import jax
 
     if args.cpu:

@@ -19,6 +19,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    from bayesian_ensembling_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--data-dir", default=None)
     ap.add_argument("--out-dir", default="pmt_results")
@@ -36,7 +39,16 @@ def main():
     ap.add_argument(
         "--compat-fixed-point",
         action="store_true",
-        help="use the reference-faithful fixed-point barycentre sigma",
+        help="use the reference-faithful fixed-point barycentre sigma "
+        "(alias for --sigma-mode compat)",
+    )
+    ap.add_argument(
+        "--sigma-mode",
+        choices=["w2", "compat", "mixture"],
+        default="w2",
+        help="combined sigma: 'w2' closed-form barycentre, 'compat' "
+        "reference fixed point, 'mixture' moment-matched mixture variance "
+        "(the calibrated option)",
     )
     ap.add_argument(
         "--batched",
@@ -73,7 +85,9 @@ def main():
                 include_sim=args.include_sim,
                 save_dir=os.path.join(args.out_dir, ssp),
                 scheme_kwargs=(
-                    {"compat_fixed_point": True} if args.compat_fixed_point else None
+                    {"compat_fixed_point": True}
+                    if args.compat_fixed_point
+                    else {"sigma_mode": args.sigma_mode}
                 ),
             )
             if args.batched:

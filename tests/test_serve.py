@@ -42,13 +42,19 @@ def test_project_and_intervals():
         svc.project("ssp585", 2100, interval=1.5)
 
 
-def test_zvalue_approximation():
-    import math
-
-    # rational approx within 2e-3 of the exact quantiles on odd intervals
-    for interval, exact in [(0.8, 1.2815515655446004), (0.3, 0.38532046640756773)]:
-        assert abs(_zvalue(interval) - exact) < 2e-3, interval
+def test_zvalue_exact_for_any_interval():
+    # Newton refinement on the exact CDF: machine precision on non-tabled
+    # intervals too (previously a silently ~1e-3-degraded approximation).
+    for interval, exact in [
+        (0.8, 1.2815515655446004),
+        (0.3, 0.38532046640756773),
+        (0.93, 1.8119106729526978),
+        (0.999, 3.2905267314919255),
+    ]:
+        assert abs(_zvalue(interval) - exact) < 1e-9, interval
     assert _zvalue(0.95) == pytest.approx(1.959963984540054)
+    with pytest.raises(ValueError):
+        _zvalue(1.2)
 
 
 def test_save_load_roundtrip(tmp_path):

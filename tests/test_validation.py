@@ -289,3 +289,27 @@ def test_run_batched_guards(rng):
     )
     with _pt.raises(ValueError, match="PREFIT"):
         pmt2.run_batched()
+
+
+def test_batched_pmt_mixture_sigma_matches_loop(rng):
+    """sigma_mode='mixture' (VERDICT r2 item 2): batched == loop, and the
+    mixture sigma is never smaller than the W2 barycentre sigma (it adds
+    the inter-model spread term)."""
+    hind, fore = _prefit(rng, n_models=3, n_months=10)
+    pmt = PerfectModelTest(
+        hindcast_models=hind,
+        forecast_models=fore,
+        emulate_method=None,
+        weight_method=bet.CRPSWeight,
+        ensemble_method=bet.Barycentre,
+        ssp="testssp",
+        scheme_kwargs={"sigma_mode": "mixture"},
+    )
+    want = pmt.run(use_prefit_models=True)
+    got = pmt.run_batched()
+    np.testing.assert_allclose(
+        got.iloc[:, 1:].to_numpy(dtype=float),
+        want.iloc[:, 1:].to_numpy(dtype=float),
+        rtol=1e-5,
+        atol=1e-8,
+    )

@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 import scipy.linalg
 
 from bayesian_ensembling_tpu.ops import wasserstein as ws
@@ -157,3 +158,52 @@ def test_bures_covariance_distance(rng):
     # Equals the covariance term of the W2 with equal means.
     w2 = float(ws.gaussian_w2_distance(np.zeros(5), a, np.zeros(5), b))
     np.testing.assert_allclose(d, w2, rtol=1e-6, atol=1e-8)
+
+
+def test_mixture_sigma_matches_numpy(rng):
+    """sigma_mode='mixture' equals the hand-computed mixture moments and
+    dominates the W2 sigma (Cauchy-Schwarz: sum w s^2 >= (sum w s)^2 plus
+    the nonnegative spread term)."""
+    from bayesian_ensembling_tpu.ops.wasserstein import batched_gaussian_barycentre
+
+    m, n = 5, 11
+    means = rng.normal(size=(m, n))
+    stds = np.abs(rng.normal(size=(m, n))) + 0.1
+    w = rng.uniform(0.1, 1.0, size=(m, n))
+    w = w / w.sum(axis=0, keepdims=True)
+
+    mu, sigma = batched_gaussian_barycentre(
+        jnp.asarray(means), jnp.asarray(stds), jnp.asarray(w), sigma_mode="mixture"
+    )
+    mu_np = (w * means).sum(axis=0)
+    var_np = (w * (stds**2 + (means - mu_np[None, :]) ** 2)).sum(axis=0)
+    np.testing.assert_allclose(np.asarray(mu), mu_np, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(sigma), np.sqrt(var_np), rtol=1e-6)
+
+    _, sigma_w2 = batched_gaussian_barycentre(
+        jnp.asarray(means), jnp.asarray(stds), jnp.asarray(w)
+    )
+    assert np.all(np.asarray(sigma) >= np.asarray(sigma_w2) - 1e-12)
+
+
+def test_mixture_sigma_identity_for_identical_members():
+    """Equal weights + identical Gaussians: every mode returns the member."""
+    from bayesian_ensembling_tpu.ops.wasserstein import batched_gaussian_barycentre
+
+    m, n = 4, 7
+    means = jnp.ones((m, n)) * 1.5
+    stds = jnp.ones((m, n)) * 0.3
+    w = jnp.full((m, n), 1.0 / m)
+    for mode in ("w2", "mixture"):
+        mu, sigma = batched_gaussian_barycentre(means, stds, w, sigma_mode=mode)
+        np.testing.assert_allclose(np.asarray(mu), 1.5, rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(sigma), 0.3, rtol=1e-6)
+
+
+def test_unknown_sigma_mode_raises():
+    from bayesian_ensembling_tpu.ops.wasserstein import batched_gaussian_barycentre
+
+    with pytest.raises(ValueError, match="sigma_mode"):
+        batched_gaussian_barycentre(
+            jnp.ones((2, 3)), jnp.ones((2, 3)), jnp.ones((2, 3)), sigma_mode="nope"
+        )
