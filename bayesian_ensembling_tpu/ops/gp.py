@@ -304,6 +304,7 @@ def fit_gp_batch(
     learning_rate: float = 0.01,
     jitter: float = 1e-6,
     optimizer: str = "adam",
+    init: tp.Optional[GPParams] = None,
 ):
     """Fit a batch of independent GPs — one per climate model — in a single
     compiled program.
@@ -324,6 +325,10 @@ def fit_gp_batch(
         converges in ~10x fewer steps.  The linesearch step size is shared
         across the batch (the summed objective is separable so the optimum
         is unchanged; only the trajectory couples).
+      init: optional batched ``GPParams`` (leading M axis) to warm-start
+        from instead of the scratch ``init_params`` — the gridded
+        coarse-to-fine path initialises each cell from its nearest
+        coarse-grid fit and runs far fewer steps (VERDICT r2 item 3).
 
     Returns:
       (params with leading M axis, losses ``(M, n_optim_nits)``).
@@ -345,7 +350,10 @@ def fit_gp_batch(
         v = nlml_vec(params_b)
         return jnp.sum(v), v
 
-    params = jax.vmap(lambda _: init_params(dtype=y.dtype))(jnp.arange(m))
+    if init is None:
+        params = jax.vmap(lambda _: init_params(dtype=y.dtype))(jnp.arange(m))
+    else:
+        params = jax.tree.map(lambda p: jnp.asarray(p, y.dtype), init)
 
     if optimizer == "adam":
         opt = optax.adam(learning_rate)

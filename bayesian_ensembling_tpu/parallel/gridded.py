@@ -30,6 +30,8 @@ __all__ = [
     "sharded_gridded_marginals",
     "gridded_ensemble_step",
     "make_sharded_gridded_step",
+    "coarse_cell_indices",
+    "coarse_warm_start",
 ]
 
 
@@ -97,6 +99,7 @@ def gridded_ensemble_step(
     *,
     weight_kind: str = "crps",
     model_axis: tp.Optional[str] = None,
+    gp_init=None,  # optional (M, C)-batched GPParams warm start
     **emulate_kwargs,
 ):
     """Full gridded scenario: emulate -> per-cell weights -> W2 barycentre.
@@ -106,6 +109,12 @@ def gridded_ensemble_step(
     couplings (weight normalisation, barycentre sums) become ``psum``s over
     it — the gridded analogue of parallel/step.py's scenario step.
 
+    ``gp_init`` warm-starts each (model, cell) fit from the given batched
+    ``GPParams`` (leading dims (M, C)) — the coarse-to-fine path fits a
+    strided coarse grid from scratch and initialises every fine cell from
+    its nearest coarse neighbour with far fewer steps (see
+    ``coarse_warm_start``).
+
     Returns (bary_mean (C, T), bary_std (C, T), weights (M, C)).
     """
     from bayesian_ensembling_tpu.parallel.step import (
@@ -114,8 +123,11 @@ def gridded_ensemble_step(
     )
 
     m, c, r, t = block.shape
+    if gp_init is not None:
+        gp_init = jax.tree.map(lambda p: p.reshape(m * c), gp_init)
     mean, var = emulate_marginals(
-        block.reshape(m * c, r, t), mask.reshape(m * c, r), **emulate_kwargs
+        block.reshape(m * c, r, t), mask.reshape(m * c, r),
+        gp_init=gp_init, **emulate_kwargs
     )
     mean = mean.reshape(m, c, t)
     var = var.reshape(m, c, t)
@@ -143,6 +155,83 @@ def gridded_ensemble_step(
         bary_mean = jax.lax.psum(bary_mean, model_axis)
         bary_std = jax.lax.psum(bary_std, model_axis)
     return bary_mean, bary_std, w
+
+
+def coarse_cell_indices(
+    lat: int, lon: int, stride: int
+) -> tp.Tuple[np.ndarray, np.ndarray]:
+    """Strided coarse subset of a row-major (lat, lon) cell grid.
+
+    Returns ``(coarse, nearest)``: ``coarse`` is the flat cell indices of
+    every ``stride``-th row/column; ``nearest[c]`` maps each fine cell to
+    the index *within the coarse subset* of its nearest coarse cell.
+    """
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    rows = np.arange(0, lat, stride)
+    cols = np.arange(0, lon, stride)
+    coarse = (rows[:, None] * lon + cols[None, :]).ravel()
+    ri = np.clip(np.round(np.arange(lat) / stride).astype(int), 0, len(rows) - 1)
+    ci = np.clip(np.round(np.arange(lon) / stride).astype(int), 0, len(cols) - 1)
+    nearest = (ri[:, None] * len(cols) + ci[None, :]).ravel()
+    return coarse, nearest
+
+
+def coarse_warm_start(
+    block: jnp.ndarray,  # (M, C, R, T)
+    mask: jnp.ndarray,  # (M, C, R)
+    lat: int,
+    lon: int,
+    stride: int,
+    *,
+    n_optim_nits: int = 500,
+    **emulate_kwargs,
+):
+    """Coarse-to-fine warm start for the gridded experiment (VERDICT r2
+    item 3).
+
+    Fits the strided coarse grid (``stride^2``-fold fewer cells) from
+    scratch at the full step count, then broadcasts each coarse cell's
+    converged hyperparameters to its nearest fine neighbours.  Neighbouring
+    cells have near-identical optima, so the fine pass
+    (``gridded_ensemble_step(..., gp_init=...)``) needs a fraction of the
+    scratch step count to converge — the dominant cost of the 1-degree
+    global run was 500 cold-start Adam steps per cell (BASELINE.md).
+
+    Returns a batched ``GPParams`` with leading dims ``(M, C)`` aligned
+    with ``block``'s cell axis, ready to pass as ``gp_init``.
+    """
+    m, c, r, t = block.shape
+    if c != lat * lon:
+        raise ValueError(f"cells {c} != lat*lon {lat * lon}")
+    coarse, nearest = coarse_cell_indices(lat, lon, stride)
+    cb = block[:, coarse].reshape(m * coarse.size, r, t)
+    cm = mask[:, coarse].reshape(m * coarse.size, r)
+    program = _warm_fit_program(
+        tuple(sorted({"n_optim_nits": n_optim_nits, **emulate_kwargs}.items()))
+    )
+    params = program(cb, cm)
+    params = jax.tree.map(lambda p: p.reshape(m, coarse.size), params)
+    return jax.tree.map(lambda p: p[:, nearest], params)
+
+
+@functools.lru_cache(maxsize=32)
+def _warm_fit_program(kwargs_items: tuple):
+    """One jitted coarse-fit program per kwargs set.
+
+    The emulation pipeline must run under a single ``jit``: executed
+    eagerly, the glue ops between the jitted kernels become thousands of
+    per-op dispatches (~3 ms each over the tunnelled backend — measured
+    9.4 s eager vs 0.33 s jitted for the 5-degree coarse pass)."""
+    from bayesian_ensembling_tpu.parallel.step import emulate_marginals
+
+    kw = dict(kwargs_items)
+
+    def fit_params(cb, cm):
+        _, _, params = emulate_marginals(cb, cm, return_params=True, **kw)
+        return params
+
+    return jax.jit(fit_params)
 
 
 def make_sharded_gridded_step(

@@ -177,12 +177,19 @@ def emulate_marginals(
     dba_iterations: int = 10,
     jitter: float = 1e-6,
     optimizer: str = "adam",
-) -> tp.Tuple[jnp.ndarray, jnp.ndarray]:
+    gp_init=None,
+    return_params: bool = False,
+):
     """Batched GPDTW1D emulation returning posterior marginals (M, T) x2.
 
     Same math as models/gp_dtw.emulate_batch but marginal-only (no full
     covariance materialised) — the fused pipeline consumes marginals only.
     Marginal variance includes the heteroskedastic noise (models.py:220).
+
+    ``gp_init`` optionally warm-starts the hyperparameter optimisation from
+    a batched ``GPParams`` (the gridded coarse-to-fine path);
+    ``return_params=True`` additionally returns the fitted ``GPParams``
+    (for use as a later warm start).
     """
     w = mask.astype(block.dtype)
     n = jnp.maximum(jnp.sum(w, axis=1), 1.0)
@@ -207,11 +214,14 @@ def emulate_marginals(
         learning_rate=learning_rate,
         jitter=jitter,
         optimizer=optimizer,
+        init=gp_init,
     )
 
     mean, var = gp_ops.posterior_marginals_batch(
         params, x, y_mean, y_var, kernel_name=kernel_name, jitter=jitter
     )
+    if return_params:
+        return mean, var + y_var, params
     return mean, var + y_var
 
 

@@ -12,7 +12,12 @@ Measured through this repo's tunnelled v5e backend (probe program, one
 chip): first compile 62.7 s cold -> 2.2 s in a fresh process with a warm
 cache.  The cache works across processes and survives restarts; entries
 are invalidated automatically when the program, jax version, or backend
-changes (the hash covers all three).
+changes (the hash covers all three).  Two caveats measured on this
+environment (BASELINE.md "Time-to-first-result"): cache keys are stable
+per launch command but differ between launch harnesses (direct script vs
+runpy/exec wrappers), and on a contended shared chip the remaining warmup
+(session init + executable upload + first execution) can still dominate
+wall-clock regardless of cache hits.
 
 Call :func:`enable_persistent_cache` early — before the first ``jit``
 trace — from CLI entry points.  It is deliberately NOT called at package

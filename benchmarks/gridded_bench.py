@@ -17,7 +17,15 @@ first N cells, see gridded_oracle.py), the f32 posterior moments must agree
 pointwise on those cells (VERDICT r1 item 1: the gridded path previously had
 no oracle).
 
-Usage: python benchmarks/gridded_bench.py [n_optim_nits] [lat] [lon]
+Usage: python benchmarks/gridded_bench.py [n_optim_nits] [lat] [lon] [slab]
+           [--warm-stride S] [--fine-nits F]
+
+``--warm-stride S`` enables the coarse-to-fine warm start (VERDICT r2
+item 3): every S-th row/column is fit from scratch at the full step count,
+every cell is then initialised from its nearest coarse neighbour and run
+for ``--fine-nits`` steps (default n_optim_nits/5).  The parity gate
+compares only against an oracle generated with the SAME warm configuration
+(gridded_oracle.py takes the same flags).
 """
 
 import json
@@ -47,12 +55,24 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    n_iters = int(sys.argv[1]) if len(sys.argv) > 1 else 500
-    la = int(sys.argv[2]) if len(sys.argv) > 2 else 36
-    lo = int(sys.argv[3]) if len(sys.argv) > 3 else 72
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("n_iters", nargs="?", type=int, default=500)
+    ap.add_argument("lat", nargs="?", type=int, default=36)
+    ap.add_argument("lon", nargs="?", type=int, default=72)
     # Grids beyond HBM (the GP gram stat alone is C*M*T^2*4 bytes) process in
     # cell slabs through one compiled program; 0 = whole grid at once.
-    slab = int(sys.argv[4]) if len(sys.argv) > 4 else 0
+    ap.add_argument("slab", nargs="?", type=int, default=0)
+    ap.add_argument("--warm-stride", type=int, default=0,
+                    help="coarse-to-fine warm start stride (0 = off)")
+    ap.add_argument("--fine-nits", type=int, default=0,
+                    help="fine-pass steps under --warm-stride "
+                    "(default n_iters/5)")
+    args = ap.parse_args()
+    n_iters, la, lo, slab = args.n_iters, args.lat, args.lon, args.slab
+    warm_stride = args.warm_stride
+    fine_nits = args.fine_nits or max(n_iters // 5, 50)
     c = la * lo
     m, r, t = gc.M, gc.R, gc.T
     print(f"devices: {jax.devices()}", file=sys.stderr)
@@ -63,9 +83,17 @@ def main():
     )
 
     block, obs = gc.make_workload(c, dtype=np.float32)
-    step = jax.jit(lambda b, o: gc.gridded_experiment(b, o, n_iters))
 
     from bayesian_ensembling_tpu.utils.profiling import device_sync as sync
+
+    if warm_stride:
+        run_nits = fine_nits
+        step = jax.jit(
+            lambda b, o, gi: gc.gridded_experiment(b, o, run_nits, gp_init=gi)
+        )
+    else:
+        run_nits = n_iters
+        step = jax.jit(lambda b, o: gc.gridded_experiment(b, o, run_nits))
 
     # Whole-grid mode: the inputs fit HBM, so transfer ONCE outside the
     # timed runs (the slab mode streams transfers by design and pipelines
@@ -75,8 +103,21 @@ def main():
         obs_dev = jax.device_put(obs)
 
     def run_once():
+        # The coarse pass is part of the timed algorithm: its scratch fits
+        # at the full step count are what buy the fine pass its short one.
+        gp_init = (
+            gc.coarse_params_for(
+                np.arange(c), la, lo, warm_stride, n_iters, np.float32
+            )
+            if warm_stride
+            else None
+        )
         if not slab or slab >= c:
-            out = step(block_dev, obs_dev)
+            out = (
+                step(block_dev, obs_dev, gp_init)
+                if warm_stride
+                else step(block_dev, obs_dev)
+            )
             sync(out)
             return np.asarray(out[0], np.float64), np.asarray(out[1], np.float64)
         # Pipelined slab dispatch: device transfers and jitted computes are
@@ -96,18 +137,32 @@ def main():
             means.append(m_)
             stds.append(s_)
 
+        def slice_cells(lo_, hi, pad):
+            bsl = block[:, lo_:hi]
+            osl = obs[lo_:hi]
+            gsl = (
+                jax.tree.map(lambda p: p[:, lo_:hi], gp_init)
+                if gp_init is not None
+                else None
+            )
+            if pad:  # pad the ragged final slab to reuse the XLA program
+                bsl = np.concatenate([bsl, block[:, :pad]], axis=1)
+                osl = np.concatenate([osl, obs[:pad]], axis=0)
+                if gsl is not None:
+                    gsl = jax.tree.map(
+                        lambda p, q: np.concatenate([p, q[:, :pad]], axis=1),
+                        gsl,
+                        gp_init,
+                    )
+            return bsl, osl, gsl
+
         for lo_ in range(0, c, slab):
             hi = min(lo_ + slab, c)
-            if hi - lo_ < slab:  # pad the ragged final slab to reuse the XLA program
-                pad = slab - (hi - lo_)
-                bsl = np.concatenate([block[:, lo_:hi], block[:, :pad]], axis=1)
-                osl = np.concatenate([obs[lo_:hi], obs[:pad]], axis=0)
-            else:
-                pad = 0
-                bsl, osl = block[:, lo_:hi], obs[lo_:hi]
+            pad = slab - (hi - lo_) if hi - lo_ < slab else 0
+            bsl, osl, gsl = slice_cells(lo_, hi, pad)
             b_dev = jax.device_put(np.ascontiguousarray(bsl))
             o_dev = jax.device_put(np.ascontiguousarray(osl))
-            out = step(b_dev, o_dev)
+            out = step(b_dev, o_dev, gsl) if warm_stride else step(b_dev, o_dev)
             pending.append((out, pad))
             if len(pending) > 1:
                 drain(pending.pop(0))
@@ -124,11 +179,20 @@ def main():
     assert np.isfinite(bary_mean).all()
 
     parity_mean = parity_std = None
-    oracle_path = os.path.join(os.path.dirname(__file__), "gridded_oracle.json")
+    oracle_path = os.path.join(
+        os.path.dirname(__file__),
+        "gridded_oracle_warm.json" if warm_stride else "gridded_oracle.json",
+    )
     if os.path.exists(oracle_path):
         with open(oracle_path) as f:
             oracle = json.load(f)
-        if oracle.get("n_optim_nits") == n_iters and oracle["n_cells"] <= c:
+        if (
+            oracle.get("n_optim_nits") == n_iters
+            and oracle["n_cells"] <= c
+            and oracle.get("warm_stride", 0) == warm_stride
+            and (not warm_stride or oracle.get("fine_nits") == fine_nits)
+            and (not warm_stride or (oracle.get("lat"), oracle.get("lon")) == (la, lo))
+        ):
             nc = oracle["n_cells"]
             want_m = np.asarray(oracle["bary_mean"])
             want_s = np.asarray(oracle["bary_std"])
@@ -142,8 +206,9 @@ def main():
             assert parity_mean < MEAN_TOL, f"gridded mean divergence {parity_mean}"
             assert parity_std < STD_TOL, f"gridded std divergence {parity_std}"
 
+    warm_tag = f"_warm{warm_stride}x{fine_nits}" if warm_stride else ""
     print(json.dumps({
-        "metric": f"gridded_fit_ensemble_{m}x{c}cells_{n_iters}iters",
+        "metric": f"gridded_fit_ensemble_{m}x{c}cells_{n_iters}iters{warm_tag}",
         "value": round(elapsed, 3),
         "unit": "s",
         "v5e8_estimate": round(elapsed / 8, 3),

@@ -13,29 +13,72 @@ M, R, T, R_OBS = 5, 10, 86, 10
 SEED = 0
 
 
-def make_workload(n_cells: int, dtype=np.float32):
-    """Deterministic synthetic (block (M,C,R,T), obs (C,R_obs,T)).
+def make_workload_cells(cell_indices, dtype=np.float32):
+    """Deterministic synthetic data for an arbitrary set of flat cell ids.
 
-    The first ``n_cells`` cells of the full grid are identical regardless of
-    grid size: every cell's data is generated from its own counter-based
-    substream, so the oracle's cell subset matches the bench's cells exactly.
+    Every cell's data comes from its own counter-based substream keyed on
+    the FLAT cell id, so any subset of cells (the oracle's first-N, the
+    warm-start path's strided coarse cells) reproduces exactly the same
+    arrays regardless of which other cells are generated alongside.
     """
+    cell_indices = np.asarray(cell_indices)
     signal = np.sin(np.linspace(0, 3, T))
-    block = np.empty((M, n_cells, R, T), dtype=dtype)
-    obs = np.empty((n_cells, R_OBS, T), dtype=dtype)
-    for c in range(n_cells):
-        rng = np.random.default_rng(SEED + 1000 + c)
-        block[:, c] = signal + 0.3 * rng.normal(size=(M, R, T))
-        obs[c] = signal + 0.3 * rng.normal(size=(R_OBS, T))
+    block = np.empty((M, cell_indices.size, R, T), dtype=dtype)
+    obs = np.empty((cell_indices.size, R_OBS, T), dtype=dtype)
+    for i, c in enumerate(cell_indices):
+        rng = np.random.default_rng(SEED + 1000 + int(c))
+        block[:, i] = signal + 0.3 * rng.normal(size=(M, R, T))
+        obs[i] = signal + 0.3 * rng.normal(size=(R_OBS, T))
     return block, obs
 
 
-def gridded_experiment(blocks, obs, n_iters: int):
+def make_workload(n_cells: int, dtype=np.float32):
+    """First-``n_cells`` convenience wrapper over ``make_workload_cells``."""
+    return make_workload_cells(np.arange(n_cells), dtype)
+
+
+def coarse_params_for(cell_indices, lat, lon, stride, n_iters, dtype=np.float32):
+    """Warm-start ``GPParams`` for ``cell_indices`` via the coarse-grid fit.
+
+    Fits ONLY the coarse cells that serve the requested fine cells (each
+    (model, cell) fit is independent, so fitting a subset of the coarse
+    grid gives bit-identical params to fitting all of it) and returns the
+    batched params gathered per fine cell — the shape
+    ``gridded_ensemble_step(gp_init=...)`` expects.  Shared by the TPU
+    bench (all cells) and the CPU float64 oracle (its first-N subset) so
+    both run the identical coarse-to-fine algorithm.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from bayesian_ensembling_tpu.parallel.gridded import (
+        _warm_fit_program,
+        coarse_cell_indices,
+    )
+
+    cell_indices = np.asarray(cell_indices)
+    coarse, nearest = coarse_cell_indices(lat, lon, stride)
+    need = np.unique(nearest[cell_indices])
+    cblock, _ = make_workload_cells(coarse[need], dtype)
+    m, nc, r, t = cblock.shape
+    program = _warm_fit_program((("n_optim_nits", n_iters),))
+    params = program(
+        jnp.asarray(cblock.reshape(m * nc, r, t)), jnp.ones((m * nc, r), bool)
+    )
+    params = jax.tree.map(lambda p: np.asarray(p).reshape(m, nc), params)
+    pos = {int(v): i for i, v in enumerate(need)}
+    sel = np.array([pos[int(v)] for v in nearest[cell_indices]])
+    return jax.tree.map(lambda p: p[:, sel], params)
+
+
+def gridded_experiment(blocks, obs, n_iters: int, gp_init=None):
     """(M,C,R,T) blocks + (C,R_obs,T) obs -> per-cell barycentre moments.
 
     Thin wrapper over the LIBRARY's gridded pipeline
     (parallel/gridded.gridded_ensemble_step, weight_kind="crps") so the
     benchmark and its CPU oracle validate exactly the code path users run.
+    ``gp_init``: optional (M, C)-batched GPParams (the coarse-to-fine warm
+    start, ``coarse_params_for``).
     Returns (bary_mean (C,T), bary_std (C,T), w (M,C)).
     """
     import jax.numpy as jnp
@@ -48,4 +91,5 @@ def gridded_experiment(blocks, obs, n_iters: int):
         jnp.asarray(obs),
         jnp.ones((m, c, r), bool),
         n_optim_nits=n_iters,
+        gp_init=gp_init,
     )

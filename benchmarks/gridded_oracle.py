@@ -24,21 +24,49 @@ import numpy as np
 
 import gridded_common as gc
 
-N_ITERS = int(sys.argv[1]) if len(sys.argv) > 1 else 500
-N_CELLS = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+import argparse
+
+ap = argparse.ArgumentParser()
+ap.add_argument("n_iters", nargs="?", type=int, default=500)
+ap.add_argument("n_cells", nargs="?", type=int, default=64)
+ap.add_argument("--warm-stride", type=int, default=0)
+ap.add_argument("--fine-nits", type=int, default=0)
+ap.add_argument("--lat", type=int, default=180)
+ap.add_argument("--lon", type=int, default=360)
+args = ap.parse_args()
+N_ITERS, N_CELLS = args.n_iters, args.n_cells
+WARM = args.warm_stride
+FINE = args.fine_nits or max(N_ITERS // 5, 50)
 
 block, obs = gc.make_workload(N_CELLS, dtype=np.float64)
 import jax.numpy as jnp
 
-mean, std, w = jax.jit(lambda b, o: gc.gridded_experiment(b, o, N_ITERS))(
-    jnp.asarray(block), jnp.asarray(obs)
-)
+if WARM:
+    # Identical coarse-to-fine algorithm as the bench: fit only the coarse
+    # cells serving this subset (per-cell fits are independent, so the
+    # subset's params are bit-identical to a full-grid coarse pass).
+    gp_init = gc.coarse_params_for(
+        np.arange(N_CELLS), args.lat, args.lon, WARM, N_ITERS, np.float64
+    )
+    mean, std, w = jax.jit(
+        lambda b, o, gi: gc.gridded_experiment(b, o, FINE, gp_init=gi)
+    )(jnp.asarray(block), jnp.asarray(obs), gp_init)
+    fname = "gridded_oracle_warm.json"
+else:
+    mean, std, w = jax.jit(lambda b, o: gc.gridded_experiment(b, o, N_ITERS))(
+        jnp.asarray(block), jnp.asarray(obs)
+    )
+    fname = "gridded_oracle.json"
 out = {
     "n_optim_nits": N_ITERS,
     "n_cells": N_CELLS,
+    "warm_stride": WARM,
+    "fine_nits": FINE if WARM else None,
+    "lat": args.lat if WARM else None,
+    "lon": args.lon if WARM else None,
     "bary_mean": np.round(np.asarray(mean), 8).tolist(),
     "bary_std": np.round(np.asarray(std), 8).tolist(),
 }
-with open(os.path.join(os.path.dirname(__file__), "gridded_oracle.json"), "w") as f:
+with open(os.path.join(os.path.dirname(__file__), fname), "w") as f:
     json.dump(out, f)
-print(json.dumps({"n_cells": N_CELLS, "written": True}))
+print(json.dumps({"n_cells": N_CELLS, "warm_stride": WARM, "written": True}))
