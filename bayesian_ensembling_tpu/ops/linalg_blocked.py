@@ -1,0 +1,256 @@
+"""Two-level blocked batched Cholesky/solves for the monthly-T regime.
+
+The batch-in-lanes Pallas kernels (ops/linalg_pallas.py) own T <= ~169,
+where the whole (T, T, 128-lane) problem fits scoped VMEM and the VPU is
+the right unit.  Beyond that the repo previously dispatched straight to
+XLA's blocked decompositions, which reach only ~10.8% of f32 MXU peak at
+the SSP monthly resolution T = 1032 / B = 112 (BASELINE.md "Large-T"
+table).  This module is the hybrid VERDICT r2 item 5 asked to measure:
+
+  * diagonal nb x nb blocks are factorised/inverted by the EXISTING
+    batch-in-lanes Pallas kernels (VPU work, the part XLA does worst);
+  * panel solves and trailing (SYRK-style) updates are big batched
+    matmuls left to XLA -> MXU, where they tile well.
+
+Layout: everything uses the repo's ``(T, T, B)`` "tlb" convention at the
+API boundary (rows of the factor = columns of L, i.e. the L^T layout the
+Pallas kernels emit); internally the MXU stages run in ``(B, T, T)``.
+
+All functions are jit-friendly: the block loop is a Python loop over a
+STATIC block count, unrolled at trace time with static slice bounds.
+"""
+
+from __future__ import annotations
+
+import functools
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+
+from bayesian_ensembling_tpu.ops import linalg_pallas as lp
+
+__all__ = [
+    "blocked_cholesky",
+    "blocked_solve_vec",
+    "blocked_tri_inv",
+    "nlml_terms_blocked",
+    "DEFAULT_BLOCK",
+]
+
+# 128 keeps the diagonal-block Pallas kernels inside their VMEM gate at
+# any lane chunk (128 x 136 x 4 B x 128 lanes ~ 8.5 MiB) and matches the
+# MXU tile edge for the panel matmuls.
+DEFAULT_BLOCK = 128
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _pad_to_block(a_btt: jnp.ndarray, nb: int) -> tp.Tuple[jnp.ndarray, int]:
+    """Pad (B, T, T) to a block multiple with an identity tail (keeps the
+    padded matrix SPD and the tail's factor = I, so no masking needed)."""
+    t = a_btt.shape[-1]
+    tp_ = -(-t // nb) * nb
+    if tp_ == t:
+        return a_btt, t
+    pad = tp_ - t
+    a_btt = jnp.pad(a_btt, ((0, 0), (0, pad), (0, pad)))
+    eye_tail = jnp.zeros((tp_, tp_), a_btt.dtype).at[
+        jnp.arange(t, tp_), jnp.arange(t, tp_)
+    ].set(1.0)
+    return a_btt + eye_tail[None], t
+
+
+def _diag_chol(block_btt: jnp.ndarray) -> jnp.ndarray:
+    """(B, nb, nb) SPD diagonal block -> lower factor, via the Pallas
+    batch-in-lanes kernel on TPU (tlb layout round-trip)."""
+    lt = lp.cholesky_batched(jnp.transpose(block_btt, (1, 2, 0)))
+    return jnp.transpose(lt, (2, 1, 0))  # (B, nb, nb) lower
+
+
+def _diag_tri_inv(l_btt: jnp.ndarray) -> jnp.ndarray:
+    """(B, nb, nb) lower factor -> L^-1 (lower), via the Pallas kernel."""
+    w = lp.tri_inv_batched(jnp.transpose(l_btt, (2, 1, 0)))  # rows of W
+    return jnp.transpose(w, (2, 0, 1))  # (B, nb, nb) lower
+
+
+def blocked_cholesky(ky_tlb: jnp.ndarray, nb: int = DEFAULT_BLOCK) -> jnp.ndarray:
+    """Batched blocked right-looking Cholesky.
+
+    Args:
+      ky_tlb: ``(T, T, B)`` SPD matrices (tlb layout).
+      nb: block edge (static).
+
+    Returns:
+      ``(T, T, B)`` L^T-layout factor, same contract as
+      ``linalg_pallas.cholesky_batched``.
+    """
+    a = jnp.transpose(ky_tlb, (2, 0, 1))  # (B, T, T)
+    a, t_orig = _pad_to_block(a, nb)
+    t = a.shape[-1]
+    n_blocks = t // nb
+    b = a.shape[0]
+    l_out = jnp.zeros_like(a)
+
+    for k in range(n_blocks):
+        lo, hi = k * nb, (k + 1) * nb
+        dkk = _diag_chol(a[:, lo:hi, lo:hi])  # (B, nb, nb) lower
+        l_out = l_out.at[:, lo:hi, lo:hi].set(dkk)
+        if hi < t:
+            w = _diag_tri_inv(dkk)  # L_kk^-1
+            # Panel: L[i,k] = A[i,k] L_kk^-T  for all i > k (one matmul).
+            panel = jnp.matmul(
+                a[:, hi:, lo:hi], jnp.swapaxes(w, -1, -2), precision=_HI
+            )  # (B, T-hi, nb)
+            l_out = l_out.at[:, hi:, lo:hi].set(panel)
+            # Trailing SYRK update: A[i,j] -= L[i,k] L[j,k]^T — the MXU stage.
+            a = a.at[:, hi:, hi:].add(
+                -jnp.matmul(panel, jnp.swapaxes(panel, -1, -2), precision=_HI)
+            )
+    l_out = l_out[:, :t_orig, :t_orig]
+    return jnp.transpose(l_out, (2, 1, 0))  # L^T layout (rows = cols of L)
+
+
+def blocked_tri_inv(lt: jnp.ndarray, nb: int = DEFAULT_BLOCK) -> jnp.ndarray:
+    """W = L^-1 for every batch lane, blocked.
+
+    Block-column forward scheme: ``W[k,k] = inv(L[k,k])`` (Pallas diagonal
+    kernel); for i > k, ``W[i,k] = -inv(L[i,i]) sum_{k<=j<i} L[i,j] W[j,k]``
+    — the inner sums are batched matmuls (MXU).  Same contract as
+    ``linalg_pallas.tri_inv_batched`` (tlb layout, rows of W).
+    """
+    l = jnp.transpose(lt, (2, 1, 0))  # (B, T, T) lower
+    t_orig = l.shape[-1]
+    tp_ = -(-t_orig // nb) * nb
+    if tp_ != t_orig:
+        pad = tp_ - t_orig
+        l = jnp.pad(l, ((0, 0), (0, pad), (0, pad)))
+        l = l + jnp.zeros((tp_, tp_), l.dtype).at[
+            jnp.arange(t_orig, tp_), jnp.arange(t_orig, tp_)
+        ].set(1.0)[None]
+    t = l.shape[-1]
+    n_blocks = t // nb
+
+    # Diagonal-block inverses once (shared across block columns).
+    diag_inv = []
+    for i in range(n_blocks):
+        lo, hi = i * nb, (i + 1) * nb
+        diag_inv.append(_diag_tri_inv(l[:, lo:hi, lo:hi]))
+
+    w = jnp.zeros_like(l)
+    for k in range(n_blocks):
+        klo, khi = k * nb, (k + 1) * nb
+        w = w.at[:, klo:khi, klo:khi].set(diag_inv[k])
+        for i in range(k + 1, n_blocks):
+            ilo, ihi = i * nb, (i + 1) * nb
+            # sum_{j=k..i-1} L[i,j] W[j,k]  -> one matmul over the strip.
+            strip = jnp.matmul(
+                l[:, ilo:ihi, klo:ilo], w[:, klo:ilo, klo:khi], precision=_HI
+            )
+            w = w.at[:, ilo:ihi, klo:khi].set(
+                -jnp.matmul(diag_inv[i], strip, precision=_HI)
+            )
+    w = w[:, :t_orig, :t_orig]
+    return jnp.transpose(w, (1, 2, 0))  # rows of W (matches tri_inv_batched)
+
+
+def blocked_solve_vec(
+    lt: jnp.ndarray, y_tb: jnp.ndarray, nb: int = DEFAULT_BLOCK
+):
+    """(z, alpha, logdet) with blocked forward/backward substitution.
+
+    Same contract as ``linalg_pallas.solve_vec_batched``: solves
+    ``L z = y`` and ``L^T alpha = z``; logdet = 2 sum log diag L.
+    The per-block triangular solves reuse the Pallas diagonal inverses;
+    the cross-block couplings are batched (B, nb, nb) @ (B, nb) matvecs.
+    """
+    l = jnp.transpose(lt, (2, 1, 0))  # (B, T, T) lower
+    y = y_tb.T  # (B, T)
+    t_orig = l.shape[-1]
+    tp_ = -(-t_orig // nb) * nb
+    if tp_ != t_orig:
+        pad = tp_ - t_orig
+        l = jnp.pad(l, ((0, 0), (0, pad), (0, pad)))
+        l = l + jnp.zeros((tp_, tp_), l.dtype).at[
+            jnp.arange(t_orig, tp_), jnp.arange(t_orig, tp_)
+        ].set(1.0)[None]
+        y = jnp.pad(y, ((0, 0), (0, pad)))
+    t = l.shape[-1]
+    n_blocks = t // nb
+
+    diag_inv = []
+    for i in range(n_blocks):
+        lo, hi = i * nb, (i + 1) * nb
+        diag_inv.append(_diag_tri_inv(l[:, lo:hi, lo:hi]))
+
+    z = jnp.zeros_like(y)
+    for k in range(n_blocks):
+        lo, hi = k * nb, (k + 1) * nb
+        rhs = y[:, lo:hi]
+        if k:
+            rhs = rhs - jnp.einsum(
+                "bij,bj->bi", l[:, lo:hi, :lo], z[:, :lo], precision=_HI
+            )
+        z = z.at[:, lo:hi].set(
+            jnp.einsum("bij,bj->bi", diag_inv[k], rhs, precision=_HI)
+        )
+
+    alpha = jnp.zeros_like(y)
+    for k in reversed(range(n_blocks)):
+        lo, hi = k * nb, (k + 1) * nb
+        rhs = z[:, lo:hi]
+        if hi < t:
+            # L^T's (k, j>k) block is L[j,k]^T.
+            rhs = rhs - jnp.einsum(
+                "bji,bj->bi", l[:, hi:, lo:hi], alpha[:, hi:], precision=_HI
+            )
+        alpha = alpha.at[:, lo:hi].set(
+            jnp.einsum("bji,bj->bi", diag_inv[k], rhs, precision=_HI)
+        )
+
+    diag = jnp.diagonal(l, axis1=-2, axis2=-1)[:, :t_orig]
+    logdet = 2.0 * jnp.sum(jnp.log(diag), axis=-1)
+    return z[:, :t_orig].T, alpha[:, :t_orig].T, logdet
+
+
+def _nlml_fwd_impl_blocked(ky, y, nb):
+    ky_tlb = jnp.transpose(ky, (1, 2, 0))
+    lt = blocked_cholesky(ky_tlb, nb)
+    z, alpha, logdet = blocked_solve_vec(lt, y.T, nb)
+    quad = jnp.sum(jnp.square(z), axis=0)
+    return quad, logdet, (lt, alpha)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def nlml_terms_blocked(ky: jnp.ndarray, y: jnp.ndarray, nb: int = DEFAULT_BLOCK):
+    """Blocked twin of ``linalg_pallas.nlml_terms`` for the large-T regime.
+
+    Identical math and custom-VJP structure (d quad = -alpha alpha^T,
+    d logdet = K^-1 via W^T W); the factorisation/solve/inverse stages run
+    through the blocked hybrid instead of XLA's monolithic decompositions.
+    """
+    quad, logdet, _ = _nlml_fwd_impl_blocked(ky, y, nb)
+    return quad, logdet
+
+
+def _nlml_blocked_fwd(ky, y, nb):
+    quad, logdet, res = _nlml_fwd_impl_blocked(ky, y, nb)
+    return (quad, logdet), res
+
+
+def _nlml_blocked_bwd(nb, res, cots):
+    lt, alpha = res
+    g_quad, g_logdet = cots
+    w = blocked_tri_inv(lt, nb)  # (T, T, B) rows of W
+    w_btt = jnp.transpose(w, (2, 0, 1))
+    kinv = jnp.matmul(
+        jnp.swapaxes(w_btt, -1, -2), w_btt, precision=jax.lax.Precision.DEFAULT
+    )
+    alpha_bt = alpha.T
+    outer = alpha_bt[:, :, None] * alpha_bt[:, None, :]
+    g_ky = g_logdet[:, None, None] * kinv - g_quad[:, None, None] * outer
+    g_y = 2.0 * g_quad[:, None] * alpha_bt
+    return g_ky, g_y
+
+
+nlml_terms_blocked.defvjp(_nlml_blocked_fwd, _nlml_blocked_bwd)

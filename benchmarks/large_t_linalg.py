@@ -94,16 +94,47 @@ def main():
         )(params, stat, noise)
         t_chol = timeit(chol, ky0, n=5 if t > 900 else 20)
 
+        # The two-level blocked hybrid (VERDICT r2 item 5): Pallas diagonal
+        # blocks + MXU panel/trailing matmuls (ops/linalg_blocked.py).
+        # Measured only where the plain Pallas path does NOT own T already.
+        t_step_blk = None
+        if linalg_path(t) != "pallas":
+            from bayesian_ensembling_tpu.ops.linalg_blocked import (
+                nlml_terms_blocked,
+            )
+
+            def nlml_step_blk(params_b, stat_, y_, noise_):
+                def total(pb):
+                    ky = jax.vmap(
+                        lambda p, s, nv: apply_fn(p, s) + jnp.diag(nv + 1e-6)
+                    )(pb, stat_, noise_)
+                    quad, logdet = nlml_terms_blocked(ky, y_, 128)
+                    return jnp.sum(0.5 * (quad + logdet))
+
+                return jax.value_and_grad(total)(params_b)
+
+            step_blk = jax.jit(nlml_step_blk)
+            t_step_blk = timeit(
+                step_blk, params, stat, y, noise, n=5 if t > 900 else 20
+            )
+
         chol_flops = 2 * b_t * t**3 / 3
         # step ~ fwd chol (T^3/3) + tri-inv for K^-1 (T^3/2 + T^3 matmul)
         step_flops = 2 * b_t * (t**3 / 3 + t**3 / 2 + t**3)
+        blk = (
+            f"  |  blocked-hybrid step: {t_step_blk * 1e3:8.2f} ms "
+            f"({100 * step_flops / t_step_blk / F32_MXU_PEAK:4.1f}% f32 MXU, "
+            f"{t_step / t_step_blk:4.2f}x vs xla)"
+            if t_step_blk
+            else ""
+        )
         print(
             f"T={t:5d} B={b_t}  path={linalg_path(t):6s}  "
             f"nlml v&g step: {t_step * 1e3:8.2f} ms "
             f"({step_flops / t_step / 1e12:5.2f} TFLOP/s, "
             f"{100 * step_flops / t_step / F32_MXU_PEAK:4.1f}% f32 MXU)  |  "
             f"xla chol: {t_chol * 1e3:8.2f} ms "
-            f"({chol_flops / t_chol / 1e12:5.2f} TFLOP/s)",
+            f"({chol_flops / t_chol / 1e12:5.2f} TFLOP/s)" + blk,
             flush=True,
         )
 
