@@ -333,17 +333,26 @@ def fit_gp_batch(
     Returns:
       (params with leading M axis, losses ``(M, n_optim_nits)``).
     """
-    from bayesian_ensembling_tpu.ops.linalg_pallas import nlml_terms
+    from bayesian_ensembling_tpu.ops.linalg_pallas import linalg_path, nlml_terms
 
     m, t, _ = x.shape
     precompute, apply_fn = get_kernel_precomputed(kernel_name)
     stat = jax.vmap(precompute)(x, x)  # (M, T, T), hoisted out of the scan
     eye = jnp.eye(t, dtype=y.dtype)
+    use_blocked = linalg_path(t, b=m) == "blocked"
+    if use_blocked:
+        from bayesian_ensembling_tpu.ops.linalg_blocked import nlml_terms_blocked
 
     def nlml_vec(params_b):
         k = jax.vmap(apply_fn)(params_b, stat)
         ky = k + jax.vmap(jnp.diag)(noise_var) + jitter * eye
-        quad, logdet = nlml_terms(ky, y)
+        if use_blocked:
+            # Monthly-T regime: recursive blocked hybrid — Pallas diagonal
+            # blocks + MXU GEMMs, measured 2-3.3x over XLA's monolithic
+            # decompositions at T in (pallas cap, BLOCKED_T_CAP].
+            quad, logdet = nlml_terms_blocked(ky, y)
+        else:
+            quad, logdet = nlml_terms(ky, y)
         return 0.5 * (quad + logdet + t * _LOG_2PI)
 
     def total(params_b):

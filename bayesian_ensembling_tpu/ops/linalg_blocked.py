@@ -213,12 +213,113 @@ def blocked_solve_vec(
     return z[:, :t_orig].T, alpha[:, :t_orig].T, logdet
 
 
+def _rec_chol_inv(a_btt: jnp.ndarray, nb: int):
+    """Recursive 2x2-block Cholesky + triangular inverse, jointly.
+
+    Returns ``(L, W = L^-1)``, both ``(B, n, n)`` lower.  The classic
+    recursion::
+
+        [[A, B^T],      L = [[LA,  0 ],     W = [[WA,          0 ],
+         [B, C  ]]           [Lb,  LC]]          [-WC Lb WA,   WC]]
+
+        Lb = B WA^T;  S = C - Lb Lb^T;  (LC, WC) = recurse(S)
+
+    converts the column-blocked scheme's O(n_blocks^2) *small dependent*
+    matmuls into O(log) *large* GEMMs — the shape the MXU actually tiles
+    well — while the <= nb base case stays on the Pallas batch-in-lanes
+    kernels.  Requires n to be a multiple of nb (callers pad with an
+    identity tail).
+    """
+    n = a_btt.shape[-1]
+    if n <= nb:
+        l = _diag_chol(a_btt)
+        return l, _diag_tri_inv(l)
+    h = (n // 2 + nb - 1) // nb * nb  # block-aligned split
+    if h >= n:
+        h = n - nb
+    a11 = a_btt[:, :h, :h]
+    a21 = a_btt[:, h:, :h]
+    a22 = a_btt[:, h:, h:]
+    la, wa = _rec_chol_inv(a11, nb)
+    lb = jnp.matmul(a21, jnp.swapaxes(wa, -1, -2), precision=_HI)
+    s = a22 - jnp.matmul(lb, jnp.swapaxes(lb, -1, -2), precision=_HI)
+    lc, wc = _rec_chol_inv(s, nb)
+    x = -jnp.matmul(wc, jnp.matmul(lb, wa, precision=_HI), precision=_HI)
+    zeros = jnp.zeros((a_btt.shape[0], h, n - h), a_btt.dtype)
+    l = jnp.concatenate(
+        [
+            jnp.concatenate([la, zeros], axis=2),
+            jnp.concatenate([lb, lc], axis=2),
+        ],
+        axis=1,
+    )
+    w = jnp.concatenate(
+        [
+            jnp.concatenate([wa, zeros], axis=2),
+            jnp.concatenate([x, wc], axis=2),
+        ],
+        axis=1,
+    )
+    return l, w
+
+
+def _rec_inv_logdiag(a_btt: jnp.ndarray, nb: int):
+    """Lean twin of :func:`_rec_chol_inv` for the NLML path: returns only
+    ``(W = L^-1, sum log diag L)``.
+
+    The full factor L is never assembled — the NLML consumes only W (for
+    z/alpha/K^-1) and L's log-diagonal (for logdet), and skipping L's
+    block concatenations saves ~1 GB of pure HBM copies per call at
+    (B=112, T=1032) f32.
+    """
+    n = a_btt.shape[-1]
+    if n <= nb:
+        l = _diag_chol(a_btt)
+        sld = jnp.sum(
+            jnp.log(jnp.diagonal(l, axis1=-2, axis2=-1)), axis=-1
+        )
+        return _diag_tri_inv(l), sld
+    h = (n // 2 + nb - 1) // nb * nb
+    if h >= n:
+        h = n - nb
+    a11 = a_btt[:, :h, :h]
+    a21 = a_btt[:, h:, :h]
+    a22 = a_btt[:, h:, h:]
+    wa, sa = _rec_inv_logdiag(a11, nb)
+    lb = jnp.matmul(a21, jnp.swapaxes(wa, -1, -2), precision=_HI)
+    s = a22 - jnp.matmul(lb, jnp.swapaxes(lb, -1, -2), precision=_HI)
+    wc, sc = _rec_inv_logdiag(s, nb)
+    x = -jnp.matmul(wc, jnp.matmul(lb, wa, precision=_HI), precision=_HI)
+    zeros = jnp.zeros((a_btt.shape[0], h, n - h), a_btt.dtype)
+    w = jnp.concatenate(
+        [
+            jnp.concatenate([wa, zeros], axis=2),
+            jnp.concatenate([x, wc], axis=2),
+        ],
+        axis=1,
+    )
+    return w, sa + sc
+
+
 def _nlml_fwd_impl_blocked(ky, y, nb):
-    ky_tlb = jnp.transpose(ky, (1, 2, 0))
-    lt = blocked_cholesky(ky_tlb, nb)
-    z, alpha, logdet = blocked_solve_vec(lt, y.T, nb)
-    quad = jnp.sum(jnp.square(z), axis=0)
-    return quad, logdet, (lt, alpha)
+    """Forward NLML terms via the recursive chol+inverse.
+
+    With W = L^-1 in hand, everything is GEMM/ matvec work:
+    z = W y, alpha = W^T z, logdet = 2 sum log diag L; the bwd pass reuses
+    W for K^-1 = W^T W with zero extra factorisation work.
+    """
+    a, t_orig = _pad_to_block(jnp.asarray(ky), nb)
+    w, sumlog = _rec_inv_logdiag(a, nb)
+    # The identity-tail padding contributes exactly 0 to sum log diag and
+    # an identity block to W; padded y entries are 0, so z/alpha padding
+    # stays 0 and no slicing copy of the (B, Tp, Tp) W is needed for the
+    # solves — only the residual is trimmed.
+    yb = jnp.pad(y, ((0, 0), (0, a.shape[-1] - t_orig)))
+    z = jnp.einsum("bij,bj->bi", w, yb, precision=_HI)
+    alpha = jnp.einsum("bji,bj->bi", w, z, precision=_HI)[:, :t_orig]
+    quad = jnp.sum(jnp.square(z), axis=-1)
+    logdet = 2.0 * sumlog
+    return quad, logdet, (w[:, :t_orig, :t_orig], alpha.T)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -239,10 +340,8 @@ def _nlml_blocked_fwd(ky, y, nb):
 
 
 def _nlml_blocked_bwd(nb, res, cots):
-    lt, alpha = res
+    w_btt, alpha = res  # W = L^-1 from the fwd recursion — no extra factorisation
     g_quad, g_logdet = cots
-    w = blocked_tri_inv(lt, nb)  # (T, T, B) rows of W
-    w_btt = jnp.transpose(w, (2, 0, 1))
     kinv = jnp.matmul(
         jnp.swapaxes(w_btt, -1, -2), w_btt, precision=jax.lax.Precision.DEFAULT
     )

@@ -518,34 +518,66 @@ def _vmem_bytes(t: int) -> int:
 
 _warned_fallback: set = set()
 
+# Above the Pallas VMEM cap the recursive blocked hybrid
+# (ops/linalg_blocked.py) owns the NLML step up to this T; beyond it XLA's
+# monolithic decompositions already tile the MXU well (measured v5e,
+# BASELINE.md "Large-T" table: blocked wins 3.27x at T=512, 2.05x at
+# T=1032, only 1.11x at T=1980).
+BLOCKED_T_CAP = 1536
+# The hybrid's diagonal blocks are batch-in-lanes Pallas kernels (128
+# lanes); small batches waste most of the vector unit and measured SLOWER
+# than XLA (0.86x at T=1032/B=14 — the bundled monthly ssp585's M=14).
+# Blocked only pays from roughly half-full lanes upward.
+BLOCKED_MIN_BATCH = 64
 
-def linalg_path(t: int, backend: tp.Optional[str] = None) -> str:
+
+def linalg_path(
+    t: int, backend: tp.Optional[str] = None, b: tp.Optional[int] = None
+) -> str:
     """Which implementation the batched linalg kernels will use for size T.
 
     The batch-in-lanes kernels hold one ``(T, T, 128)`` f32 buffer in VMEM,
     which caps them at T ≈ 169 on current TPUs (annual-resolution workloads,
     T = 165, fit; the bundled *monthly* resolutions, T = 1032–1980, do not).
-    Beyond the cap the XLA blocked decompositions take over — they tile large
-    single matrices onto the MXU well, which is exactly the regime where the
-    lane-batched trick stops paying.  Returns ``"pallas"`` or ``"xla"`` and
-    warns once per T on the fallback so the path is never silent
-    (VERDICT r1 item 5).
+    Above the cap and up to ``BLOCKED_T_CAP``, the NLML step uses the
+    recursive blocked hybrid (Pallas diagonal blocks + MXU GEMMs,
+    ops/linalg_blocked.py — measured 2-3.3x over XLA at the bundled monthly
+    SSP resolution; BASELINE.md "Large-T" table); beyond that XLA's blocked
+    decompositions take over — they tile very large single matrices onto
+    the MXU well (24% f32 peak at T = 1980, where the hybrid's edge is a
+    marginal 1.11x).  Returns ``"pallas"``, ``"blocked"`` or ``"xla"``;
+    warns once per T when leaving the pallas path so the dispatch is never
+    silent (VERDICT r1 item 5).
+
+    ``b`` (batch size) further gates the blocked hybrid: its diagonal
+    blocks are 128-lane Pallas kernels, so small batches
+    (< ``BLOCKED_MIN_BATCH``) stay on XLA (measured slower otherwise).
+    ``b=None`` means unknown and trusts the T gate alone.
     """
     backend = backend or jax.default_backend()
     sub = -(-t // 8) * 8
     fits = _vmem.fits_min_chunk(t * sub * 4, _vmem.LINALG_BUDGET)
     if INTERPRET or (backend == "tpu" and fits):
         return "pallas"
-    if backend == "tpu" and t not in _warned_fallback:
+    if backend != "tpu":
+        return "xla"
+    blocked_ok = t <= BLOCKED_T_CAP and (b is None or b >= BLOCKED_MIN_BATCH)
+    path = "blocked" if blocked_ok else "xla"
+    if t not in _warned_fallback:
         _warned_fallback.add(t)
         import warnings
 
         warnings.warn(
             f"batched linalg at T={t} exceeds the Pallas VMEM budget "
             f"({_vmem_bytes(t) / 2**20:.0f} MB per (T,T,128) buffer); "
-            "using XLA's blocked decompositions instead"
+            + (
+                "using the recursive blocked hybrid (Pallas diagonal "
+                "blocks + MXU GEMMs)"
+                if path == "blocked"
+                else "using XLA's blocked decompositions instead"
+            )
         )
-    return "xla"
+    return path
 
 
 def tri_inv_batched(lt: jnp.ndarray) -> jnp.ndarray:

@@ -98,7 +98,7 @@ def main():
         # blocks + MXU panel/trailing matmuls (ops/linalg_blocked.py).
         # Measured only where the plain Pallas path does NOT own T already.
         t_step_blk = None
-        if linalg_path(t) != "pallas":
+        if linalg_path(t, b=b_t) != "pallas":
             from bayesian_ensembling_tpu.ops.linalg_blocked import (
                 nlml_terms_blocked,
             )
@@ -108,7 +108,7 @@ def main():
                     ky = jax.vmap(
                         lambda p, s, nv: apply_fn(p, s) + jnp.diag(nv + 1e-6)
                     )(pb, stat_, noise_)
-                    quad, logdet = nlml_terms_blocked(ky, y_, 128)
+                    quad, logdet = nlml_terms_blocked(ky, y_, int(os.environ.get('BLK_NB', '128')))
                     return jnp.sum(0.5 * (quad + logdet))
 
                 return jax.value_and_grad(total)(params_b)
@@ -122,14 +122,14 @@ def main():
         # step ~ fwd chol (T^3/3) + tri-inv for K^-1 (T^3/2 + T^3 matmul)
         step_flops = 2 * b_t * (t**3 / 3 + t**3 / 2 + t**3)
         blk = (
-            f"  |  blocked-hybrid step: {t_step_blk * 1e3:8.2f} ms "
+            f"  |  blocked-hybrid(nb={os.environ.get('BLK_NB', '128')}) step: {t_step_blk * 1e3:8.2f} ms "
             f"({100 * step_flops / t_step_blk / F32_MXU_PEAK:4.1f}% f32 MXU, "
             f"{t_step / t_step_blk:4.2f}x vs xla)"
             if t_step_blk
             else ""
         )
         print(
-            f"T={t:5d} B={b_t}  path={linalg_path(t):6s}  "
+            f"T={t:5d} B={b_t}  path={linalg_path(t, b=b_t):7s}  "
             f"nlml v&g step: {t_step * 1e3:8.2f} ms "
             f"({step_flops / t_step / 1e12:5.2f} TFLOP/s, "
             f"{100 * step_flops / t_step / F32_MXU_PEAK:4.1f}% f32 MXU)  |  "

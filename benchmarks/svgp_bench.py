@@ -9,6 +9,10 @@ gridded workload: wall-clock and fit quality (RMSE of the posterior mean
 against the noise-free generating signal) for both modes.
 
 Usage: python benchmarks/svgp_bench.py [lat] [lon] [r] [t] [n_optim_nits]
+           [n_inducing] [minibatch]
+
+Reference-scale configuration (models.py:370-381: 400 inducing points,
+minibatch 500, ~100k-point problem): ``svgp_bench.py 24 48 10 86 500 400 500``.
 """
 
 import json
@@ -60,6 +64,8 @@ def main():
     r = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     t = int(sys.argv[4]) if len(sys.argv) > 4 else 86
     n_iters = int(sys.argv[5]) if len(sys.argv) > 5 else 500
+    n_inducing = int(sys.argv[6]) if len(sys.argv) > 6 else 256
+    minibatch = int(sys.argv[7]) if len(sys.argv) > 7 else 512
 
     rng = np.random.default_rng(0)
     pm, signal = make_gridded(rng, r, t, la, lo)
@@ -76,7 +82,7 @@ def main():
         ("batched", {}),
         # Reference defaults scaled to the workload (models.py:321-327:
         # 400 inducing / minibatch 500 for ~100k-point problems).
-        ("svgp", {"n_inducing": 256, "minibatch_size": 512}),
+        ("svgp", {"n_inducing": n_inducing, "minibatch_size": minibatch}),
     ):
         import warnings as _w
 

@@ -196,7 +196,8 @@ def test_fused_solve_nan_on_non_pd(rng, interp):
 
 
 def test_linalg_path_dispatch():
-    """Monthly-resolution T (1032, 1980) must fall back to XLA — loudly."""
+    """Monthly-resolution T leaves the pallas path — loudly: 1032 (SSP) to
+    the recursive blocked hybrid, 1980 (historical) to XLA."""
     import warnings as _warnings
 
     lp._warned_fallback.clear()
@@ -204,14 +205,20 @@ def test_linalg_path_dispatch():
     assert lp.linalg_path(86, backend="tpu") == "pallas"
     with _warnings.catch_warnings(record=True) as rec:
         _warnings.simplefilter("always")
-        assert lp.linalg_path(1032, backend="tpu") == "xla"
+        assert lp.linalg_path(1032, backend="tpu") == "blocked"
         assert lp.linalg_path(1980, backend="tpu") == "xla"
     assert len(rec) == 2 and "VMEM" in str(rec[0].message)
+    assert "blocked hybrid" in str(rec[0].message)
+    assert "XLA" in str(rec[1].message)
     # warn-once: repeat call is quiet
     with _warnings.catch_warnings(record=True) as rec2:
         _warnings.simplefilter("always")
-        assert lp.linalg_path(1032, backend="tpu") == "xla"
+        assert lp.linalg_path(1032, backend="tpu") == "blocked"
     assert not rec2
+    # B-aware: small batches waste the hybrid's 128-lane diagonal kernels
+    # (measured 0.86x at B=14, the bundled monthly ssp585) -> XLA.
+    assert lp.linalg_path(1032, backend="tpu", b=14) == "xla"
+    assert lp.linalg_path(1032, backend="tpu", b=112) == "blocked"
     # CPU oracle path is XLA without noise
     assert lp.linalg_path(165, backend="cpu") == "xla"
 
