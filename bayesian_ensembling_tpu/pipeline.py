@@ -188,8 +188,14 @@ def run_scenario(
     emulator: tp.Optional[tp.Any] = None,
     n_optim_nits: int = 2000,
     dba_iterations: int = 10,
+    sigma_mode: str = "w2",
 ) -> ScenarioResult:
-    """Fit + weight + combine one scenario (script :87-143)."""
+    """Fit + weight + combine one scenario (script :87-143).
+
+    ``sigma_mode``: combined-sigma convention — "w2" (closed-form
+    barycentre, default), "compat" (reference fixed point) or "mixture"
+    (calibrated moment-matched mixture; see schemes.Barycentre).
+    """
     weighter = weighter or CRPSWeight()
     emulator = emulator or GPDTW1D()
 
@@ -207,7 +213,7 @@ def run_scenario(
     w_fore = w_mean.expand_dims(
         "time", size=len(ssp_collection.time), coord=ssp_collection.time, axis=1
     )
-    barycentre = Barycentre()(ssp_collection, w_fore)
+    barycentre = Barycentre()(ssp_collection, w_fore, sigma_mode=sigma_mode)
     total = _time.perf_counter() - t0
     return ScenarioResult(ssp_name, w_fore, barycentre, t_fit, total)
 
@@ -219,6 +225,7 @@ def run_gridded_scenario(
     emulator: tp.Optional[tp.Any] = None,
     n_optim_nits: int = 500,
     dba_iterations: int = 10,
+    sigma_mode: str = "w2",
 ) -> tp.Tuple[tp.Any, Posterior]:
     """Gridded fit -> weight -> combine (the GPDTW3D capability end-to-end).
 
@@ -237,7 +244,7 @@ def run_gridded_scenario(
         emulator, n_optim_nits=n_optim_nits, dba_iterations=dba_iterations
     )
     weights = weighter(collection, observations)
-    bary = Barycentre()(collection, weights)
+    bary = Barycentre()(collection, weights, sigma_mode=sigma_mode)
     return weights, bary
 
 

@@ -183,9 +183,11 @@ def build_artifacts(
     ssps: tp.Sequence[str] = None,
     data_dir: tp.Optional[str] = None,
     n_optim_nits: int = 2000,
+    sigma_mode: str = "w2",
 ) -> "ProjectionService":
     """Run the full experiment and save serving artifacts (one fit, then
-    serve forever)."""
+    serve forever).  ``sigma_mode`` selects the combined-sigma convention
+    ("w2" | "compat" | "mixture"; schemes.Barycentre)."""
     from bayesian_ensembling_tpu import pipeline
 
     ssps = list(ssps or pipeline.ALL_SSPS)
@@ -194,7 +196,8 @@ def build_artifacts(
     for ssp in ssps:
         hist, ssp_mc = pipeline.load_scenario(ssp, data_dir)
         results[ssp] = pipeline.run_scenario(
-            hist, ssp_mc, obs, ssp, n_optim_nits=n_optim_nits
+            hist, ssp_mc, obs, ssp, n_optim_nits=n_optim_nits,
+            sigma_mode=sigma_mode,
         )
     svc = ProjectionService.from_results(results)
     svc.save(out_dir)
@@ -211,6 +214,7 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None):
     b.add_argument("--ssps", default=None)
     b.add_argument("--data-dir", default=None)
     b.add_argument("--n-optim-nits", type=int, default=2000)
+    b.add_argument("--sigma-mode", choices=["w2", "compat", "mixture"], default="w2")
     s = sub.add_parser("serve")
     s.add_argument("--artifacts", required=True)
     s.add_argument("--host", default="127.0.0.1")
@@ -222,7 +226,7 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None):
 
         enable_persistent_cache()
         ssps = args.ssps.split(",") if args.ssps else None
-        svc = build_artifacts(args.out, ssps, args.data_dir, args.n_optim_nits)
+        svc = build_artifacts(args.out, ssps, args.data_dir, args.n_optim_nits, sigma_mode=args.sigma_mode)
         print(f"saved artifacts for {svc.scenarios()} to {args.out}")
     else:
         svc = ProjectionService.load(args.artifacts)

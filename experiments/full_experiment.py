@@ -33,6 +33,12 @@ def main():
         help="calendar resample frequency (M/Q/Y; 'none' keeps the native "
         "monthly resolution, the large-T path)",
     )
+    ap.add_argument(
+        "--sigma-mode",
+        choices=["w2", "compat", "mixture"],
+        default="w2",
+        help="combined-sigma convention (schemes.Barycentre)",
+    )
     ap.add_argument("--cpu", action="store_true", help="run the float64 CPU path")
     args = ap.parse_args()
 
@@ -70,6 +76,7 @@ def main():
             emulator=GPDTW1D(dtype=dtype),
             n_optim_nits=args.n_optim_nits,
             dba_iterations=args.dba_iterations,
+            sigma_mode=args.sigma_mode,
         )
         results[ssp] = res
         summ = pipeline.warming_summary(res)

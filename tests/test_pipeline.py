@@ -159,3 +159,46 @@ def test_load_native_monthly_resolution():
     # quarterly goes through the generic resampler (12 -> 4 labels/year)
     obs_q = pipeline.load_observations(resample_freq="Q")
     assert obs_q.data.values.shape[1] == 1980 // 3
+
+
+def test_run_scenario_sigma_modes(rng):
+    """sigma_mode plumbs through run_scenario: mixture widens the interval
+    relative to the W2 closed form at identical means."""
+    import numpy as np
+    from bayesian_ensembling_tpu import pipeline
+    from bayesian_ensembling_tpu.coords import DimArray
+    from bayesian_ensembling_tpu.data import ModelCollection, ProcessModel
+    from bayesian_ensembling_tpu.models.mean_field import MeanField
+
+    t = 12
+    time = (np.datetime64("2015-01", "Y") + np.arange(t)).astype("datetime64[ns]")
+
+    vals_hist = [rng.normal(size=(3, t)) + i for i in range(3)]
+    vals_ssp = [rng.normal(size=(3, t)) + i for i in range(3)]
+
+    def mc(vals_list):
+        models = []
+        for i, vals in enumerate(vals_list):
+            da = DimArray(vals, ("realisation", "time"), {"time": time})
+            models.append(ProcessModel(da, f"m{i}"))
+        return ModelCollection(models)
+
+    obs_da = DimArray(rng.normal(size=(4, t)), ("realisation", "time"), {"time": time})
+    obs = ProcessModel(obs_da, "obs")
+
+    out = {}
+    for mode in ("w2", "mixture"):
+        res = pipeline.run_scenario(
+            mc(vals_hist), mc(vals_ssp), obs, "test", emulator=MeanField(),
+            n_optim_nits=3, sigma_mode=mode,
+        )
+        out[mode] = res.barycentre
+    np.testing.assert_allclose(
+        np.asarray(out["w2"].gaussian.mean),
+        np.asarray(out["mixture"].gaussian.mean),
+        rtol=1e-6,
+    )
+    assert np.all(
+        np.asarray(out["mixture"].gaussian.variance)
+        >= np.asarray(out["w2"].gaussian.variance) - 1e-12
+    )
