@@ -13,6 +13,13 @@ heteroskedastic GP per member at monthly resolution, CRPS weights vs monthly
 HadCRUT5, W2 barycentre.  Prints one JSON line.
 
 Usage: python benchmarks/monthly_bench.py [ssp] [n_optim_nits] [dba_iters]
+       python benchmarks/monthly_bench.py all [n_optim_nits] [dba_iters]
+
+``all`` runs the ENTIRE 7-SSP experiment at native monthly resolution as
+one merged (scenario x model) program (parallel/step.py's multi-scenario
+step) — the merged batch (7 x 16 padded models = 112) crosses the blocked
+hybrid's batch gate, so the T = 1032 SSP emulations run through
+ops/linalg_blocked.py on the MXU.
 """
 
 import functools
@@ -40,6 +47,8 @@ def main():
     ssp = sys.argv[1] if len(sys.argv) > 1 else "ssp585"
     n_iters = int(sys.argv[2]) if len(sys.argv) > 2 else 500
     dba_iters = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    if ssp == "all":
+        return run_all_ssps(n_iters, dba_iters)
 
     obs_pm = pipeline.load_observations(resample_freq=None)
     obs = jnp.asarray(obs_pm.data.values, dtype=jnp.float32)
@@ -93,6 +102,74 @@ def main():
     )
     print(json.dumps({
         "metric": f"monthly_{ssp}_M{m}_Th{t_hist}_fit{n_iters}",
+        "value": round(elapsed, 3),
+        "unit": "s",
+    }))
+
+
+
+def run_all_ssps(n_iters: int, dba_iters: int):
+    """Full 7-SSP experiment at native monthly resolution, ONE program."""
+    import jax
+    import jax.numpy as jnp
+
+    from bayesian_ensembling_tpu import pipeline
+    from bayesian_ensembling_tpu.parallel.step import (
+        ensemble_multi_scenario_step,
+        pad_models,
+    )
+    from bayesian_ensembling_tpu.utils.profiling import device_sync as sync
+
+    obs_pm = pipeline.load_observations(resample_freq=None)
+    obs = jnp.asarray(obs_pm.data.values, dtype=jnp.float32)
+    scenarios = []
+    for ssp in pipeline.ALL_SSPS:
+        hist, ssp_mc = pipeline.load_scenario(ssp, resample_freq=None)
+        scenarios.append((ssp, hist, ssp_mc))
+    m_max = max(len(h) for _, h, _ in scenarios)
+    r_max = max(max(h.max_realisations, s.max_realisations) for _, h, s in scenarios)
+    packed = []
+    for ssp, hist, ssp_mc in scenarios:
+        hb, hm = hist.padded_stack(r_target=r_max)
+        sb, sm = ssp_mc.padded_stack(r_target=r_max)
+        hb, hm, mmask = pad_models(hb, hm, m_max)
+        sb, sm, _ = pad_models(sb, sm, m_max)
+        packed.append((hb, hm, sb, sm, mmask))
+    stacked = [jnp.asarray(np.stack([p[i] for p in packed])) for i in range(5)]
+    hb, hm, sb, sm, mmask = stacked
+    s = hb.shape[0]
+    print(
+        f"devices: {jax.devices()}\n"
+        f"workload: ALL {s} SSPs, merged batch {s}x{m_max}={s * m_max} "
+        f"models, R={r_max}, T_hist={hb.shape[-1]}, T_ssp={sb.shape[-1]}, "
+        f"{n_iters} iterations",
+        file=sys.stderr,
+    )
+    step = jax.jit(
+        functools.partial(
+            ensemble_multi_scenario_step,
+            n_optim_nits=n_iters,
+            dba_iterations=dba_iters,
+        )
+    )
+    t0 = time.perf_counter()
+    sync(step(hb, hm, sb, sm, obs, mmask))
+    print(f"warmup: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    t0 = time.perf_counter()
+    out = step(hb, hm, sb, sm, obs, mmask)
+    sync(out)
+    elapsed = time.perf_counter() - t0
+    bmean, bstd, _ = (np.asarray(a) for a in out)
+    assert np.isfinite(bmean).all() and np.isfinite(bstd).all()
+    for i, (ssp, _, _) in enumerate(scenarios):
+        print(
+            f"{ssp} monthly: 2100 warming {bmean[i, -1]:.3f} "
+            f"(+-2sd {bmean[i, -1] - 2 * bstd[i, -1]:.3f}.."
+            f"{bmean[i, -1] + 2 * bstd[i, -1]:.3f})",
+            file=sys.stderr,
+        )
+    print(json.dumps({
+        "metric": f"monthly_all7ssp_merged{s * m_max}_fit{n_iters}",
         "value": round(elapsed, 3),
         "unit": "s",
     }))

@@ -79,3 +79,60 @@ def test_2d_mesh_gridded_step_matches_unsharded():
     np.testing.assert_allclose(
         np.asarray(got[2]).sum(axis=0), np.ones(c), rtol=1e-5
     )
+
+
+def test_gridded_similarity_single_is_spatial_mode(rng):
+    """similarity_single inside the per-cell gridded step == the library
+    ModelSimilarityWeight(mode='spatial') reduction: one weight per model
+    per CELL (constant over time), from the whole-series pairwise W2 at
+    that cell — the reference's spatial mode (weights.py:268-300)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bayesian_ensembling_tpu.parallel.gridded import gridded_ensemble_step
+    from bayesian_ensembling_tpu.parallel.step import fused_raw_weights, emulate_marginals
+
+    m, c, r, t, r_obs = 3, 4, 3, 10, 4
+    block = jnp.asarray(rng.normal(size=(m, c, r, t)).astype(np.float32))
+    obs = jnp.asarray(rng.normal(size=(c, r_obs, t)).astype(np.float32))
+    mask = jnp.ones((m, c, r), bool)
+
+    mean, var = emulate_marginals(
+        block.reshape(m * c, r, t), mask.reshape(m * c, r),
+        n_optim_nits=3, dba_iterations=2,
+    )
+    mean = mean.reshape(m, c, t)
+    var = var.reshape(m, c, t)
+
+    # Per-cell single-mode weights through the fused scorer.
+    raw = jax.vmap(
+        lambda mu, v, o: fused_raw_weights("similarity_single", mu, v, o),
+        in_axes=(1, 1, 0), out_axes=1,
+    )(mean, var, obs)  # (M, C, T)
+    w = np.asarray(raw / raw.sum(axis=0, keepdims=True))
+    # Constant over time within each cell (spatial mode's defining shape).
+    assert np.allclose(w, w[:, :, :1], atol=1e-6)
+
+    # Hand-computed spatial reduction from the same marginals: per cell,
+    # pair W2 = ||d_mu||_2 over time + sum_t (d_sd)^2, mean over j.
+    mu = np.asarray(mean)
+    sd = np.sqrt(np.asarray(var))
+    for cc in range(c):
+        pair = np.zeros((m, m))
+        for i in range(m):
+            for j in range(m):
+                pair[i, j] = np.linalg.norm(mu[i, cc] - mu[j, cc]) + np.sum(
+                    (sd[i, cc] - sd[j, cc]) ** 2
+                )
+        vec = pair.mean(axis=1)
+        vec = vec / vec.sum()
+        np.testing.assert_allclose(w[:, cc, 0], vec, rtol=1e-5)
+
+    # And the full gridded step runs with it end-to-end.
+    bm, bs, wg = gridded_ensemble_step(
+        block, obs, mask, weight_kind="similarity_single",
+        n_optim_nits=3, dba_iterations=2,
+    )
+    assert np.isfinite(np.asarray(bm)).all()
+    np.testing.assert_allclose(np.asarray(wg).sum(axis=0), np.ones(c), rtol=1e-5)
