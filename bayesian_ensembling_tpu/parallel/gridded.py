@@ -100,6 +100,7 @@ def gridded_ensemble_step(
     weight_kind: str = "crps",
     model_axis: tp.Optional[str] = None,
     gp_init=None,  # optional (M, C)-batched GPParams warm start
+    sigma_mode: str = "w2",
     **emulate_kwargs,
 ):
     """Full gridded scenario: emulate -> per-cell weights -> W2 barycentre.
@@ -149,11 +150,24 @@ def gridded_ensemble_step(
     w_t = raw / total
     w = jnp.mean(w_t, axis=2)  # (M, C)
 
+    if sigma_mode not in ("w2", "mixture"):
+        raise ValueError(
+            f"gridded step supports sigma_mode 'w2' | 'mixture', got {sigma_mode!r}"
+        )
     bary_mean = jnp.sum(w[:, :, None] * mean, axis=0)
-    bary_std = jnp.sum(w[:, :, None] * jnp.sqrt(var), axis=0)
     if model_axis is not None:
         bary_mean = jax.lax.psum(bary_mean, model_axis)
-        bary_std = jax.lax.psum(bary_std, model_axis)
+    if sigma_mode == "mixture":
+        v = jnp.sum(
+            w[:, :, None] * (var + jnp.square(mean - bary_mean[None])), axis=0
+        )
+        if model_axis is not None:
+            v = jax.lax.psum(v, model_axis)
+        bary_std = jnp.sqrt(v)
+    else:
+        bary_std = jnp.sum(w[:, :, None] * jnp.sqrt(var), axis=0)
+        if model_axis is not None:
+            bary_std = jax.lax.psum(bary_std, model_axis)
     return bary_mean, bary_std, w
 
 

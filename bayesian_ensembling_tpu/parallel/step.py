@@ -239,12 +239,22 @@ def ensemble_scenario_step(
     dba_iterations: int = 10,
     weight_kind: str = "crps",
     optimizer: str = "adam",
+    sigma_mode: str = "w2",
 ) -> tp.Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One full scenario: emulate hist+ssp, weight vs obs, W2 barycentre.
+
+    ``sigma_mode``: ``"w2"`` (closed-form barycentre sigma, default) or
+    ``"mixture"`` (calibrated moment-matched mixture variance; see
+    ops.wasserstein.batched_gaussian_barycentre — the reference-compat
+    fixed point stays a library-path option only).
 
     Returns (bary_mean (T_ssp,), bary_std (T_ssp,), weights (M,)).
     Pure JAX: jit/shard at the call site (see make_sharded_step).
     """
+    if sigma_mode not in ("w2", "mixture"):
+        raise ValueError(
+            f"fused step supports sigma_mode 'w2' | 'mixture', got {sigma_mode!r}"
+        )
     em = functools.partial(
         emulate_marginals,
         kernel_name=kernel_name,
@@ -265,9 +275,16 @@ def ensemble_scenario_step(
     weights_t = raw / jnp.sum(raw, axis=0, keepdims=True)
     weights = jnp.mean(weights_t, axis=1)  # time-mean, one weight per model
 
-    ssp_std = jnp.sqrt(ssp_var)
     bary_mean = jnp.sum(weights[:, None] * ssp_mean, axis=0)
-    bary_std = jnp.sum(weights[:, None] * ssp_std, axis=0)
+    if sigma_mode == "mixture":
+        var = jnp.sum(
+            weights[:, None]
+            * (ssp_var + jnp.square(ssp_mean - bary_mean[None, :])),
+            axis=0,
+        )
+        bary_std = jnp.sqrt(var)
+    else:
+        bary_std = jnp.sum(weights[:, None] * jnp.sqrt(ssp_var), axis=0)
     return bary_mean, bary_std, weights
 
 
@@ -286,6 +303,7 @@ def ensemble_multi_scenario_step(
     weight_kind: str = "crps",
     optimizer: str = "adam",
     model_axis: tp.Optional[str] = None,
+    sigma_mode: str = "w2",
 ):
     """All scenarios in ONE program by merging the (scenario, model) axes.
 
@@ -332,11 +350,28 @@ def ensemble_multi_scenario_step(
     weights_t = raw / total
     weights = jnp.mean(weights_t, axis=2)  # (S, M)
 
+    if sigma_mode not in ("w2", "mixture"):
+        raise ValueError(
+            f"fused step supports sigma_mode 'w2' | 'mixture', got {sigma_mode!r}"
+        )
     bary_mean = jnp.sum(weights[:, :, None] * ssp_mean, axis=1)
-    bary_std = jnp.sum(weights[:, :, None] * jnp.sqrt(ssp_var), axis=1)
     if model_axis is not None:
         bary_mean = jax.lax.psum(bary_mean, model_axis)
-        bary_std = jax.lax.psum(bary_std, model_axis)
+    if sigma_mode == "mixture":
+        # Needs the GLOBAL mean first (already psum'd above), then one more
+        # cross-model reduction for the mixture variance.
+        var = jnp.sum(
+            weights[:, :, None]
+            * (ssp_var + jnp.square(ssp_mean - bary_mean[:, None, :])),
+            axis=1,
+        )
+        if model_axis is not None:
+            var = jax.lax.psum(var, model_axis)
+        bary_std = jnp.sqrt(var)
+    else:
+        bary_std = jnp.sum(weights[:, :, None] * jnp.sqrt(ssp_var), axis=1)
+        if model_axis is not None:
+            bary_std = jax.lax.psum(bary_std, model_axis)
     return bary_mean, bary_std, weights
 
 
@@ -351,6 +386,7 @@ def make_sharded_multi_scenario_step(
     dba_iterations: int = 10,
     weight_kind: str = "crps",
     optimizer: str = "adam",
+    sigma_mode: str = "w2",
 ):
     """The headline bench's multi-chip form: ALL scenarios in one program,
     scenario axis batched on every device, model axis sharded over ``mesh``.
@@ -374,6 +410,7 @@ def make_sharded_multi_scenario_step(
         weight_kind=weight_kind,
         optimizer=optimizer,
         model_axis=model_axis,
+        sigma_mode=sigma_mode,
     )
     from jax import shard_map
 
@@ -399,6 +436,7 @@ def make_sharded_step(
     dba_iterations: int = 10,
     weight_kind: str = "crps",
     optimizer: str = "adam",
+    sigma_mode: str = "w2",
 ):
     """One scenario step with the model axis sharded over ``mesh``.
 
@@ -442,9 +480,20 @@ def make_sharded_step(
         bary_mean = jax.lax.psum(
             jnp.sum(weights[:, None] * ssp_mean, axis=0), model_axis
         )
-        bary_std = jax.lax.psum(
-            jnp.sum(weights[:, None] * jnp.sqrt(ssp_var), axis=0), model_axis
-        )
+        if sigma_mode == "mixture":
+            var = jax.lax.psum(
+                jnp.sum(
+                    weights[:, None]
+                    * (ssp_var + jnp.square(ssp_mean - bary_mean[None, :])),
+                    axis=0,
+                ),
+                model_axis,
+            )
+            bary_std = jnp.sqrt(var)
+        else:
+            bary_std = jax.lax.psum(
+                jnp.sum(weights[:, None] * jnp.sqrt(ssp_var), axis=0), model_axis
+            )
         return bary_mean, bary_std, weights
 
     from jax import shard_map

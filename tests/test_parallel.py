@@ -319,3 +319,44 @@ def test_fused_loglik_padded_model_excluded_from_max_shift(rng):
     # row underflows to zero -> 0/0 NaNs. Reproduce that the shift is
     # keyed on the REAL max: at least one real row must be ~1 pre-norm.
     assert np.asarray(raw).max() > 0.5
+
+
+def test_fused_mixture_sigma_matches_library(rng):
+    """sigma_mode='mixture' in the fused step == the library Barycentre's
+    mixture moments on the same marginals; sharded == unsharded."""
+    hb, hm, sb, sm, obs = toy(m=8)
+    kw = dict(n_optim_nits=3, dba_iterations=2, weight_kind="crps")
+    mean_w2, std_w2, w = ensemble_scenario_step(
+        jnp.asarray(hb), jnp.asarray(hm), jnp.asarray(sb), jnp.asarray(sm),
+        jnp.asarray(obs), **kw,
+    )
+    mean_mx, std_mx, w2 = ensemble_scenario_step(
+        jnp.asarray(hb), jnp.asarray(hm), jnp.asarray(sb), jnp.asarray(sm),
+        jnp.asarray(obs), sigma_mode="mixture", **kw,
+    )
+    np.testing.assert_allclose(np.asarray(mean_mx), np.asarray(mean_w2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(w2), np.asarray(w), rtol=1e-6)
+    # mixture adds nonnegative spread
+    assert np.all(np.asarray(std_mx) >= np.asarray(std_w2) - 1e-7)
+
+    if len(jax.devices()) >= 8:
+        mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("model",))
+        step = make_sharded_step(mesh, sigma_mode="mixture", **kw)
+        got = step(
+            jnp.asarray(hb), jnp.asarray(hm), jnp.asarray(sb), jnp.asarray(sm),
+            jnp.asarray(obs), jnp.ones(8),
+        )
+        mm = ensemble_scenario_step(
+            jnp.asarray(hb), jnp.asarray(hm), jnp.asarray(sb), jnp.asarray(sm),
+            jnp.asarray(obs), jnp.ones(8), sigma_mode="mixture", **kw,
+        )
+        for g, want in zip(got, mm):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(want), rtol=2e-4, atol=1e-7
+            )
+
+    with pytest.raises(ValueError, match="sigma_mode"):
+        ensemble_scenario_step(
+            jnp.asarray(hb), jnp.asarray(hm), jnp.asarray(sb), jnp.asarray(sm),
+            jnp.asarray(obs), sigma_mode="compat", **kw,
+        )
