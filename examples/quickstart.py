@@ -52,7 +52,10 @@ def main():
     for name, w in zip(collection.model_names, weights.mean("time").values):
         print(f"  {name}: {w:.3f}")
 
-    # 4. Combine with the Wasserstein-2 barycentre.
+    # 4. Combine with the Wasserstein-2 barycentre.  (Alternatives:
+    #    sigma_mode="mixture" for the calibrated moment-matched variance —
+    #    the mode that wins held-out NLL in the PMT campaign — or
+    #    sigma_mode="compat" for the reference's fixed-point iteration.)
     posterior = bet.Barycentre()(collection, weights)
     mean = posterior.mean
     sd = posterior.stddev
