@@ -47,6 +47,204 @@ BATCHED_WEIGHT_KINDS = {
 }
 
 
+def _pad_axis(a: np.ndarray, axis: int, n: int, value: float = 0.0) -> np.ndarray:
+    """Pad ``a`` with ``value`` along ``axis`` up to length ``n``."""
+    grow = n - a.shape[axis]
+    if grow < 0:
+        raise ValueError(
+            f"pad_shape smaller than data: axis {axis} has {a.shape[axis]} > {n}"
+        )
+    if grow == 0:
+        return a
+    widths = [(0, 0)] * a.ndim
+    widths[axis] = (0, grow)
+    return np.pad(a, widths, constant_values=value)
+
+
+_PMT_PROGRAM = None
+
+
+def _pmt_program():
+    """The jitted all-folds PMT program, built once per process.
+
+    Module-level (arrays as ARGUMENTS, config as static argnames) so that
+    jax's in-memory executable cache is shared across ``batched_pmt`` calls:
+    with ``pad_shape`` bucketing, the whole 7-SSP campaign re-uses ONE
+    compiled program per (weighter, sigma-mode) instead of recompiling for
+    every scenario's (M, R) shape.
+    """
+    global _PMT_PROGRAM
+    if _PMT_PROGRAM is not None:
+        return _PMT_PROGRAM
+
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from bayesian_ensembling_tpu.ops import scoring
+    from bayesian_ensembling_tpu.ops.wasserstein import (
+        batched_gaussian_barycentre,
+        gaussian_w2_distance,
+    )
+
+    def folds(
+        hist_mean,      # (M, T_h) posterior means (padded models: 0)
+        hist_var,       # (M, T_h) posterior variances (padded models: 1)
+        fore_mean,      # (M, T_s)
+        fore_var,       # (M, T_s)
+        fore_cov,       # (M, T_s, T_s) (padded models: identity)
+        hist_block,     # (M, R, T_h) raw realisations, zero-padded
+        hist_w,         # (M, R) realisation mask as floats
+        fore_block,     # (M, R, T_s)
+        fore_w,         # (M, R)
+        ll_table,       # (M, M, T_h) loglik table or None
+        sim_pair,       # (M, M) pairwise W2 or None
+        real_mask,      # (M,) float: 1 for real models, 0 for padding
+        n_real,         # () int32: number of real models
+        *,
+        weight_kind: str,
+        sigma_mode: str,
+        compat_fixed_point: bool,
+    ):
+        m, t_s = fore_mean.shape
+        dtype = hist_mean.dtype
+
+        def masked_mean_r(x, w_r):  # x: (R, T), w_r: (R,)
+            return jnp.einsum("rt,r->t", x, w_r) / jnp.maximum(jnp.sum(w_r), 1.0)
+
+        # Per-model realisation means for the inverse-square scorer
+        # (fold-invariant; padded models give 0/1 = 0, masked out per fold).
+        hist_real_mu = jnp.einsum("mrt,mr->mt", hist_block, hist_w) / jnp.maximum(
+            jnp.sum(hist_w, axis=1), 1.0
+        )[:, None]
+
+        def masked_imq_ksd(samples, grads, w_r):
+            k0 = scoring.imq_k0_matrix(samples, grads)
+            total = jnp.sum(k0 * (w_r[:, None] * w_r[None, :]))
+            n = jnp.maximum(jnp.sum(w_r), 1.0)
+            return jnp.sqrt(total) / n
+
+        def fold_weights(i, mmask):
+            obs = hist_block[i]  # (R, T_h)
+            ow = hist_w[i]  # (R,)
+            if weight_kind == "uniform":
+                raw = jnp.ones_like(hist_mean)
+            elif weight_kind == "inverse_square":
+                obs_mu = masked_mean_r(obs, ow)
+                # The held-out model's distance to its own obs is 0 -> guard
+                # the inversion (its row is masked out below anyway).
+                sq = jnp.square(hist_real_mu - obs_mu[None, :])
+                raw = 1.0 / jnp.where(mmask[:, None] > 0, sq, 1.0)
+            elif weight_kind == "crps":
+                crps = jax.vmap(
+                    lambda mu, sg: masked_mean_r(
+                        scoring.gaussian_crps(obs, mu, sg), ow
+                    )
+                )(hist_mean, jnp.sqrt(hist_var))
+                raw = 1.0 / crps
+            elif weight_kind == "ksd":
+                def per_model(mu, sg):
+                    def per_point(mu_t, sg_t, x_t):
+                        grads = -(x_t - mu_t) / jnp.square(sg_t)
+                        return masked_imq_ksd(x_t, grads, ow)
+
+                    return jax.vmap(per_point, in_axes=(0, 0, 1))(mu, sg, obs)
+
+                ksd = jax.vmap(per_model)(hist_mean, jnp.sqrt(hist_var))
+                raw = 1.0 / ksd
+            elif weight_kind == "loglik":
+                ll = ll_table[:, i]  # (M_model, T_h), per-model branch
+                # softmax over the REMAINING models == the reduced-collection
+                # softmax of the library path (weights.py LogLikelihoodWeight).
+                ll = jnp.where(mmask[:, None] > 0, ll, -jnp.inf)
+                return jax.nn.softmax(ll, axis=0)
+            else:
+                raise ValueError(f"unknown weight_kind {weight_kind!r}")
+            raw = raw * mmask[:, None]
+            return raw / jnp.sum(raw, axis=0, keepdims=True)
+
+        def fold(i):
+            # Padded fold lanes (i >= n_real) recompute the last real fold —
+            # always-finite lanes, discarded by the caller's [:m_real] slice.
+            i = jnp.minimum(i, n_real - 1)
+            mmask = (jnp.arange(m) != i).astype(dtype) * real_mask
+            weights_t = fold_weights(i, mmask)  # (M, T_h), sums to 1
+            w = jnp.mean(weights_t, axis=1)  # time-mean, one weight per model
+            if sim_pair is not None:
+                # Reduced-collection similarity vector: mean over remaining
+                # columns, normalised, multiplied in, renormalised
+                # (PerfectModelTest._run_single_test include_sim branch).
+                red = sim_pair * mmask[None, :]
+                sim = jnp.sum(red, axis=1) / jnp.maximum(jnp.sum(mmask), 1.0)
+                sim = sim * mmask
+                sim = sim / jnp.sum(sim)
+                w = w * sim
+                w = w / jnp.sum(w)
+
+            w_b = jnp.broadcast_to(w[:, None], (m, t_s))
+            if compat_fixed_point or sigma_mode == "compat":
+                bary_mu, bary_sigma, _ = batched_gaussian_barycentre(
+                    fore_mean, jnp.sqrt(fore_var), w_b, compat_fixed_point=True
+                )
+            else:
+                bary_mu, bary_sigma = batched_gaussian_barycentre(
+                    fore_mean, jnp.sqrt(fore_var), w_b, sigma_mode=sigma_mode
+                )
+
+            truth = fore_block[i]  # (R, T_s)
+            tw = fore_w[i]
+
+            def nll_of(mu, var):
+                ll = scoring.diag_log_likelihood(mu, var, truth)  # (R, T_s)
+                return -jnp.sum(ll * tw[:, None]) / (
+                    jnp.maximum(jnp.sum(tw), 1.0) * t_s
+                )
+
+            def rmse_of(mu):
+                se = jnp.square(mu[None, :] - truth)
+                return jnp.mean(
+                    jnp.sqrt(
+                        jnp.einsum("rt,r->t", se, tw)
+                        / jnp.maximum(jnp.sum(tw), 1.0)
+                    )
+                )
+
+            nll_b = nll_of(bary_mu, jnp.square(bary_sigma))
+            rmse_b = rmse_of(bary_mu)
+            w2_b = gaussian_w2_distance(
+                bary_mu,
+                jnp.diag(jnp.square(bary_sigma)),
+                fore_mean[i],
+                fore_cov[i],
+            )
+
+            # Pooled multi-model-mean baseline over the remaining models
+            # (population std, schemes.MultiModelMean semantics).
+            pw = fore_w * mmask[:, None]  # (M, R)
+            cnt = jnp.maximum(jnp.sum(pw), 1.0)
+            mmm_mu = jnp.einsum("mrt,mr->t", fore_block, pw) / cnt
+            mmm_var = (
+                jnp.einsum("mrt,mr->t", jnp.square(fore_block), pw) / cnt
+                - jnp.square(mmm_mu)
+            )
+            mmm_var = jnp.maximum(mmm_var, 1e-12)
+            nll_m = nll_of(mmm_mu, mmm_var)
+            rmse_m = rmse_of(mmm_mu)
+            w2_m = gaussian_w2_distance(
+                mmm_mu, jnp.diag(mmm_var), fore_mean[i], fore_cov[i]
+            )
+            return jnp.stack([nll_b, rmse_b, w2_b, nll_m, rmse_m, w2_m])
+
+        return jax.vmap(fold)(jnp.arange(m))
+
+    _PMT_PROGRAM = jax.jit(
+        folds,
+        static_argnames=("weight_kind", "sigma_mode", "compat_fixed_point"),
+    )
+    return _PMT_PROGRAM
+
+
 def batched_pmt(
     hindcast_models: ModelCollection,
     forecast_models: ModelCollection,
@@ -55,6 +253,7 @@ def batched_pmt(
     compat_fixed_point: bool = False,
     sigma_mode: str = "w2",
     include_sim: bool = False,
+    pad_shape: tp.Optional[tp.Tuple[int, int]] = None,
 ) -> np.ndarray:
     """ALL leave-one-out folds of the perfect-model test as ONE jitted
     program.
@@ -75,6 +274,11 @@ def batched_pmt(
     Args:
       hindcast_models / forecast_models: PREFIT collections (posteriors set).
       weight_kind: one of crps / loglik / ksd / inverse_square / uniform.
+      pad_shape: optional ``(pad_m, pad_r)`` shape bucket.  The model and
+        realisation axes are zero-padded (with masks) up to these sizes so
+        that collections of different (M, R) — e.g. the 7 SSP scenarios —
+        all hit ONE compiled program per (weighter, sigma-mode); padded fold
+        lanes recompute the last real fold and are sliced off the result.
 
     Returns:
       ``(n_models, 6)`` float array, columns
@@ -86,10 +290,6 @@ def batched_pmt(
 
     from bayesian_ensembling_tpu.ops import scoring
     from bayesian_ensembling_tpu.ops.distributions import FullCovGaussian
-    from bayesian_ensembling_tpu.ops.wasserstein import (
-        batched_gaussian_barycentre,
-        gaussian_w2_distance,
-    )
 
     m = len(hindcast_models)
     hist_mean = jnp.stack(
@@ -134,6 +334,7 @@ def batched_pmt(
         # mode="single" on the reduced collection uses exactly these
         # entries, diagonal included).
         from bayesian_ensembling_tpu.ops.wasserstein import (
+            gaussian_w2_distance,
             gaussian_w2_distance_diag,
         )
 
@@ -153,14 +354,50 @@ def batched_pmt(
     else:
         sim_pair = None
 
+    # ---- shape bucketing: pad the model and realisation axes so different
+    # collections share one compiled program (see the pad_shape docstring).
+    if pad_shape is not None:
+        pad_m, pad_r = pad_shape
+        r_have = max(hist_block.shape[1], fore_block.shape[1])
+        if pad_m < m or pad_r < r_have:
+            raise ValueError(
+                f"pad_shape {pad_shape} smaller than data (M={m}, R={r_have})"
+            )
+
+        def jpad(a, axis, n, value=0.0):
+            grow = n - a.shape[axis]
+            if grow == 0:
+                return a
+            widths = [(0, 0)] * a.ndim
+            widths[axis] = (0, grow)
+            return jnp.pad(a, widths, constant_values=value)
+
+        hist_mean = jpad(hist_mean, 0, pad_m)
+        hist_var = jpad(hist_var, 0, pad_m, 1.0)  # benign sigma for padding
+        fore_mean = jpad(fore_mean, 0, pad_m)
+        fore_var = jpad(fore_var, 0, pad_m, 1.0)
+        grow = pad_m - fore_cov.shape[0]
+        if grow:
+            fore_cov = jnp.concatenate(
+                [
+                    fore_cov,
+                    jnp.broadcast_to(
+                        jnp.eye(t_s, dtype=dtype), (grow, t_s, t_s)
+                    ),
+                ],
+                axis=0,
+            )
+        hist_block = jpad(jpad(hist_block, 1, pad_r), 0, pad_m)
+        fore_block = jpad(jpad(fore_block, 1, pad_r), 0, pad_m)
+        hist_w = jpad(jpad(hist_w, 1, pad_r), 0, pad_m)
+        fore_w = jpad(jpad(fore_w, 1, pad_r), 0, pad_m)
+        if sim_pair is not None:
+            sim_pair = jpad(jpad(sim_pair, 0, pad_m), 1, pad_m)
+    m_pad = hist_mean.shape[0]
+    real_mask = (jnp.arange(m_pad) < m).astype(dtype)
+
     def masked_mean_r(x, w_r):  # x: (R, T), w_r: (R,)
         return jnp.einsum("rt,r->t", x, w_r) / jnp.maximum(jnp.sum(w_r), 1.0)
-
-    # Fold-invariant: per-model realisation means for the inverse-square
-    # scorer (hoisted out of the vmapped fold — M-fold recompute otherwise).
-    hist_real_mu = jnp.einsum("mrt,mr->mt", hist_block, hist_w) / jnp.maximum(
-        jnp.sum(hist_w, axis=1), 1.0
-    )[:, None]
 
     if weight_kind == "loglik":
         # Per-(model, pseudo-obs) mean log-likelihood table, precomputed
@@ -185,122 +422,33 @@ def batched_pmt(
                 model_ll(pm, hist_mean[mi], hist_var[mi])
                 for mi, pm in enumerate(hindcast_models)
             ]
-        )  # (M_model, M_fold, T_h)
+        )  # (M_model, M_fold, T_h); fold axis is already padded via hist_block
+        if ll_table.shape[0] < m_pad:
+            ll_table = jnp.pad(
+                ll_table, ((0, m_pad - ll_table.shape[0]), (0, 0), (0, 0))
+            )
     else:
         ll_table = None
 
-    def masked_imq_ksd(samples, grads, w_r):
-        """imq_ksd_1d with padded samples masked out of the k0 double sum."""
-        k0 = scoring.imq_k0_matrix(samples, grads)
-        total = jnp.sum(k0 * (w_r[:, None] * w_r[None, :]))
-        n = jnp.maximum(jnp.sum(w_r), 1.0)
-        return jnp.sqrt(total) / n
-
-    def fold_weights(i, mmask):
-        obs = hist_block[i]  # (R, T_h)
-        ow = hist_w[i]  # (R,)
-        if weight_kind == "uniform":
-            raw = jnp.ones_like(hist_mean)
-        elif weight_kind == "inverse_square":
-            mu_models = hist_real_mu
-            obs_mu = masked_mean_r(obs, ow)
-            # The held-out model's distance to its own obs is 0 -> guard the
-            # inversion (its row is masked out below anyway).
-            sq = jnp.square(mu_models - obs_mu[None, :])
-            raw = 1.0 / jnp.where(mmask[:, None] > 0, sq, 1.0)
-        elif weight_kind == "crps":
-            crps = jax.vmap(
-                lambda mu, sg: masked_mean_r(scoring.gaussian_crps(obs, mu, sg), ow)
-            )(hist_mean, jnp.sqrt(hist_var))
-            raw = 1.0 / crps
-        elif weight_kind == "ksd":
-            def per_model(mu, sg):
-                def per_point(mu_t, sg_t, x_t):
-                    grads = -(x_t - mu_t) / jnp.square(sg_t)
-                    return masked_imq_ksd(x_t, grads, ow)
-
-                return jax.vmap(per_point, in_axes=(0, 0, 1))(mu, sg, obs)
-
-            ksd = jax.vmap(per_model)(hist_mean, jnp.sqrt(hist_var))
-            raw = 1.0 / ksd
-        elif weight_kind == "loglik":
-            ll = ll_table[:, i]  # (M_model, T_h), per-model branch precomputed
-            # softmax over the REMAINING models == the reduced-collection
-            # softmax of the library path (weights.py LogLikelihoodWeight).
-            ll = jnp.where(mmask[:, None] > 0, ll, -jnp.inf)
-            return jax.nn.softmax(ll, axis=0)
-        else:
-            raise ValueError(f"unknown weight_kind {weight_kind!r}")
-        raw = raw * mmask[:, None]
-        return raw / jnp.sum(raw, axis=0, keepdims=True)
-
-    def fold(i):
-        mmask = (jnp.arange(m) != i).astype(dtype)
-        weights_t = fold_weights(i, mmask)  # (M, T_h), sums to 1 over models
-        w = jnp.mean(weights_t, axis=1)  # time-mean, one weight per model
-        if sim_pair is not None:
-            # Reduced-collection similarity vector: mean over remaining
-            # columns, normalised, multiplied in, renormalised
-            # (PerfectModelTest._run_single_test include_sim branch).
-            red = sim_pair * mmask[None, :]
-            sim = jnp.sum(red, axis=1) / jnp.maximum(jnp.sum(mmask), 1.0)
-            sim = sim * mmask
-            sim = sim / jnp.sum(sim)
-            w = w * sim
-            w = w / jnp.sum(w)
-
-        w_b = jnp.broadcast_to(w[:, None], (m, t_s))
-        if compat_fixed_point or sigma_mode == "compat":
-            bary_mu, bary_sigma, _ = batched_gaussian_barycentre(
-                fore_mean, jnp.sqrt(fore_var), w_b, compat_fixed_point=True
-            )
-        else:
-            bary_mu, bary_sigma = batched_gaussian_barycentre(
-                fore_mean, jnp.sqrt(fore_var), w_b, sigma_mode=sigma_mode
-            )
-
-        truth = fore_block[i]  # (R, T_s)
-        tw = fore_w[i]
-
-        def nll_of(mu, var):
-            ll = scoring.diag_log_likelihood(mu, var, truth)  # (R, T_s)
-            return -jnp.sum(ll * tw[:, None]) / (
-                jnp.maximum(jnp.sum(tw), 1.0) * t_s
-            )
-
-        def rmse_of(mu):
-            se = jnp.square(mu[None, :] - truth)
-            return jnp.mean(
-                jnp.sqrt(
-                    jnp.einsum("rt,r->t", se, tw) / jnp.maximum(jnp.sum(tw), 1.0)
-                )
-            )
-
-        nll_b = nll_of(bary_mu, jnp.square(bary_sigma))
-        rmse_b = rmse_of(bary_mu)
-        w2_b = gaussian_w2_distance(
-            bary_mu, jnp.diag(jnp.square(bary_sigma)), fore_mean[i], fore_cov[i]
-        )
-
-        # Pooled multi-model-mean baseline over the remaining models
-        # (population std, schemes.MultiModelMean semantics).
-        pw = fore_w * mmask[:, None]  # (M, R)
-        cnt = jnp.maximum(jnp.sum(pw), 1.0)
-        mmm_mu = jnp.einsum("mrt,mr->t", fore_block, pw) / cnt
-        mmm_var = (
-            jnp.einsum("mrt,mr->t", jnp.square(fore_block), pw) / cnt
-            - jnp.square(mmm_mu)
-        )
-        mmm_var = jnp.maximum(mmm_var, 1e-12)
-        nll_m = nll_of(mmm_mu, mmm_var)
-        rmse_m = rmse_of(mmm_mu)
-        w2_m = gaussian_w2_distance(
-            mmm_mu, jnp.diag(mmm_var), fore_mean[i], fore_cov[i]
-        )
-        return jnp.stack([nll_b, rmse_b, w2_b, nll_m, rmse_m, w2_m])
-
-    run = jax.jit(jax.vmap(fold))
-    return np.asarray(run(jnp.arange(m)))
+    out = _pmt_program()(
+        hist_mean,
+        hist_var,
+        fore_mean,
+        fore_var,
+        fore_cov,
+        hist_block,
+        hist_w,
+        fore_block,
+        fore_w,
+        ll_table,
+        sim_pair,
+        real_mask,
+        jnp.asarray(m, jnp.int32),
+        weight_kind=weight_kind,
+        sigma_mode=sigma_mode,
+        compat_fixed_point=bool(compat_fixed_point),
+    )
+    return np.asarray(out)[:m]
 
 
 class PerfectModelTest:
@@ -444,7 +592,7 @@ class PerfectModelTest:
             print(f"Saved results to {path}")
         return df
 
-    def run_batched(self):
+    def run_batched(self, pad_shape: tp.Optional[tp.Tuple[int, int]] = None):
         """All leave-one-out folds in one XLA program (``batched_pmt``).
 
         Requires prefit collections (posteriors set), the Barycentre scheme,
@@ -452,6 +600,10 @@ class PerfectModelTest:
         DataFrame as ``run(use_prefit_models=True)`` (no figures), including
         the ``include_sim`` similarity multiplier.  Equality with the loop
         path is tested in tests/test_validation.py.
+
+        ``pad_shape=(pad_m, pad_r)`` buckets the program shape so a campaign
+        over scenarios with different model/realisation counts compiles one
+        program per weighter (see ``batched_pmt``).
         """
         import pandas as pd
 
@@ -489,6 +641,7 @@ class PerfectModelTest:
             ),
             sigma_mode=self.scheme_kwargs.get("sigma_mode", "w2"),
             include_sim=self.include_sim,
+            pad_shape=pad_shape,
         )
         df = pd.DataFrame(
             out,

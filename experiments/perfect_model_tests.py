@@ -65,7 +65,9 @@ def main():
 
     data_dir = args.data_dir or pipeline.default_data_dir()
 
-    for ssp in args.ssps.split(","):
+    ssps = args.ssps.split(",")
+    collections = {}
+    for ssp in ssps:
         if args.prefit_dir:
             hist = load_model_collection(os.path.join(args.prefit_dir, f"hist_{ssp}.npz"))
             fore = load_model_collection(os.path.join(args.prefit_dir, f"{ssp}.npz"))
@@ -73,6 +75,23 @@ def main():
         else:
             hist, fore = pipeline.load_scenario(ssp, data_dir)
             use_prefit = False
+        collections[ssp] = (hist, fore, use_prefit)
+
+    # Campaign-wide shape bucket: one compiled program per weighter across
+    # every scenario (validation.batched_pmt pad_shape).
+    pad_shape = None
+    if args.batched and len(collections) > 1:
+        pad_m = max(len(h) for h, _, _ in collections.values())
+        pad_r = max(
+            max(pm.n_realisations for pm in mc)
+            for h, f, _ in collections.values()
+            for mc in (h, f)
+        )
+        pad_shape = (pad_m, pad_r)
+        print(f"shape bucket: pad_m={pad_m}, pad_r={pad_r}", flush=True)
+
+    for ssp in ssps:
+        hist, fore, use_prefit = collections[ssp]
         for wname in args.weights.split(","):
             weight_cls = getattr(bet, wname)
             pmt = PerfectModelTest(
@@ -93,7 +112,7 @@ def main():
             if args.batched:
                 if not use_prefit:
                     raise SystemExit("--batched requires --prefit-dir")
-                df = pmt.run_batched()
+                df = pmt.run_batched(pad_shape=pad_shape)
             else:
                 df = pmt.run(
                     n_optim_nits=args.n_optim_nits, use_prefit_models=use_prefit

@@ -313,3 +313,34 @@ def test_batched_pmt_mixture_sigma_matches_loop(rng):
         rtol=1e-5,
         atol=1e-8,
     )
+
+
+def test_batched_pmt_pad_shape_matches_unpadded(rng):
+    """Shape-bucketed batched PMT (pad_shape): padded program == unpadded
+    for every campaign weighter, plus the include-sim and mixture-sigma
+    variants — the padding masks must make padded models/realisations/folds
+    invisible to the real results."""
+    import pytest
+
+    from bayesian_ensembling_tpu.validation import batched_pmt
+
+    hind, fore = _prefit(rng, n_models=3, n_months=10)
+    for kind in ("crps", "loglik", "ksd", "inverse_square", "uniform"):
+        want = batched_pmt(hind, fore, kind)
+        got = batched_pmt(hind, fore, kind, pad_shape=(6, 7))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(
+            got, want, rtol=1e-6, atol=1e-9, err_msg=f"pad_shape != plain for {kind}"
+        )
+    for kw in (
+        {"include_sim": True},
+        {"sigma_mode": "mixture"},
+        {"compat_fixed_point": True},
+    ):
+        want = batched_pmt(hind, fore, "crps", **kw)
+        got = batched_pmt(hind, fore, "crps", pad_shape=(5, 6), **kw)
+        np.testing.assert_allclose(
+            got, want, rtol=1e-6, atol=1e-9, err_msg=f"pad_shape != plain for {kw}"
+        )
+    with pytest.raises(ValueError, match="pad_shape"):
+        batched_pmt(hind, fore, "crps", pad_shape=(2, 6))
