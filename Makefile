@@ -24,3 +24,6 @@ clean:
 
 docs:  ## Build Sphinx HTML docs (requires: pip install sphinx furo myst-parser sphinxcontrib-bibtex)
 	sphinx-build -b html docs docs/_build/html
+
+docs-fallback:  ## Build static HTML docs with the stdlib-only builder (no sphinx needed)
+	python docs/build_fallback.py

@@ -101,3 +101,38 @@ def test_conf_requirements_documented():
     for pkg in ("furo", "myst-parser", "sphinxcontrib-bibtex"):
         assert pkg in workflow, f"CI docs job missing {pkg}"
     assert "sphinxcontrib.bibtex" in conf and "myst_parser" in conf
+
+
+def test_fallback_build_produces_html(tmp_path):
+    """The sphinx-free builder (docs/build_fallback.py) produces a real HTML
+    rendering of the doc sources IN THIS environment — the docs build is
+    demonstrated on every test run, not just declared for CI."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "build_fallback", os.path.join(DOCS, "build_fallback.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    outdir = mod.build(str(tmp_path))
+
+    pages = sorted(os.listdir(outdir))
+    assert "index.html" in pages
+    # every toctree entry got a page (skip option lines like ":maxdepth: 1")
+    for _, text in _rst_sources().items():
+        for m in re.finditer(r"^\.\. toctree::\n((?:[ \t]+.*\n?)*)", text, re.M):
+            for line in m.group(1).splitlines():
+                entry = line.strip()
+                if entry and not entry.startswith(":"):
+                    assert f"{entry}.html" in pages, entry
+    index = open(os.path.join(outdir, "index.html")).read()
+    # every automodule target and every :members: name is rendered
+    for modname, members in _automodule_blocks():
+        assert modname in index, f"automodule {modname} missing from HTML"
+        for name in members or []:
+            assert name in index, f"member {name} missing from HTML"
+    # bibliography rendered with anchors for the cited keys
+    for _, text in _rst_sources().items():
+        for key in re.findall(r":cite:`([^`]+)`", text):
+            for k in key.split(","):
+                assert f'id="bib-{k.strip()}"' in index
