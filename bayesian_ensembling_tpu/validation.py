@@ -234,7 +234,11 @@ def _pmt_program():
             w2_m = gaussian_w2_distance(
                 mmm_mu, jnp.diag(mmm_var), fore_mean[i], fore_cov[i]
             )
-            return jnp.stack([nll_b, rmse_b, w2_b, nll_m, rmse_m, w2_m])
+            metrics = jnp.stack([nll_b, rmse_b, w2_b, nll_m, rmse_m, w2_m])
+            # The per-fold combination products ride along for free (already
+            # computed for the metrics) so the caller can draw the
+            # reference's weight/projection figures without a second pass.
+            return metrics, w, bary_mu, bary_sigma, mmm_mu, mmm_var
 
         return jax.vmap(fold)(jnp.arange(m))
 
@@ -254,6 +258,7 @@ def batched_pmt(
     sigma_mode: str = "w2",
     include_sim: bool = False,
     pad_shape: tp.Optional[tp.Tuple[int, int]] = None,
+    return_details: bool = False,
 ) -> np.ndarray:
     """ALL leave-one-out folds of the perfect-model test as ONE jitted
     program.
@@ -279,11 +284,16 @@ def batched_pmt(
         that collections of different (M, R) — e.g. the 7 SSP scenarios —
         all hit ONE compiled program per (weighter, sigma-mode); padded fold
         lanes recompute the last real fold and are sliced off the result.
+      return_details: also return the per-fold combination products as a
+        dict (``weights`` (M, M) fold x model time-mean weights,
+        ``bary_mean``/``bary_sigma``/``mmm_mean``/``mmm_var`` (M, T_s)) for
+        the reference's per-fold figures (utils.py:121-179).
 
     Returns:
       ``(n_models, 6)`` float array, columns
       ``[nll_bary, rmse_bary, w2_bary, nll_mmm, rmse_mmm, w2_mmm]`` in
-      leave-one-out order (fold i = model i as pseudo truth).
+      leave-one-out order (fold i = model i as pseudo truth); with
+      ``return_details`` a ``(metrics, details)`` tuple.
     """
     import jax
     import jax.numpy as jnp
@@ -430,7 +440,7 @@ def batched_pmt(
     else:
         ll_table = None
 
-    out = _pmt_program()(
+    metrics, w, bary_mu, bary_sigma, mmm_mu, mmm_var = _pmt_program()(
         hist_mean,
         hist_var,
         fore_mean,
@@ -448,7 +458,16 @@ def batched_pmt(
         sigma_mode=sigma_mode,
         compat_fixed_point=bool(compat_fixed_point),
     )
-    return np.asarray(out)[:m]
+    if not return_details:
+        return np.asarray(metrics)[:m]
+    details = {
+        "weights": np.asarray(w)[:m, :m],
+        "bary_mean": np.asarray(bary_mu)[:m],
+        "bary_sigma": np.asarray(bary_sigma)[:m],
+        "mmm_mean": np.asarray(mmm_mu)[:m],
+        "mmm_var": np.asarray(mmm_var)[:m],
+    }
+    return np.asarray(metrics)[:m], details
 
 
 class PerfectModelTest:
@@ -518,7 +537,9 @@ class PerfectModelTest:
             total = mean_weights.values
 
         if self.save_dir:
-            self._plot_weights(forecast, total, weight_fn.name, pseudo_future.name)
+            self._plot_weights(
+                forecast.model_names, total, weight_fn.name, pseudo_future.name
+            )
 
         w_fore = np.broadcast_to(
             total[:, None], (len(forecast), len(forecast.time))
@@ -592,12 +613,18 @@ class PerfectModelTest:
             print(f"Saved results to {path}")
         return df
 
-    def run_batched(self, pad_shape: tp.Optional[tp.Tuple[int, int]] = None):
+    def run_batched(
+        self,
+        pad_shape: tp.Optional[tp.Tuple[int, int]] = None,
+        figures: bool = False,
+    ):
         """All leave-one-out folds in one XLA program (``batched_pmt``).
 
         Requires prefit collections (posteriors set), the Barycentre scheme,
         and a weighter in ``BATCHED_WEIGHT_KINDS``; produces the same
-        DataFrame as ``run(use_prefit_models=True)`` (no figures), including
+        DataFrame as ``run(use_prefit_models=True)`` (figures opt-in via
+        ``figures=True``: the per-fold weight bar chart and projection
+        figure come from the batched program's own outputs), including
         the ``include_sim`` similarity multiplier.  Equality with the loop
         path is tested in tests/test_validation.py.
 
@@ -632,7 +659,7 @@ class PerfectModelTest:
                 f"run_batched needs PREFIT collections; missing posteriors "
                 f"for {sorted(set(unfitted))}"
             )
-        out = batched_pmt(
+        out, details = batched_pmt(
             self.hindcast_models,
             self.forecast_models,
             kind,
@@ -642,6 +669,7 @@ class PerfectModelTest:
             sigma_mode=self.scheme_kwargs.get("sigma_mode", "w2"),
             include_sim=self.include_sim,
             pad_shape=pad_shape,
+            return_details=True,
         )
         df = pd.DataFrame(
             out,
@@ -662,14 +690,48 @@ class PerfectModelTest:
             )
             df.to_csv(path)
             print(f"Saved results to {path}")
+            if figures:
+                self._plot_batched_folds(details, wname)
         return df
 
+    def _plot_batched_folds(self, details, wname):
+        """The reference's per-fold weight bar chart and projection figure
+        (utils.py:121-131,163-179), drawn from the batched program's
+        per-fold combination products."""
+        from bayesian_ensembling_tpu.data import Posterior
+        from bayesian_ensembling_tpu.ops.distributions import DiagGaussian
+
+        names = list(self.forecast_models.model_names)
+        template = self.forecast_models[0].blank_template()
+        for i, pseudo_name in enumerate(names):
+            others = [j for j in range(len(names)) if j != i]
+            self._plot_weights(
+                [names[j] for j in others],
+                details["weights"][i, others],
+                wname,
+                pseudo_name,
+            )
+            bary = Posterior(
+                gaussian=DiagGaussian(
+                    mean=details["bary_mean"][i],
+                    var=details["bary_sigma"][i] ** 2,
+                ),
+                template=template,
+            )
+            mmm = Posterior(
+                gaussian=DiagGaussian(
+                    mean=details["mmm_mean"][i], var=details["mmm_var"][i]
+                ),
+                template=template,
+            )
+            self._plot_projection(bary, mmm, self.forecast_models[i], wname)
+
     # --------------------------------------------------------------- figures
-    def _plot_weights(self, forecast, total, wname, pseudo_name):
+    def _plot_weights(self, model_names, total, wname, pseudo_name):
         import matplotlib.pyplot as plt
 
         plt.figure()
-        plt.bar(forecast.model_names, np.asarray(total))
+        plt.bar(list(model_names), np.asarray(total))
         plt.ylabel("Weights")
         plt.xticks(rotation="vertical")
         suffix = f"{wname}_plus_sim" if self.include_sim else wname

@@ -53,8 +53,14 @@ def main():
     ap.add_argument(
         "--batched",
         action="store_true",
-        help="all leave-one-out folds in one XLA program (prefit only, "
-        "no figures; validation.batched_pmt)",
+        help="all leave-one-out folds in one XLA program (prefit only; "
+        "validation.batched_pmt)",
+    )
+    ap.add_argument(
+        "--figures",
+        action="store_true",
+        help="with --batched: also draw the per-fold weight/projection "
+        "figures from the batched program's outputs",
     )
     args = ap.parse_args()
 
@@ -112,7 +118,7 @@ def main():
             if args.batched:
                 if not use_prefit:
                     raise SystemExit("--batched requires --prefit-dir")
-                df = pmt.run_batched(pad_shape=pad_shape)
+                df = pmt.run_batched(pad_shape=pad_shape, figures=args.figures)
             else:
                 df = pmt.run(
                     n_optim_nits=args.n_optim_nits, use_prefit_models=use_prefit

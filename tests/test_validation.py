@@ -344,3 +344,24 @@ def test_batched_pmt_pad_shape_matches_unpadded(rng):
         )
     with pytest.raises(ValueError, match="pad_shape"):
         batched_pmt(hind, fore, "crps", pad_shape=(2, 6))
+
+
+def test_run_batched_figures(rng, tmp_path):
+    """run_batched(figures=True) draws the reference's per-fold weight and
+    projection figures (utils.py:121-131,163-179) from the batched
+    program's own outputs."""
+    hind, fore = _prefit(rng, n_models=3, n_months=10)
+    pmt = PerfectModelTest(
+        hindcast_models=hind,
+        forecast_models=fore,
+        emulate_method=None,
+        weight_method=bet.CRPSWeight,
+        ensemble_method=bet.Barycentre,
+        ssp="testssp",
+        save_dir=str(tmp_path),
+    )
+    pmt.run_batched(figures=True)
+    weights_dir = tmp_path / "figs" / "weights"
+    projs_dir = tmp_path / "figs" / "projs"
+    assert len(list(weights_dir.glob("*.png"))) == len(hind)
+    assert len(list(projs_dir.glob("*.png"))) == len(hind)
