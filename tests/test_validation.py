@@ -1,5 +1,7 @@
 """PerfectModelTest harness + metrics tests."""
 
+import os
+
 import numpy as np
 import scipy.stats
 
@@ -365,3 +367,40 @@ def test_run_batched_figures(rng, tmp_path):
     projs_dir = tmp_path / "figs" / "projs"
     assert len(list(weights_dir.glob("*.png"))) == len(hind)
     assert len(list(projs_dir.glob("*.png"))) == len(hind)
+
+
+def test_campaign_cli_bucketed(rng, tmp_path, capsys, monkeypatch):
+    """The campaign CLI's --batched path: prefit npz collections for two
+    'scenarios' with different model counts run through one shape bucket and
+    produce CSVs for both."""
+    import runpy
+    import sys
+
+    prefit = tmp_path / "prefit"
+    prefit.mkdir()
+    for ssp, n_models in (("sspa", 3), ("sspb", 4)):
+        hind, fore = _prefit(rng, n_models=n_models, n_months=10)
+        hind.save(str(prefit / f"hist_{ssp}.npz"))
+        fore.save(str(prefit / f"{ssp}.npz"))
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "experiments", "perfect_model_tests.py"
+    )
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        [
+            "perfect_model_tests",
+            "--batched",
+            "--prefit-dir", str(prefit),
+            "--ssps", "sspa,sspb",
+            "--weights", "CRPSWeight,UniformWeight",
+            "--out-dir", str(tmp_path / "out"),
+        ],
+    )
+    runpy.run_path(path, run_name="__main__")
+    out = capsys.readouterr().out
+    assert "shape bucket: pad_m=4" in out
+    for ssp in ("sspa", "sspb"):
+        csvs = list((tmp_path / "out" / ssp / "csvs").glob("*.csv"))
+        assert len(csvs) == 2, (ssp, csvs)
