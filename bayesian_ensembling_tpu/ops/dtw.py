@@ -127,9 +127,15 @@ def dtw_pairwise_sq(series: jnp.ndarray, mask: tp.Optional[jnp.ndarray] = None) 
     Pallas wavefront kernel (ops/dtw_pallas.py) instead of a vmapped scan.
     """
     r, t = series.shape
-    if jax.default_backend() == "tpu":
-        from bayesian_ensembling_tpu.ops.dtw_pallas import squared_dtw_cost_batch
+    from bayesian_ensembling_tpu.ops.dtw_pallas import (
+        dtw_cost_fits,
+        squared_dtw_cost_batch,
+    )
 
+    # Kernel only when the problem fits its scoped-VMEM ceiling (~T 5300);
+    # beyond that the vmapped lax.scan wavefront below IS the dispatch the
+    # kernel's own ValueError points to.
+    if jax.default_backend() == "tpu" and dtw_cost_fits(t):
         # Squared-DTW is symmetric with a zero diagonal (the DP recurrence
         # mirrors under i<->j), so only the R(R-1)/2 upper-triangle problems
         # run through the kernel — half the wavefront work of all R^2 pairs.

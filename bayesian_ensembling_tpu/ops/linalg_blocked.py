@@ -1,4 +1,4 @@
-"""Two-level blocked batched Cholesky/solves for the monthly-T regime.
+"""Recursive blocked NLML terms for the monthly-T regime.
 
 The batch-in-lanes Pallas kernels (ops/linalg_pallas.py) own T <= ~169,
 where the whole (T, T, 128-lane) problem fits scoped VMEM and the VPU is
@@ -9,15 +9,24 @@ table).  This module is the hybrid VERDICT r2 item 5 asked to measure:
 
   * diagonal nb x nb blocks are factorised/inverted by the EXISTING
     batch-in-lanes Pallas kernels (VPU work, the part XLA does worst);
-  * panel solves and trailing (SYRK-style) updates are big batched
-    matmuls left to XLA -> MXU, where they tile well.
+  * everything else is a handful of LARGE batched GEMMs left to
+    XLA -> MXU, where they tile well.
 
-Layout: everything uses the repo's ``(T, T, B)`` "tlb" convention at the
-API boundary (rows of the factor = columns of L, i.e. the L^T layout the
-Pallas kernels emit); internally the MXU stages run in ``(B, T, T)``.
+The recursion (``_rec_inv_logdiag``) computes ``W = L^-1`` jointly with
+the factor's log-diagonal, so the NLML forward is two matvecs and the
+custom-VJP backward gets ``K^-1 = W^T W`` with no extra factorisation.
+A column-blocked scheme (right-looking panels, O(n_blocks^2) small
+dependent matmuls) was measured first and REJECTED at 1.33x vs the
+recursion's 2.05x (BASELINE.md); its implementation was removed —
+``nlml_terms_blocked`` is the only production entry point, dispatched by
+``linalg_pallas.linalg_path(t, b=batch)`` from the fused NLML step.
 
-All functions are jit-friendly: the block loop is a Python loop over a
-STATIC block count, unrolled at trace time with static slice bounds.
+Layout: ``(T, T, B)`` "tlb" at the linalg_pallas boundary (rows of the
+factor = columns of L, i.e. the L^T layout the Pallas kernels emit);
+the MXU stages run in ``(B, T, T)``.
+
+Everything is jit-friendly: the recursion is unrolled at trace time with
+static split points.
 """
 
 from __future__ import annotations
@@ -31,9 +40,6 @@ import jax.numpy as jnp
 from bayesian_ensembling_tpu.ops import linalg_pallas as lp
 
 __all__ = [
-    "blocked_cholesky",
-    "blocked_solve_vec",
-    "blocked_tri_inv",
     "nlml_terms_blocked",
     "DEFAULT_BLOCK",
 ]
@@ -74,203 +80,24 @@ def _diag_tri_inv(l_btt: jnp.ndarray) -> jnp.ndarray:
     return jnp.transpose(w, (2, 0, 1))  # (B, nb, nb) lower
 
 
-def blocked_cholesky(ky_tlb: jnp.ndarray, nb: int = DEFAULT_BLOCK) -> jnp.ndarray:
-    """Batched blocked right-looking Cholesky.
+def _rec_inv_logdiag(a_btt: jnp.ndarray, nb: int):
+    """Recursive 2x2-block Cholesky inverse: ``(W = L^-1, sum log diag L)``.
 
-    Args:
-      ky_tlb: ``(T, T, B)`` SPD matrices (tlb layout).
-      nb: block edge (static).
-
-    Returns:
-      ``(T, T, B)`` L^T-layout factor, same contract as
-      ``linalg_pallas.cholesky_batched``.
-    """
-    a = jnp.transpose(ky_tlb, (2, 0, 1))  # (B, T, T)
-    a, t_orig = _pad_to_block(a, nb)
-    t = a.shape[-1]
-    n_blocks = t // nb
-    b = a.shape[0]
-    l_out = jnp.zeros_like(a)
-
-    for k in range(n_blocks):
-        lo, hi = k * nb, (k + 1) * nb
-        dkk = _diag_chol(a[:, lo:hi, lo:hi])  # (B, nb, nb) lower
-        l_out = l_out.at[:, lo:hi, lo:hi].set(dkk)
-        if hi < t:
-            w = _diag_tri_inv(dkk)  # L_kk^-1
-            # Panel: L[i,k] = A[i,k] L_kk^-T  for all i > k (one matmul).
-            panel = jnp.matmul(
-                a[:, hi:, lo:hi], jnp.swapaxes(w, -1, -2), precision=_HI
-            )  # (B, T-hi, nb)
-            l_out = l_out.at[:, hi:, lo:hi].set(panel)
-            # Trailing SYRK update: A[i,j] -= L[i,k] L[j,k]^T — the MXU stage.
-            a = a.at[:, hi:, hi:].add(
-                -jnp.matmul(panel, jnp.swapaxes(panel, -1, -2), precision=_HI)
-            )
-    l_out = l_out[:, :t_orig, :t_orig]
-    return jnp.transpose(l_out, (2, 1, 0))  # L^T layout (rows = cols of L)
-
-
-def blocked_tri_inv(lt: jnp.ndarray, nb: int = DEFAULT_BLOCK) -> jnp.ndarray:
-    """W = L^-1 for every batch lane, blocked.
-
-    Block-column forward scheme: ``W[k,k] = inv(L[k,k])`` (Pallas diagonal
-    kernel); for i > k, ``W[i,k] = -inv(L[i,i]) sum_{k<=j<i} L[i,j] W[j,k]``
-    — the inner sums are batched matmuls (MXU).  Same contract as
-    ``linalg_pallas.tri_inv_batched`` (tlb layout, rows of W).
-    """
-    l = jnp.transpose(lt, (2, 1, 0))  # (B, T, T) lower
-    t_orig = l.shape[-1]
-    tp_ = -(-t_orig // nb) * nb
-    if tp_ != t_orig:
-        pad = tp_ - t_orig
-        l = jnp.pad(l, ((0, 0), (0, pad), (0, pad)))
-        l = l + jnp.zeros((tp_, tp_), l.dtype).at[
-            jnp.arange(t_orig, tp_), jnp.arange(t_orig, tp_)
-        ].set(1.0)[None]
-    t = l.shape[-1]
-    n_blocks = t // nb
-
-    # Diagonal-block inverses once (shared across block columns).
-    diag_inv = []
-    for i in range(n_blocks):
-        lo, hi = i * nb, (i + 1) * nb
-        diag_inv.append(_diag_tri_inv(l[:, lo:hi, lo:hi]))
-
-    w = jnp.zeros_like(l)
-    for k in range(n_blocks):
-        klo, khi = k * nb, (k + 1) * nb
-        w = w.at[:, klo:khi, klo:khi].set(diag_inv[k])
-        for i in range(k + 1, n_blocks):
-            ilo, ihi = i * nb, (i + 1) * nb
-            # sum_{j=k..i-1} L[i,j] W[j,k]  -> one matmul over the strip.
-            strip = jnp.matmul(
-                l[:, ilo:ihi, klo:ilo], w[:, klo:ilo, klo:khi], precision=_HI
-            )
-            w = w.at[:, ilo:ihi, klo:khi].set(
-                -jnp.matmul(diag_inv[i], strip, precision=_HI)
-            )
-    w = w[:, :t_orig, :t_orig]
-    return jnp.transpose(w, (1, 2, 0))  # rows of W (matches tri_inv_batched)
-
-
-def blocked_solve_vec(
-    lt: jnp.ndarray, y_tb: jnp.ndarray, nb: int = DEFAULT_BLOCK
-):
-    """(z, alpha, logdet) with blocked forward/backward substitution.
-
-    Same contract as ``linalg_pallas.solve_vec_batched``: solves
-    ``L z = y`` and ``L^T alpha = z``; logdet = 2 sum log diag L.
-    The per-block triangular solves reuse the Pallas diagonal inverses;
-    the cross-block couplings are batched (B, nb, nb) @ (B, nb) matvecs.
-    """
-    l = jnp.transpose(lt, (2, 1, 0))  # (B, T, T) lower
-    y = y_tb.T  # (B, T)
-    t_orig = l.shape[-1]
-    tp_ = -(-t_orig // nb) * nb
-    if tp_ != t_orig:
-        pad = tp_ - t_orig
-        l = jnp.pad(l, ((0, 0), (0, pad), (0, pad)))
-        l = l + jnp.zeros((tp_, tp_), l.dtype).at[
-            jnp.arange(t_orig, tp_), jnp.arange(t_orig, tp_)
-        ].set(1.0)[None]
-        y = jnp.pad(y, ((0, 0), (0, pad)))
-    t = l.shape[-1]
-    n_blocks = t // nb
-
-    diag_inv = []
-    for i in range(n_blocks):
-        lo, hi = i * nb, (i + 1) * nb
-        diag_inv.append(_diag_tri_inv(l[:, lo:hi, lo:hi]))
-
-    z = jnp.zeros_like(y)
-    for k in range(n_blocks):
-        lo, hi = k * nb, (k + 1) * nb
-        rhs = y[:, lo:hi]
-        if k:
-            rhs = rhs - jnp.einsum(
-                "bij,bj->bi", l[:, lo:hi, :lo], z[:, :lo], precision=_HI
-            )
-        z = z.at[:, lo:hi].set(
-            jnp.einsum("bij,bj->bi", diag_inv[k], rhs, precision=_HI)
-        )
-
-    alpha = jnp.zeros_like(y)
-    for k in reversed(range(n_blocks)):
-        lo, hi = k * nb, (k + 1) * nb
-        rhs = z[:, lo:hi]
-        if hi < t:
-            # L^T's (k, j>k) block is L[j,k]^T.
-            rhs = rhs - jnp.einsum(
-                "bji,bj->bi", l[:, hi:, lo:hi], alpha[:, hi:], precision=_HI
-            )
-        alpha = alpha.at[:, lo:hi].set(
-            jnp.einsum("bji,bj->bi", diag_inv[k], rhs, precision=_HI)
-        )
-
-    diag = jnp.diagonal(l, axis1=-2, axis2=-1)[:, :t_orig]
-    logdet = 2.0 * jnp.sum(jnp.log(diag), axis=-1)
-    return z[:, :t_orig].T, alpha[:, :t_orig].T, logdet
-
-
-def _rec_chol_inv(a_btt: jnp.ndarray, nb: int):
-    """Recursive 2x2-block Cholesky + triangular inverse, jointly.
-
-    Returns ``(L, W = L^-1)``, both ``(B, n, n)`` lower.  The classic
-    recursion::
+    The classic recursion::
 
         [[A, B^T],      L = [[LA,  0 ],     W = [[WA,          0 ],
          [B, C  ]]           [Lb,  LC]]          [-WC Lb WA,   WC]]
 
-        Lb = B WA^T;  S = C - Lb Lb^T;  (LC, WC) = recurse(S)
+        Lb = B WA^T;  S = C - Lb Lb^T;  WC = recurse(S)
 
-    converts the column-blocked scheme's O(n_blocks^2) *small dependent*
+    turns a column-blocked scheme's O(n_blocks^2) *small dependent*
     matmuls into O(log) *large* GEMMs — the shape the MXU actually tiles
     well — while the <= nb base case stays on the Pallas batch-in-lanes
-    kernels.  Requires n to be a multiple of nb (callers pad with an
-    identity tail).
-    """
-    n = a_btt.shape[-1]
-    if n <= nb:
-        l = _diag_chol(a_btt)
-        return l, _diag_tri_inv(l)
-    h = (n // 2 + nb - 1) // nb * nb  # block-aligned split
-    if h >= n:
-        h = n - nb
-    a11 = a_btt[:, :h, :h]
-    a21 = a_btt[:, h:, :h]
-    a22 = a_btt[:, h:, h:]
-    la, wa = _rec_chol_inv(a11, nb)
-    lb = jnp.matmul(a21, jnp.swapaxes(wa, -1, -2), precision=_HI)
-    s = a22 - jnp.matmul(lb, jnp.swapaxes(lb, -1, -2), precision=_HI)
-    lc, wc = _rec_chol_inv(s, nb)
-    x = -jnp.matmul(wc, jnp.matmul(lb, wa, precision=_HI), precision=_HI)
-    zeros = jnp.zeros((a_btt.shape[0], h, n - h), a_btt.dtype)
-    l = jnp.concatenate(
-        [
-            jnp.concatenate([la, zeros], axis=2),
-            jnp.concatenate([lb, lc], axis=2),
-        ],
-        axis=1,
-    )
-    w = jnp.concatenate(
-        [
-            jnp.concatenate([wa, zeros], axis=2),
-            jnp.concatenate([x, wc], axis=2),
-        ],
-        axis=1,
-    )
-    return l, w
-
-
-def _rec_inv_logdiag(a_btt: jnp.ndarray, nb: int):
-    """Lean twin of :func:`_rec_chol_inv` for the NLML path: returns only
-    ``(W = L^-1, sum log diag L)``.
-
-    The full factor L is never assembled — the NLML consumes only W (for
-    z/alpha/K^-1) and L's log-diagonal (for logdet), and skipping L's
-    block concatenations saves ~1 GB of pure HBM copies per call at
-    (B=112, T=1032) f32.
+    kernels.  The full factor L is never assembled: the NLML consumes only
+    W (for z/alpha/K^-1) and L's log-diagonal (for logdet), and skipping
+    L's block concatenations saves ~1 GB of pure HBM copies per call at
+    (B=112, T=1032) f32.  Requires n to be a multiple of nb (callers pad
+    with an identity tail).
     """
     n = a_btt.shape[-1]
     if n <= nb:

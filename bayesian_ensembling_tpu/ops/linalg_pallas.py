@@ -552,7 +552,10 @@ def linalg_path(
     ``b`` (batch size) further gates the blocked hybrid: its diagonal
     blocks are 128-lane Pallas kernels, so small batches
     (< ``BLOCKED_MIN_BATCH``) stay on XLA (measured slower otherwise).
-    ``b=None`` means unknown and trusts the T gate alone.
+    Only the fused NLML step (ops/gp.py) HAS a blocked implementation —
+    callers that pass ``b=None`` (the standalone cholesky/solve/tri-inverse
+    entry points) can only choose pallas or xla, so ``b=None`` never
+    returns ``"blocked"``.
     """
     backend = backend or jax.default_backend()
     sub = -(-t // 8) * 8
@@ -561,18 +564,20 @@ def linalg_path(
         return "pallas"
     if backend != "tpu":
         return "xla"
-    blocked_ok = t <= BLOCKED_T_CAP and (b is None or b >= BLOCKED_MIN_BATCH)
+    blocked_ok = (
+        b is not None and b >= BLOCKED_MIN_BATCH and t <= BLOCKED_T_CAP
+    )
     path = "blocked" if blocked_ok else "xla"
-    if t not in _warned_fallback:
-        _warned_fallback.add(t)
+    if (t, path) not in _warned_fallback:
+        _warned_fallback.add((t, path))
         import warnings
 
         warnings.warn(
             f"batched linalg at T={t} exceeds the Pallas VMEM budget "
             f"({_vmem_bytes(t) / 2**20:.0f} MB per (T,T,128) buffer); "
             + (
-                "using the recursive blocked hybrid (Pallas diagonal "
-                "blocks + MXU GEMMs)"
+                "NLML step using the recursive blocked hybrid (Pallas "
+                "diagonal blocks + MXU GEMMs)"
                 if path == "blocked"
                 else "using XLA's blocked decompositions instead"
             )

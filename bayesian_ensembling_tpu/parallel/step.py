@@ -448,6 +448,10 @@ def make_sharded_step(
     wasserstein.py:86,98).  Inputs arrive sharded on the leading model dim;
     obs replicated; barycentre outputs replicated, weights sharded.
     """
+    if sigma_mode not in ("w2", "mixture"):
+        raise ValueError(
+            f"fused step supports sigma_mode 'w2' | 'mixture', got {sigma_mode!r}"
+        )
     em = functools.partial(
         emulate_marginals,
         kernel_name=kernel_name,

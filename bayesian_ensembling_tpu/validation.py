@@ -47,20 +47,6 @@ BATCHED_WEIGHT_KINDS = {
 }
 
 
-def _pad_axis(a: np.ndarray, axis: int, n: int, value: float = 0.0) -> np.ndarray:
-    """Pad ``a`` with ``value`` along ``axis`` up to length ``n``."""
-    grow = n - a.shape[axis]
-    if grow < 0:
-        raise ValueError(
-            f"pad_shape smaller than data: axis {axis} has {a.shape[axis]} > {n}"
-        )
-    if grow == 0:
-        return a
-    widths = [(0, 0)] * a.ndim
-    widths[axis] = (0, grow)
-    return np.pad(a, widths, constant_values=value)
-
-
 _PMT_PROGRAM = None
 
 

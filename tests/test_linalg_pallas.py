@@ -197,7 +197,8 @@ def test_fused_solve_nan_on_non_pd(rng, interp):
 
 def test_linalg_path_dispatch():
     """Monthly-resolution T leaves the pallas path — loudly: 1032 (SSP) to
-    the recursive blocked hybrid, 1980 (historical) to XLA."""
+    the recursive blocked hybrid for the NLML fit (which passes its batch
+    size), XLA everywhere else; 1980 (historical) to XLA."""
     import warnings as _warnings
 
     lp._warned_fallback.clear()
@@ -205,15 +206,20 @@ def test_linalg_path_dispatch():
     assert lp.linalg_path(86, backend="tpu") == "pallas"
     with _warnings.catch_warnings(record=True) as rec:
         _warnings.simplefilter("always")
-        assert lp.linalg_path(1032, backend="tpu") == "blocked"
+        # Only the fused NLML step has a blocked implementation; it passes
+        # b — the standalone entry points (b=None) can only run XLA here.
+        assert lp.linalg_path(1032, backend="tpu", b=112) == "blocked"
+        assert lp.linalg_path(1032, backend="tpu") == "xla"
         assert lp.linalg_path(1980, backend="tpu") == "xla"
-    assert len(rec) == 2 and "VMEM" in str(rec[0].message)
+    assert len(rec) == 3 and "VMEM" in str(rec[0].message)
     assert "blocked hybrid" in str(rec[0].message)
     assert "XLA" in str(rec[1].message)
-    # warn-once: repeat call is quiet
+    assert "XLA" in str(rec[2].message)
+    # warn-once per (T, path): repeat calls are quiet
     with _warnings.catch_warnings(record=True) as rec2:
         _warnings.simplefilter("always")
-        assert lp.linalg_path(1032, backend="tpu") == "blocked"
+        assert lp.linalg_path(1032, backend="tpu", b=112) == "blocked"
+        assert lp.linalg_path(1032, backend="tpu") == "xla"
     assert not rec2
     # B-aware: small batches waste the hybrid's 128-lane diagonal kernels
     # (measured 0.86x at B=14, the bundled monthly ssp585) -> XLA.
