@@ -77,5 +77,6 @@ def test_annual_config_unchanged():
     assert not dp.split_dba_fits(3200)
     assert dp.dtw_cost_fits(1980)
     assert lp.linalg_path(165, backend="tpu") == "pallas"
-    assert lp.linalg_path(1032, backend="tpu") == "blocked"
+    assert lp.linalg_path(1032, backend="tpu", b=112) == "blocked"
+    assert lp.linalg_path(1032, backend="tpu") == "xla"  # b=None: no blocked impl
     assert lp.linalg_path(1980, backend="tpu") == "xla"
