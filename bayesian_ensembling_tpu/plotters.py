@@ -3,8 +3,10 @@
 Capability match for ``/root/reference/ensembles/plotters.py`` plus the plot
 methods embedded across the reference's containers (ProcessModel.plot,
 ModelCollection.plot_all/plot_grid, Distribution.plot_temporally/
-plot_spatially, Barycentre.plot).  Spatial maps use plain matplotlib (no
-cartopy dependency in this environment — gated gracefully).
+plot_spatially, Barycentre.plot).  Spatial maps draw Robinson-projection
+cartopy axes with coastlines when cartopy is importable (the reference's
+presentation, data.py:100-131) and fall back to lat/lon-extent images
+otherwise — cartopy is an optional dependency, never a hard one.
 """
 
 from __future__ import annotations
@@ -143,9 +145,26 @@ def plot_posterior_temporal(post, ax=None, color=None, label=None, n_sigma=(1, 2
     return ax
 
 
+def _geo_projections():
+    """(plot_proj, data_proj) when cartopy is importable, else (None, None).
+
+    The reference draws its spatial posteriors on Robinson-projection map
+    axes with PlateCarree-referenced data and coastlines
+    (data.py:100-131); cartopy is not installed in every environment this
+    library targets, so the capability is import-gated rather than a hard
+    dependency."""
+    try:
+        import cartopy.crs as ccrs
+    except Exception:
+        return None, None
+    return ccrs.Robinson(), ccrs.PlateCarree()
+
+
 def plot_posterior_spatial(post, fig=None):
-    """Time-mean maps of posterior mean and stddev (reference data.py:100-131,
-    minus cartopy projections which are unavailable here)."""
+    """Time-mean maps of posterior mean and stddev (reference data.py:100-131).
+
+    Uses Robinson-projection map axes with coastlines when cartopy is
+    importable; otherwise falls back to plain lat/lon-extent images."""
     mean = post.mean
     sd = post.stddev
     dims = mean.dims
@@ -157,12 +176,31 @@ def plot_posterior_spatial(post, fig=None):
         s = sd.values.mean(axis=t_ax)
     else:
         m, s = mean.values, sd.values
+    lat = np.asarray(mean.get_coord("latitude"), float)
+    lon = np.asarray(mean.get_coord("longitude"), float)
+    # Fields arrive (latitude, longitude) after the time collapse; transpose
+    # if the container carries them the other way round.
+    if m.shape != (lat.size, lon.size):
+        m, s = m.T, s.T
+    plot_proj, data_proj = _geo_projections()
     if fig is None:
-        fig, axes = plt.subplots(1, 2, figsize=(12, 5))
-    else:
-        axes = fig.subplots(1, 2)
-    for ax, field, title in zip(axes, (m, s), ("mean", "stddev")):
-        im = ax.imshow(field, origin="lower", aspect="auto", cmap="viridis")
+        fig = plt.figure(figsize=(12, 5))
+    for i, (field, title) in enumerate(zip((m, s), ("mean", "stddev"))):
+        if plot_proj is not None:
+            ax = fig.add_subplot(1, 2, i + 1, projection=plot_proj)
+            im = ax.pcolormesh(lon, lat, field, transform=data_proj, cmap="viridis")
+            ax.coastlines()
+        else:
+            ax = fig.add_subplot(1, 2, i + 1)
+            im = ax.imshow(
+                field,
+                origin="lower",
+                aspect="auto",
+                cmap="viridis",
+                extent=(lon.min(), lon.max(), lat.min(), lat.max()),
+            )
+            ax.set_xlabel("longitude")
+            ax.set_ylabel("latitude")
         fig.colorbar(im, ax=ax, orientation="horizontal")
         ax.set_title(f"posterior {title}")
     return fig

@@ -51,6 +51,28 @@ MEAN_TOL = float(os.environ.get("BENCH_PARITY_MEAN_TOL", "1e-3"))
 STD_TOL = float(os.environ.get("BENCH_PARITY_STD_TOL", "1e-3"))
 
 
+def select_oracle_entry(loaded, *, n_iters, n_cells, warm_stride, fine_nits, lat, lon):
+    """Pick the oracle entry matching this run's configuration, or None.
+
+    The warm oracle file holds one entry per configuration (``{"entries":
+    [...]}``, one per fine step count etc.); the non-warm file and legacy
+    warm files are a single bare entry.
+    """
+    entries = loaded["entries"] if "entries" in loaded else [loaded]
+    return next(
+        (
+            o
+            for o in entries
+            if o.get("n_optim_nits") == n_iters
+            and o["n_cells"] <= n_cells
+            and o.get("warm_stride", 0) == warm_stride
+            and (not warm_stride or o.get("fine_nits") == fine_nits)
+            and (not warm_stride or (o.get("lat"), o.get("lon")) == (lat, lon))
+        ),
+        None,
+    )
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -69,6 +91,10 @@ def main():
     ap.add_argument("--fine-nits", type=int, default=0,
                     help="fine-pass steps under --warm-stride "
                     "(default n_iters/5)")
+    ap.add_argument("--best-of", type=int, default=1,
+                    help="timed repetitions; report the minimum (the "
+                    "tunnelled link's throughput fluctuates and the slab "
+                    "mode is transfer-bound at the margins)")
     args = ap.parse_args()
     n_iters, la, lo, slab = args.n_iters, args.lat, args.lon, args.slab
     warm_stride = args.warm_stride
@@ -173,9 +199,14 @@ def main():
     t0 = time.perf_counter()
     run_once()
     print(f"warmup: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
-    t0 = time.perf_counter()
-    bary_mean, bary_std = run_once()
-    elapsed = time.perf_counter() - t0
+    elapsed = float("inf")
+    for rep in range(max(args.best_of, 1)):
+        t0 = time.perf_counter()
+        bary_mean, bary_std = run_once()
+        rep_s = time.perf_counter() - t0
+        if args.best_of > 1:
+            print(f"rep {rep}: {rep_s:.1f}s", file=sys.stderr)
+        elapsed = min(elapsed, rep_s)
     assert np.isfinite(bary_mean).all()
 
     parity_mean = parity_std = None
@@ -185,14 +216,12 @@ def main():
     )
     if os.path.exists(oracle_path):
         with open(oracle_path) as f:
-            oracle = json.load(f)
-        if (
-            oracle.get("n_optim_nits") == n_iters
-            and oracle["n_cells"] <= c
-            and oracle.get("warm_stride", 0) == warm_stride
-            and (not warm_stride or oracle.get("fine_nits") == fine_nits)
-            and (not warm_stride or (oracle.get("lat"), oracle.get("lon")) == (la, lo))
-        ):
+            loaded = json.load(f)
+        oracle = select_oracle_entry(
+            loaded, n_iters=n_iters, n_cells=c, warm_stride=warm_stride,
+            fine_nits=fine_nits, lat=la, lon=lo,
+        )
+        if oracle is not None:
             nc = oracle["n_cells"]
             want_m = np.asarray(oracle["bary_mean"])
             want_s = np.asarray(oracle["bary_std"])

@@ -67,6 +67,19 @@ out = {
     "bary_mean": np.round(np.asarray(mean), 8).tolist(),
     "bary_std": np.round(np.asarray(std), 8).tolist(),
 }
-with open(os.path.join(os.path.dirname(__file__), fname), "w") as f:
+path = os.path.join(os.path.dirname(__file__), fname)
+if WARM:
+    # The warm oracle keeps one entry per configuration so parity gates for
+    # several --fine-nits settings can coexist (the bench picks the match).
+    entries = []
+    if os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f)
+        entries = prev["entries"] if "entries" in prev else [prev]
+    key = ("n_optim_nits", "n_cells", "warm_stride", "fine_nits", "lat", "lon")
+    entries = [e for e in entries if tuple(e.get(k) for k in key) != tuple(out[k] for k in key)]
+    entries.append(out)
+    out = {"entries": entries}
+with open(path, "w") as f:
     json.dump(out, f)
 print(json.dumps({"n_cells": N_CELLS, "warm_stride": WARM, "written": True}))

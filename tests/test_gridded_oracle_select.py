@@ -1,0 +1,118 @@
+"""The gridded bench's parity gate must pick the oracle entry matching the
+run configuration — including from the multi-entry warm oracle file (one
+entry per --fine-nits setting) and legacy single-entry files."""
+
+import json
+import os
+import sys
+
+sys.path.insert(
+    0,
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "benchmarks"),
+)
+
+from gridded_bench import select_oracle_entry
+
+
+def _entry(fine, cells=64, nits=500, stride=5, lat=180, lon=360):
+    return {
+        "n_optim_nits": nits,
+        "n_cells": cells,
+        "warm_stride": stride,
+        "fine_nits": fine,
+        "lat": lat,
+        "lon": lon,
+        "bary_mean": [0.0] * cells,
+        "bary_std": [1.0] * cells,
+    }
+
+
+def test_multi_entry_picks_matching_fine_count():
+    loaded = {"entries": [_entry(100), _entry(50)]}
+    for fine in (100, 50):
+        got = select_oracle_entry(
+            loaded, n_iters=500, n_cells=5400, warm_stride=5,
+            fine_nits=fine, lat=180, lon=360,
+        )
+        assert got is not None and got["fine_nits"] == fine
+    assert select_oracle_entry(
+        loaded, n_iters=500, n_cells=5400, warm_stride=5,
+        fine_nits=70, lat=180, lon=360,
+    ) is None
+
+
+def test_legacy_single_entry_and_nonwarm():
+    legacy = _entry(100)
+    got = select_oracle_entry(
+        legacy, n_iters=500, n_cells=5400, warm_stride=5,
+        fine_nits=100, lat=180, lon=360,
+    )
+    assert got is legacy
+    nonwarm = {"n_optim_nits": 500, "n_cells": 64, "bary_mean": [], "bary_std": []}
+    got = select_oracle_entry(
+        nonwarm, n_iters=500, n_cells=2592, warm_stride=0,
+        fine_nits=100, lat=36, lon=72,
+    )
+    assert got is nonwarm
+    # Mismatched geometry / step count / subset size must not match.
+    assert select_oracle_entry(
+        legacy, n_iters=500, n_cells=5400, warm_stride=5,
+        fine_nits=100, lat=90, lon=180,
+    ) is None
+    assert select_oracle_entry(
+        nonwarm, n_iters=200, n_cells=2592, warm_stride=0,
+        fine_nits=0, lat=36, lon=72,
+    ) is None
+    assert select_oracle_entry(
+        nonwarm, n_iters=500, n_cells=32, warm_stride=0,
+        fine_nits=0, lat=36, lon=72,
+    ) is None
+
+
+def test_committed_warm_oracle_has_default_and_fast_entries():
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "benchmarks",
+        "gridded_oracle_warm.json",
+    )
+    with open(path) as f:
+        loaded = json.load(f)
+    fines = sorted(
+        e["fine_nits"] for e in loaded["entries"]
+        if e["n_optim_nits"] == 500 and (e["lat"], e["lon"]) == (180, 360)
+    )
+    # Default fine pass (n/5 = 100) and the measured fast setting (50) from
+    # the BASELINE.md fine-step sweep must both gate.
+    assert 100 in fines and 50 in fines
+
+
+def test_oracle_writer_replaces_matching_entry(tmp_path):
+    # Mirror gridded_oracle.py's merge semantics: same config key replaces,
+    # different key appends.
+    path = tmp_path / "warm.json"
+    key = ("n_optim_nits", "n_cells", "warm_stride", "fine_nits", "lat", "lon")
+
+    def write(out):
+        entries = []
+        if path.exists():
+            prev = json.loads(path.read_text())
+            entries = prev["entries"] if "entries" in prev else [prev]
+        entries = [
+            e for e in entries
+            if tuple(e.get(k) for k in key) != tuple(out[k] for k in key)
+        ]
+        entries.append(out)
+        path.write_text(json.dumps({"entries": entries}))
+
+    write(_entry(100))
+    write(_entry(50))
+    e100 = _entry(100)
+    e100["bary_mean"] = [9.0] * 64
+    write(e100)
+    loaded = json.loads(path.read_text())
+    assert len(loaded["entries"]) == 2
+    got = select_oracle_entry(
+        loaded, n_iters=500, n_cells=5400, warm_stride=5,
+        fine_nits=100, lat=180, lon=360,
+    )
+    assert got["bary_mean"][0] == 9.0

@@ -95,6 +95,13 @@ def test_plot_posterior_spatial(rng):
     pm = make_gridded(rng, r=2, t=6, la=2, lo=3)
     post = GPDTW3D(dtype=np.float64).fit(pm, n_optim_nits=5, dba_iterations=2)
     fig = plotters.plot_posterior_spatial(post)
+    # Without cartopy the fallback must still be coordinate-aware: image
+    # extent spans the data's lon/lat ranges (not bare pixel indices).
+    if plotters._geo_projections()[0] is None:
+        lat = post.mean.get_coord("latitude")
+        lon = post.mean.get_coord("longitude")
+        ext = np.asarray(fig.axes[0].images[0].get_extent(), float)
+        assert np.allclose(ext, [lon.min(), lon.max(), lat.min(), lat.max()])
     plt.close(fig)
 
 
