@@ -11,8 +11,11 @@ ascent.  Differences that make it TPU-native:
   * the known per-point noise makes the variational expectation closed-form
     (the reference's ``_HeteroskedasticGaussian._variational_expectations``,
     models.py:142-149);
-  * the whole optimisation is one ``lax.scan`` of fused steps; minibatches
-    are drawn on-device with a folded PRNG — zero host round-trips;
+  * the optimisation is a host loop of jitted ``lax.scan`` chunks of fused
+    steps (bounded execution times; one executable shared by all full
+    chunks); minibatches are drawn on-device with a PRNG folded on the
+    ABSOLUTE step index — zero host round-trips, and the draw sequence is
+    identical however the run is chunked;
   * every step is dominated by (B,P)x(P,P) matmuls -> MXU work.
 
 Documented divergence from the reference: minibatches are drawn WITH
@@ -70,18 +73,35 @@ def _additive_matern32(params, x1, x2, groups):
     return total
 
 
-def _kdiag(params, x, groups):
+def _amplitude(params, groups):
+    """Kernel amplitude = the Gram diagonal value (sum of group variances)."""
     total = 0.0
     for g, _ in enumerate(groups):
         total = total + jax.nn.softplus(params["raw_var"][g])
-    return jnp.full((x.shape[0],), 0.0) + total
+    return total
+
+
+def _kdiag(params, x, groups):
+    return jnp.full((x.shape[0],), 0.0) + _amplitude(params, groups)
 
 
 def _marginals(params, x, groups, jitter):
-    """Whitened SVGP predictive marginals at x: (mean, var)."""
+    """Whitened SVGP predictive marginals at x: (mean, var).
+
+    ``jitter`` is RELATIVE to the kernel amplitude (the Gram diagonal,
+    = sum of per-group variances): in float32 the rounding error of the
+    (P, P) Matern Gram scales with its amplitude, and a fixed absolute
+    jitter that survives at P=256 fails at P=400 where the linspace
+    inducing grid (models.py:370) packs points close enough that the
+    f32 Gram is indefinite at initialisation (measured min eigenvalue
+    -4.7e-5 against an absolute jitter of 1e-5 — Cholesky NaNs at step
+    0).  Amplitude-relative jitter keeps the same safety margin however
+    large the learned variances grow."""
     z = params["z"]
     p = z.shape[0]
-    kzz = _additive_matern32(params, z, z, groups) + jitter * jnp.eye(p, dtype=z.dtype)
+    kzz = _additive_matern32(params, z, z, groups) + (
+        jitter * _amplitude(params, groups)
+    ) * jnp.eye(p, dtype=z.dtype)
     lz = jnp.linalg.cholesky(kzz)
     kzx = _additive_matern32(params, z, x, groups)  # (P, B)
     a = jax.scipy.linalg.solve_triangular(lz, kzx, lower=True).T  # (B, P)
@@ -119,41 +139,20 @@ def _kl(params):
     )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("n_inducing", "minibatch_size", "n_optim_nits", "learning_rate"),
-)
-def fit_predict_svgp(
-    x: jnp.ndarray,  # (N, D)
-    y: jnp.ndarray,  # (N,)
-    noise_var: jnp.ndarray,  # (N,) known heteroskedastic noise
-    n_inducing: int = 400,
-    minibatch_size: int = 500,
-    n_optim_nits: int = 500,
-    learning_rate: float = 0.01,
-    jitter: float = 1e-5,
-    seed: int = 0,
-) -> tp.Tuple[jnp.ndarray, jnp.ndarray]:
-    """Fit the SVGP and return latent posterior marginals at the training x.
-
-    (The caller adds the DTW noise variance back, mirroring models.py:411.)
-    """
-    n, d = x.shape
-    groups = default_feature_groups(d)
-    ng = len(groups)
-    p = min(n_inducing, n)
-
-    # Inducing points on a linspace through feature space (models.py:370).
+@functools.partial(jax.jit, static_argnames=("p",))
+def _svgp_init(x: jnp.ndarray, p: int) -> tp.Dict[str, jnp.ndarray]:
+    """Initial parameters: linspace inducing points (models.py:370),
+    identity whitened variational sqrt, zero mean."""
+    d = x.shape[1]
+    ng = len(default_feature_groups(d))
     lo = jnp.min(x, axis=0)
     hi = jnp.max(x, axis=0)
     frac = jnp.linspace(0.0, 1.0, p)[:, None]
     z0 = lo[None, :] + frac * (hi - lo)[None, :]
-
-    p_tri = p * (p + 1) // 2
     eye_flat = jnp.zeros((p, p), x.dtype).at[jnp.diag_indices(p)].set(
         jnp.log(jnp.expm1(1.0))
     )[jnp.tril_indices(p)]
-    params = {
+    return {
         "raw_ls": jnp.full((ng,), jnp.log(jnp.expm1(1.0)), x.dtype),
         "raw_var": jnp.full((ng,), jnp.log(jnp.expm1(1.0)), x.dtype),
         "z": z0.astype(x.dtype),
@@ -161,8 +160,25 @@ def fit_predict_svgp(
         "ls_flat": eye_flat,
     }
 
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("minibatch_size", "n_steps", "learning_rate"),
+)
+def _svgp_run_chunk(
+    x, y, noise_var, params, opt_state, start,
+    jitter, seed,
+    minibatch_size: int, n_steps: int, learning_rate: float,
+):
+    """Advance the minibatched ELBO ascent by ``n_steps`` Adam steps.
+
+    ``start`` is the ABSOLUTE step index of the chunk's first step: the
+    PRNG is folded with absolute indices, so a run split into chunks draws
+    exactly the same minibatch sequence as a single monolithic scan.
+    """
+    n = x.shape[0]
+    groups = default_feature_groups(x.shape[1])
     opt = optax.adam(learning_rate)
-    opt_state = opt.init(params)
     key = jax.random.PRNGKey(seed)
     scale = n / minibatch_size
 
@@ -186,7 +202,55 @@ def fit_predict_svgp(
         prm = optax.apply_updates(prm, updates)
         return (prm, opt_state), loss
 
-    (params, _), _ = jax.lax.scan(
-        step, (params, opt_state), jnp.arange(n_optim_nits)
+    (params, opt_state), _ = jax.lax.scan(
+        step, (params, opt_state), start + jnp.arange(n_steps)
     )
+    return params, opt_state
+
+
+@jax.jit
+def _svgp_predict(params, x, jitter):
+    groups = default_feature_groups(x.shape[1])
     return _marginals(params, x, groups, jitter)
+
+
+def fit_predict_svgp(
+    x: jnp.ndarray,  # (N, D)
+    y: jnp.ndarray,  # (N,)
+    noise_var: jnp.ndarray,  # (N,) known heteroskedastic noise
+    n_inducing: int = 400,
+    minibatch_size: int = 500,
+    n_optim_nits: int = 500,
+    learning_rate: float = 0.01,
+    jitter: float = 1e-4,
+    seed: int = 0,
+    chunk_steps: int = 8192,
+) -> tp.Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fit the SVGP and return latent posterior marginals at the training x.
+
+    (The caller adds the DTW noise variance back, mirroring models.py:411.)
+
+    The optimisation runs as a host loop of jitted ``chunk_steps``-step scan
+    segments rather than one monolithic scan: reference epoch semantics at
+    full scale mean ~1e5 total steps (models.py:393), and a single XLA
+    execution lasting many minutes is killed by the tunnelled TPU backend's
+    watchdog (surfacing as "TPU worker crashed").  Chunking keeps every
+    execution bounded while drawing a bit-identical minibatch sequence
+    (absolute step indices fold the PRNG).  All full-size chunks share one
+    compiled executable.
+    """
+    n = x.shape[0]
+    p = min(n_inducing, n)
+    minibatch_size = min(minibatch_size, n)
+    params = _svgp_init(x, p)
+    opt_state = optax.adam(learning_rate).init(params)
+    done = 0
+    while done < n_optim_nits:
+        k = min(chunk_steps, n_optim_nits - done)
+        params, opt_state = _svgp_run_chunk(
+            x, y, noise_var, params, opt_state, jnp.asarray(done),
+            minibatch_size=minibatch_size, n_steps=k,
+            learning_rate=learning_rate, jitter=jitter, seed=seed,
+        )
+        done += k
+    return _svgp_predict(params, x, jitter)

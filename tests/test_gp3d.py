@@ -107,6 +107,31 @@ def test_svgp_fits_simple_function(rng):
     assert (np.asarray(var) > 0).all()
 
 
+def test_svgp_chunked_scan_matches_monolithic(rng):
+    # The host-chunked optimisation (bounded execution times on the
+    # tunnelled backend) must draw the same minibatch sequence and land on
+    # the same posterior as a single-chunk run: the PRNG folds ABSOLUTE
+    # step indices.
+    n = 120
+    x = rng.normal(size=(n, 5)).astype(np.float32)
+    y = rng.normal(size=n).astype(np.float32)
+    noise = np.full(n, 0.05, np.float32)
+    kw = dict(n_inducing=12, minibatch_size=32, n_optim_nits=25,
+              learning_rate=0.02)
+    mean_a, var_a = svgp_ops.fit_predict_svgp(
+        jnp.asarray(x), jnp.asarray(y), jnp.asarray(noise),
+        chunk_steps=10_000, **kw,
+    )
+    mean_b, var_b = svgp_ops.fit_predict_svgp(
+        jnp.asarray(x), jnp.asarray(y), jnp.asarray(noise),
+        chunk_steps=7, **kw,
+    )
+    np.testing.assert_allclose(np.asarray(mean_a), np.asarray(mean_b),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(var_a), np.asarray(var_b),
+                               rtol=1e-5, atol=1e-7)
+
+
 def test_gpdtw3d_svgp_mode(rng):
     pm = make_gridded(rng, r=2, t=8, la=2, lo=3)
     with pytest.warns(UserWarning, match="svgp"):
