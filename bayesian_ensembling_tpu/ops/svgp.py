@@ -30,10 +30,12 @@ repeat a point), which at the reference's 500-point minibatches is noise.
 from __future__ import annotations
 
 import functools
+import logging
 import typing as tp
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 __all__ = ["fit_predict_svgp", "default_feature_groups"]
@@ -202,10 +204,10 @@ def _svgp_run_chunk(
         prm = optax.apply_updates(prm, updates)
         return (prm, opt_state), loss
 
-    (params, opt_state), _ = jax.lax.scan(
+    (params, opt_state), losses = jax.lax.scan(
         step, (params, opt_state), start + jnp.arange(n_steps)
     )
-    return params, opt_state
+    return params, opt_state, losses
 
 
 @jax.jit
@@ -225,7 +227,8 @@ def fit_predict_svgp(
     jitter: float = 1e-4,
     seed: int = 0,
     chunk_steps: int = 8192,
-) -> tp.Tuple[jnp.ndarray, jnp.ndarray]:
+    return_losses: bool = False,
+) -> tp.Tuple[jnp.ndarray, ...]:
     """Fit the SVGP and return latent posterior marginals at the training x.
 
     (The caller adds the DTW noise variance back, mirroring models.py:411.)
@@ -239,18 +242,37 @@ def fit_predict_svgp(
     (absolute step indices fold the PRNG).  All full-size chunks share one
     compiled executable.
     """
+    from bayesian_ensembling_tpu.utils.logging import get_logger
+
+    logger = get_logger("bayesian_ensembling_tpu.svgp")
     n = x.shape[0]
     p = min(n_inducing, n)
     minibatch_size = min(minibatch_size, n)
     params = _svgp_init(x, p)
     opt_state = optax.adam(learning_rate).init(params)
     done = 0
+    traces = []
     while done < n_optim_nits:
         k = min(chunk_steps, n_optim_nits - done)
-        params, opt_state = _svgp_run_chunk(
+        params, opt_state, losses = _svgp_run_chunk(
             x, y, noise_var, params, opt_state, jnp.asarray(done),
+            jitter, seed,
             minibatch_size=minibatch_size, n_steps=k,
-            learning_rate=learning_rate, jitter=jitter, seed=seed,
+            learning_rate=learning_rate,
         )
         done += k
-    return _svgp_predict(params, x, jitter)
+        if return_losses:
+            traces.append(np.asarray(losses))
+        # Progress seam for the long reference-scale runs (the reference
+        # prints its ELBO every 25 steps, models.py:211-215); debug level
+        # so library use stays silent.  Fetching one scalar also bounds
+        # per-chunk divergence detection to the chunk that produced it.
+        if logger.isEnabledFor(logging.DEBUG):
+            logger.debug(
+                "svgp chunk done: step %d/%d, last neg-ELBO %.4f",
+                done, n_optim_nits, float(losses[-1]),
+            )
+    mean, var = _svgp_predict(params, x, jitter)
+    if return_losses:
+        return mean, var, np.concatenate(traces) if traces else np.zeros((0,))
+    return mean, var

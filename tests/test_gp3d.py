@@ -132,6 +132,24 @@ def test_svgp_chunked_scan_matches_monolithic(rng):
                                rtol=1e-5, atol=1e-7)
 
 
+def test_svgp_loss_trace(rng):
+    # return_losses exposes the full per-step neg-ELBO trace across chunks
+    # (the progress/observability seam for reference-scale runs).
+    n = 150
+    x = rng.normal(size=(n, 5)).astype(np.float32)
+    y = (0.5 * x[:, 3]).astype(np.float32)
+    noise = np.full(n, 0.05, np.float32)
+    mean, var, losses = svgp_ops.fit_predict_svgp(
+        jnp.asarray(x), jnp.asarray(y), jnp.asarray(noise),
+        n_inducing=12, minibatch_size=32, n_optim_nits=120,
+        learning_rate=0.02, chunk_steps=50, return_losses=True,
+    )
+    assert losses.shape == (120,)
+    assert np.isfinite(losses).all()
+    # Optimisation makes progress: late loss below early loss.
+    assert losses[-20:].mean() < losses[:20].mean()
+
+
 def test_gpdtw3d_svgp_mode(rng):
     pm = make_gridded(rng, r=2, t=8, la=2, lo=3)
     with pytest.warns(UserWarning, match="svgp"):
