@@ -23,7 +23,10 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from bayesian_ensembling_tpu.parallel.step import emulate_marginals
+from bayesian_ensembling_tpu.parallel.step import (
+    emulate_marginals,
+    fused_raw_weights,
+)
 
 __all__ = [
     "pad_cells",
@@ -54,15 +57,29 @@ def pad_cells(
 
 
 @functools.lru_cache(maxsize=32)
-def _sharded_marginals_program(mesh: Mesh, axis: str, kwargs_items: tuple):
+def _sharded_marginals_program(
+    mesh: Mesh, axis: str, kwargs_items: tuple, with_init: bool = False
+):
     """Build + jit the sharded emulation program ONCE per (mesh, axis,
     kwargs) — constructing shard_map/jit wrappers per call would defeat the
-    jit cache and recompile on every invocation."""
-    fn = functools.partial(emulate_marginals, **dict(kwargs_items))
+    jit cache and recompile on every invocation.
+
+    ``gp_init`` (array-valued, unhashable) is NEVER part of the cache key:
+    when present it is a traced argument of the program, sharded over the
+    cells axis like the data."""
+    kw = dict(kwargs_items)
+    if with_init:
+        def fn(b, m, gi):
+            return emulate_marginals(b, m, gp_init=gi, **kw)
+
+        in_specs = (P(axis), P(axis), P(axis))
+    else:
+        fn = functools.partial(emulate_marginals, **kw)
+        in_specs = (P(axis), P(axis))
     smapped = shard_map(
         fn,
         mesh=mesh,
-        in_specs=(P(axis), P(axis)),
+        in_specs=in_specs,
         out_specs=(P(axis), P(axis)),
         # The emulation scans mix device-varying carries with replicated
         # constants; varying-axis checking can't follow that, and the program
@@ -77,6 +94,7 @@ def sharded_gridded_marginals(
     block: jnp.ndarray,  # (C, R, T) per-cell realisation stacks
     mask: jnp.ndarray,  # (C, R)
     axis: str = "cells",
+    gp_init=None,  # optional (C,)-batched GPParams warm start
     **emulate_kwargs,
 ) -> tp.Tuple[jnp.ndarray, jnp.ndarray]:
     """Emulate every cell, cells sharded over the mesh; returns (mean, var).
@@ -84,10 +102,14 @@ def sharded_gridded_marginals(
     Uses ``shard_map`` so each device executes the whole fused program
     (DBA wavefront scans + Pallas batched-cholesky GP fits) on its local
     cell slab — the partitioner never has to see inside the kernels.
+    ``gp_init`` warm-starts each cell's fit (coarse-to-fine path); its
+    leaves shard over the cells axis alongside the data.
     """
     program = _sharded_marginals_program(
-        mesh, axis, tuple(sorted(emulate_kwargs.items()))
+        mesh, axis, tuple(sorted(emulate_kwargs.items())), gp_init is not None
     )
+    if gp_init is not None:
+        return program(block, mask, gp_init)
     return program(block, mask)
 
 
@@ -118,11 +140,10 @@ def gridded_ensemble_step(
 
     Returns (bary_mean (C, T), bary_std (C, T), weights (M, C)).
     """
-    from bayesian_ensembling_tpu.parallel.step import (
-        emulate_marginals,
-        fused_raw_weights,
-    )
-
+    if sigma_mode not in ("w2", "mixture"):
+        raise ValueError(
+            f"gridded step supports sigma_mode 'w2' | 'mixture', got {sigma_mode!r}"
+        )
     m, c, r, t = block.shape
     if gp_init is not None:
         gp_init = jax.tree.map(lambda p: p.reshape(m * c), gp_init)
@@ -150,10 +171,6 @@ def gridded_ensemble_step(
     w_t = raw / total
     w = jnp.mean(w_t, axis=2)  # (M, C)
 
-    if sigma_mode not in ("w2", "mixture"):
-        raise ValueError(
-            f"gridded step supports sigma_mode 'w2' | 'mixture', got {sigma_mode!r}"
-        )
     bary_mean = jnp.sum(w[:, :, None] * mean, axis=0)
     if model_axis is not None:
         bary_mean = jax.lax.psum(bary_mean, model_axis)
@@ -199,6 +216,8 @@ def coarse_warm_start(
     stride: int,
     *,
     n_optim_nits: int = 500,
+    mesh: tp.Optional[Mesh] = None,
+    cells_axis: str = "cells",
     **emulate_kwargs,
 ):
     """Coarse-to-fine warm start for the gridded experiment (VERDICT r2
@@ -212,6 +231,10 @@ def coarse_warm_start(
     scratch step count to converge — the dominant cost of the 1-degree
     global run was 500 cold-start Adam steps per cell (BASELINE.md).
 
+    With ``mesh`` the coarse fit itself shards its (model x coarse-cell)
+    axis over ``cells_axis`` (padded to the mesh size, padding sliced off);
+    otherwise it runs on the default device.
+
     Returns a batched ``GPParams`` with leading dims ``(M, C)`` aligned
     with ``block``'s cell axis, ready to pass as ``gp_init``.
     """
@@ -221,10 +244,22 @@ def coarse_warm_start(
     coarse, nearest = coarse_cell_indices(lat, lon, stride)
     cb = block[:, coarse].reshape(m * coarse.size, r, t)
     cm = mask[:, coarse].reshape(m * coarse.size, r)
-    program = _warm_fit_program(
-        tuple(sorted({"n_optim_nits": n_optim_nits, **emulate_kwargs}.items()))
+    kwargs_items = tuple(
+        sorted({"n_optim_nits": n_optim_nits, **emulate_kwargs}.items())
     )
-    params = program(cb, cm)
+    if mesh is None:
+        params = _warm_fit_program(kwargs_items)(cb, cm)
+    else:
+        n = cb.shape[0]
+        n_dev = mesh.shape[cells_axis]
+        target = -(-n // n_dev) * n_dev
+        if target != n:
+            reps = target - n
+            cb = jnp.concatenate([cb, jnp.repeat(cb[:1], reps, axis=0)], axis=0)
+            cm = jnp.concatenate([cm, jnp.repeat(cm[:1], reps, axis=0)], axis=0)
+        params = _sharded_warm_fit_program(mesh, cells_axis, kwargs_items)(cb, cm)
+        if target != n:
+            params = jax.tree.map(lambda p: p[:n], params)
     params = jax.tree.map(lambda p: p.reshape(m, coarse.size), params)
     return jax.tree.map(lambda p: p[:, nearest], params)
 
@@ -237,8 +272,6 @@ def _warm_fit_program(kwargs_items: tuple):
     eagerly, the glue ops between the jitted kernels become thousands of
     per-op dispatches (~3 ms each over the tunnelled backend — measured
     9.4 s eager vs 0.33 s jitted for the 5-degree coarse pass)."""
-    from bayesian_ensembling_tpu.parallel.step import emulate_marginals
-
     kw = dict(kwargs_items)
 
     def fit_params(cb, cm):
@@ -248,12 +281,32 @@ def _warm_fit_program(kwargs_items: tuple):
     return jax.jit(fit_params)
 
 
+@functools.lru_cache(maxsize=32)
+def _sharded_warm_fit_program(mesh: Mesh, axis: str, kwargs_items: tuple):
+    """Cells-sharded twin of ``_warm_fit_program`` (collective-free)."""
+    kw = dict(kwargs_items)
+
+    def fit_params(cb, cm):
+        _, _, params = emulate_marginals(cb, cm, return_params=True, **kw)
+        return params
+
+    smapped = shard_map(
+        fit_params,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    return jax.jit(smapped)
+
+
 def make_sharded_gridded_step(
     mesh: Mesh,
     model_axis: str = "model",
     cells_axis: str = "cells",
     *,
     weight_kind: str = "crps",
+    with_gp_init: bool = False,
     **emulate_kwargs,
 ):
     """The 2-D-mesh gridded step: cells x models sharded simultaneously.
@@ -263,18 +316,34 @@ def make_sharded_gridded_step(
     at the weight normalisation and barycentre sums (psum over
     ``model_axis``, riding ICI).  Inputs arrive sharded on (model, cells);
     barycentre outputs are replicated over models and sharded over cells.
+
+    With ``with_gp_init=True`` the returned step takes a fifth argument —
+    a batched ``GPParams`` warm start with leading dims (M, C), sharded on
+    both mesh axes like the data (the coarse-to-fine path,
+    ``coarse_warm_start``).
     """
-    fn = functools.partial(
-        gridded_ensemble_step,
-        weight_kind=weight_kind,
-        model_axis=model_axis,
-        **emulate_kwargs,
-    )
     p_mc = P(model_axis, cells_axis)
+    if with_gp_init:
+        def fn(block, obs, mask, model_mask, gp_init):
+            return gridded_ensemble_step(
+                block, obs, mask, model_mask,
+                weight_kind=weight_kind, model_axis=model_axis,
+                gp_init=gp_init, **emulate_kwargs,
+            )
+
+        in_specs = (p_mc, P(cells_axis), p_mc, P(model_axis), p_mc)
+    else:
+        fn = functools.partial(
+            gridded_ensemble_step,
+            weight_kind=weight_kind,
+            model_axis=model_axis,
+            **emulate_kwargs,
+        )
+        in_specs = (p_mc, P(cells_axis), p_mc, P(model_axis))
     smapped = shard_map(
         fn,
         mesh=mesh,
-        in_specs=(p_mc, P(cells_axis), p_mc, P(model_axis)),
+        in_specs=in_specs,
         out_specs=(P(cells_axis), P(cells_axis), p_mc),
         check_vma=False,
     )

@@ -239,6 +239,7 @@ def ensemble_scenario_step(
     dba_iterations: int = 10,
     weight_kind: str = "crps",
     optimizer: str = "adam",
+    model_axis: tp.Optional[str] = None,
     sigma_mode: str = "w2",
 ) -> tp.Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One full scenario: emulate hist+ssp, weight vs obs, W2 barycentre.
@@ -247,6 +248,12 @@ def ensemble_scenario_step(
     ``"mixture"`` (calibrated moment-matched mixture variance; see
     ops.wasserstein.batched_gaussian_barycentre — the reference-compat
     fixed point stays a library-path option only).
+
+    When ``model_axis`` names a live shard_map axis, the cross-model
+    couplings (weight normalisation, barycentre sums) become ``psum``s over
+    it — the same pattern as ensemble_multi_scenario_step and
+    gridded_ensemble_step, so the sharded and unsharded paths share ONE
+    body (make_sharded_step wraps this function).
 
     Returns (bary_mean (T_ssp,), bary_std (T_ssp,), weights (M,)).
     Pure JAX: jit/shard at the call site (see make_sharded_step).
@@ -267,24 +274,34 @@ def ensemble_scenario_step(
     ssp_mean, ssp_var = em(ssp_block, ssp_mask)
 
     raw = fused_raw_weights(
-        weight_kind, hist_mean, hist_var, obs, hist_block, hist_mask, model_mask
+        weight_kind, hist_mean, hist_var, obs, hist_block, hist_mask, model_mask,
+        model_axis=model_axis,
     )
     if model_mask is not None:
         raw = raw * model_mask[:, None]
     # The one cross-model reduction -> psum when the model axis is sharded.
-    weights_t = raw / jnp.sum(raw, axis=0, keepdims=True)
+    total = jnp.sum(raw, axis=0, keepdims=True)
+    if model_axis is not None:
+        total = jax.lax.psum(total, model_axis)
+    weights_t = raw / total
     weights = jnp.mean(weights_t, axis=1)  # time-mean, one weight per model
 
     bary_mean = jnp.sum(weights[:, None] * ssp_mean, axis=0)
+    if model_axis is not None:
+        bary_mean = jax.lax.psum(bary_mean, model_axis)
     if sigma_mode == "mixture":
         var = jnp.sum(
             weights[:, None]
             * (ssp_var + jnp.square(ssp_mean - bary_mean[None, :])),
             axis=0,
         )
+        if model_axis is not None:
+            var = jax.lax.psum(var, model_axis)
         bary_std = jnp.sqrt(var)
     else:
         bary_std = jnp.sum(weights[:, None] * jnp.sqrt(ssp_var), axis=0)
+        if model_axis is not None:
+            bary_std = jax.lax.psum(bary_std, model_axis)
     return bary_mean, bary_std, weights
 
 
@@ -452,59 +469,25 @@ def make_sharded_step(
         raise ValueError(
             f"fused step supports sigma_mode 'w2' | 'mixture', got {sigma_mode!r}"
         )
-    em = functools.partial(
-        emulate_marginals,
+    # ONE body for sharded and unsharded: ensemble_scenario_step's
+    # model_axis turns its cross-model reductions into psums.
+    fn = functools.partial(
+        ensemble_scenario_step,
         kernel_name=kernel_name,
         n_optim_nits=n_optim_nits,
         learning_rate=learning_rate,
         dba_iterations=dba_iterations,
+        weight_kind=weight_kind,
         optimizer=optimizer,
+        model_axis=model_axis,
+        sigma_mode=sigma_mode,
     )
-
-    def body(hist_block, hist_mask, ssp_block, ssp_mask, obs, model_mask):
-        hist_mean, hist_var = em(hist_block, hist_mask)
-        ssp_mean, ssp_var = em(ssp_block, ssp_mask)
-
-        raw = fused_raw_weights(
-            weight_kind,
-            hist_mean,
-            hist_var,
-            obs,
-            hist_block,
-            hist_mask,
-            model_mask,
-            model_axis=model_axis,
-        )
-        raw = raw * model_mask[:, None]
-
-        total = jax.lax.psum(jnp.sum(raw, axis=0), model_axis)
-        weights_t = raw / total
-        weights = jnp.mean(weights_t, axis=1)
-
-        bary_mean = jax.lax.psum(
-            jnp.sum(weights[:, None] * ssp_mean, axis=0), model_axis
-        )
-        if sigma_mode == "mixture":
-            var = jax.lax.psum(
-                jnp.sum(
-                    weights[:, None]
-                    * (ssp_var + jnp.square(ssp_mean - bary_mean[None, :])),
-                    axis=0,
-                ),
-                model_axis,
-            )
-            bary_std = jnp.sqrt(var)
-        else:
-            bary_std = jax.lax.psum(
-                jnp.sum(weights[:, None] * jnp.sqrt(ssp_var), axis=0), model_axis
-            )
-        return bary_mean, bary_std, weights
 
     from jax import shard_map
 
     p_model = P(model_axis)
     smapped = shard_map(
-        body,
+        fn,
         mesh=mesh,
         in_specs=(p_model, p_model, p_model, p_model, P(), p_model),
         out_specs=(P(), P(), p_model),

@@ -17,6 +17,7 @@ of a scenario fit in two compiled calls instead of the reference's
 from __future__ import annotations
 
 import dataclasses
+import functools
 import glob
 import os
 import time as _time
@@ -36,6 +37,7 @@ __all__ = [
     "load_observations",
     "load_scenario",
     "run_scenario",
+    "run_gridded_scenario",
     "warming_summary",
 ]
 
@@ -70,12 +72,26 @@ def default_data_dir() -> str:
     )
 
 
-DEFAULT_DATA_DIR = None  # deprecated sentinel; use default_data_dir()
 ALL_SSPS = ("ssp119", "ssp126", "ssp245", "ssp370", "ssp434", "ssp460", "ssp585")
 
 
 def _model_name(path: str) -> str:
     return "_".join(os.path.basename(path).split("_")[:2])
+
+
+@functools.lru_cache(maxsize=8)
+def _obs_time(data_dir: str) -> tp.Optional[np.ndarray]:
+    """HadCRUT5 time coordinate, parsed once per data directory.
+
+    Every scenario load needs it for the calendar-collocation hack; without
+    caching a 7-SSP run re-opens and parses the full observations netCDF
+    once per scenario."""
+    obs_path = os.path.join(
+        data_dir, "obs/gmst/HadCRUT.5.0.1.0.analysis.anomalies_gmst.nc"
+    )
+    if os.path.exists(obs_path):
+        return netcdf.open_dataarray(obs_path, name="tas").time
+    return None
 
 
 def load_observations(
@@ -139,13 +155,7 @@ def load_scenario(
     if not common:
         raise FileNotFoundError(f"no overlapping models for {ssp} under {data_dir}")
 
-    obs_time = None
-    if collocate_obs_time:
-        obs_path = os.path.join(
-            data_dir, "obs/gmst/HadCRUT.5.0.1.0.analysis.anomalies_gmst.nc"
-        )
-        if os.path.exists(obs_path):
-            obs_time = netcdf.open_dataarray(obs_path, name="tas").time
+    obs_time = _obs_time(data_dir) if collocate_obs_time else None
 
     hist_models, ssp_models = [], []
     for name in common:
@@ -236,7 +246,6 @@ def run_gridded_scenario(
     (weights DimArray, barycentre Posterior).
     """
     from bayesian_ensembling_tpu.models.gp_3d import GPDTW3D
-    from bayesian_ensembling_tpu.schemes import Barycentre
 
     weighter = weighter or CRPSWeight()
     emulator = emulator or GPDTW3D()

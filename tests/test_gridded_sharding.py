@@ -136,3 +136,69 @@ def test_gridded_similarity_single_is_spatial_mode(rng):
     )
     assert np.isfinite(np.asarray(bm)).all()
     np.testing.assert_allclose(np.asarray(wg).sum(axis=0), np.ones(c), rtol=1e-5)
+
+
+def test_sharded_marginals_with_gp_init_matches_unsharded(rng):
+    """The coarse-to-fine warm start must work through the sharded path:
+    gp_init is a traced, cells-sharded argument — never part of the
+    program-cache key (array-valued kwargs are unhashable)."""
+    from bayesian_ensembling_tpu.ops.gp import init_params
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    c, r, t = 16, 3, 10
+    block = jnp.asarray(rng.normal(size=(c, r, t)))
+    mask = jnp.ones((c, r), bool)
+    base = init_params(lengthscale=2.0, variance=1.5, dtype=block.dtype)
+    gp_init = jax.tree.map(lambda p: jnp.full((c,), p), base)
+    mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("cells",))
+    got = sharded_gridded_marginals(
+        mesh, block, mask, gp_init=gp_init, n_optim_nits=4, dba_iterations=2
+    )
+    want = emulate_marginals(
+        block, mask, gp_init=gp_init, n_optim_nits=4, dba_iterations=2
+    )
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=2e-5)
+
+
+def test_2d_mesh_step_with_warm_start_matches_unsharded(rng):
+    """make_sharded_gridded_step(with_gp_init=True) == the unsharded warm
+    fine pass, with the coarse fit itself sharded over the cells axis."""
+    from bayesian_ensembling_tpu.parallel.gridded import (
+        coarse_warm_start,
+        gridded_ensemble_step,
+        make_sharded_gridded_step,
+    )
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    la, lo = 2, 4
+    m, c, r, t, r_obs = 2, la * lo, 3, 12, 4
+    block = jnp.asarray(rng.normal(size=(m, c, r, t)).astype(np.float32))
+    obs = jnp.asarray(rng.normal(size=(c, r_obs, t)).astype(np.float32))
+    mask = jnp.ones((m, c, r), bool)
+    model_mask = jnp.ones((m,), jnp.float32)
+    mesh = Mesh(
+        np.array(jax.devices()[:8]).reshape(2, 4), axis_names=("model", "cells")
+    )
+
+    gp_init = coarse_warm_start(block, mask, la, lo, 2, n_optim_nits=5)
+    gp_init_sharded = coarse_warm_start(
+        block, mask, la, lo, 2, n_optim_nits=5, mesh=mesh
+    )
+    for a, b in zip(jax.tree.leaves(gp_init), jax.tree.leaves(gp_init_sharded)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5)
+
+    want = gridded_ensemble_step(
+        block, obs, mask, model_mask, n_optim_nits=3, dba_iterations=2,
+        gp_init=gp_init,
+    )
+    step = make_sharded_gridded_step(
+        mesh, n_optim_nits=3, dba_iterations=2, with_gp_init=True
+    )
+    got = step(block, obs, mask, model_mask, gp_init)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=2e-4, atol=1e-7
+        )
