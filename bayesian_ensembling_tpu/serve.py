@@ -19,42 +19,20 @@ Query:                  GET /scenarios
 from __future__ import annotations
 
 import json
-import math
 import os
+import statistics
 import typing as tp
 
 import numpy as np
 
 __all__ = ["ProjectionService", "build_artifacts"]
 
-# two-sided Gaussian quantile for common intervals (avoids a scipy dep)
-_Z = {0.5: 0.6744897501960817, 0.68: 0.9944578832097532,
-      0.9: 1.6448536269514722, 0.95: 1.959963984540054,
-      0.99: 2.5758293035489004}
-
-
 def _zvalue(interval: float) -> float:
-    if interval in _Z:
-        return _Z[interval]
+    """Two-sided Gaussian quantile, exact to double precision for ANY
+    interval (stdlib AS241 inverse CDF — no scipy dependency)."""
     if not 0.0 < interval < 1.0:
         raise ValueError(f"interval must be in (0, 1), got {interval}")
-    # Hastings rational approximation seeds Newton iterations on the exact
-    # normal CDF (math.erf): converges to machine precision in <= 3 steps,
-    # so non-tabled intervals (e.g. 0.93) are no longer served a silently
-    # degraded ~1e-3-error quantile.
-    p = 0.5 + interval / 2.0
-    t = math.sqrt(-2.0 * math.log(1.0 - p))
-    z = t - (2.515517 + 0.802853 * t + 0.010328 * t * t) / (
-        1.0 + 1.432788 * t + 0.189269 * t * t + 0.001308 * t * t * t
-    )
-    for _ in range(3):
-        cdf = 0.5 * (1.0 + math.erf(z / math.sqrt(2.0)))
-        pdf = math.exp(-0.5 * z * z) / math.sqrt(2.0 * math.pi)
-        step = (cdf - p) / max(pdf, 1e-300)
-        z -= step
-        if abs(step) < 1e-12:
-            break
-    return z
+    return statistics.NormalDist().inv_cdf(0.5 + interval / 2.0)
 
 
 class ProjectionService:
@@ -126,7 +104,8 @@ class ProjectionService:
 
     def trajectory(self, scenario: str) -> tp.Dict[str, tp.List[float]]:
         if scenario not in self._art:
-            raise ValueError(
+            # Same exception type as project() for the same condition.
+            raise KeyError(
                 f"unknown scenario {scenario!r}; have {self.scenarios()}"
             )
         a = self._art[scenario]
@@ -149,7 +128,10 @@ class ProjectionService:
                 pass
 
             def _reply(self, code: int, payload):
-                body = json.dumps(payload).encode()
+                # allow_nan=False: bare NaN is invalid JSON; a degenerate
+                # artifact should 400 loudly, not hand strict clients an
+                # unparsable 200.
+                body = json.dumps(payload, allow_nan=False).encode()
                 self.send_response(code)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(body)))

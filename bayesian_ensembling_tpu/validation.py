@@ -50,6 +50,13 @@ BATCHED_WEIGHT_KINDS = {
 _PMT_PROGRAM = None
 
 
+def _masked_mean_r(x, w_r):
+    """Masked mean over the realisation axis: x (R, T), w_r (R,) floats."""
+    import jax.numpy as jnp
+
+    return jnp.einsum("rt,r->t", x, w_r) / jnp.maximum(jnp.sum(w_r), 1.0)
+
+
 def _pmt_program():
     """The jitted all-folds PMT program, built once per process.
 
@@ -85,7 +92,7 @@ def _pmt_program():
         fore_block,     # (M, R, T_s)
         fore_w,         # (M, R)
         ll_table,       # (M, M, T_h) loglik table or None
-        sim_pair,       # (M, M) pairwise W2 or None
+        sim_pair,       # None or (diag (M,M), full (M,M), use_full (M,)) W2
         real_mask,      # (M,) float: 1 for real models, 0 for padding
         n_real,         # () int32: number of real models
         *,
@@ -95,9 +102,7 @@ def _pmt_program():
     ):
         m, t_s = fore_mean.shape
         dtype = hist_mean.dtype
-
-        def masked_mean_r(x, w_r):  # x: (R, T), w_r: (R,)
-            return jnp.einsum("rt,r->t", x, w_r) / jnp.maximum(jnp.sum(w_r), 1.0)
+        masked_mean_r = _masked_mean_r
 
         # Per-model realisation means for the inverse-square scorer
         # (fold-invariant; padded models give 0/1 = 0, masked out per fold).
@@ -161,7 +166,13 @@ def _pmt_program():
                 # Reduced-collection similarity vector: mean over remaining
                 # columns, normalised, multiplied in, renormalised
                 # (PerfectModelTest._run_single_test include_sim branch).
-                red = sim_pair * mmask[None, :]
+                # The loop path's ModelSimilarityWeight picks full-cov vs
+                # diag W2 on the REDUCED collection, so the dispatch is
+                # per fold: use_full[i] selects the full-cov matrix only
+                # when every remaining model carries a full covariance.
+                pair_diag, pair_full, use_full = sim_pair
+                pair = jnp.where(use_full[i], pair_full, pair_diag)
+                red = pair * mmask[None, :]
                 sim = jnp.sum(red, axis=1) / jnp.maximum(jnp.sum(mmask), 1.0)
                 sim = sim * mmask
                 sim = sim / jnp.sum(sim)
@@ -314,39 +325,64 @@ def batched_pmt(
             for pm in forecast_models
         ]
     )
-    hist_full = all(
-        isinstance(pm.distribution.gaussian, FullCovGaussian)
-        for pm in hindcast_models
-    )
-
     hist_block = jnp.asarray(hist_block, dtype)
     fore_block = jnp.asarray(fore_block, dtype)
     hist_w = jnp.asarray(hist_rmask, dtype)
     fore_w = jnp.asarray(fore_rmask, dtype)
 
     if include_sim:
-        # Full pairwise W2 matrix over the hindcast posteriors, computed
-        # ONCE; each fold takes its reduced row-means (ModelSimilarityWeight
+        # Pairwise W2 matrices over the hindcast posteriors, computed ONCE;
+        # each fold takes its reduced row-means (ModelSimilarityWeight
         # mode="single" on the reduced collection uses exactly these
-        # entries, diagonal included).
+        # entries, diagonal included).  The library weighter decides
+        # full-cov vs diag W2 per REDUCED collection, so both matrices are
+        # carried with a per-fold selector (use_full[i] = every model other
+        # than i is full-cov); mixed collections then match run() exactly.
         from bayesian_ensembling_tpu.ops.wasserstein import (
             gaussian_w2_distance,
             gaussian_w2_distance_diag,
         )
 
-        if hist_full:
-            hist_covs = jnp.stack(
-                [jnp.asarray(pm.distribution.gaussian.cov) for pm in hindcast_models]
+        if m < 3:
+            # The loop path fails loudly inside ModelSimilarityWeight (the
+            # reduced collection has a single model); with the batched
+            # masked reduction it would be a silent 0/0 = NaN instead.
+            raise ValueError(
+                f"include_sim needs at least 3 models (got {m}): each "
+                "leave-one-out fold computes similarity over the remaining "
+                "models, and one model has no one to be similar to"
             )
-            sim_pair = jax.vmap(
+        full_flags = np.array(
+            [
+                isinstance(pm.distribution.gaussian, FullCovGaussian)
+                for pm in hindcast_models
+            ]
+        )
+        use_full = np.array(
+            [full_flags[np.arange(m) != i].all() for i in range(m)]
+        )
+        sim_diag = jax.vmap(
+            jax.vmap(gaussian_w2_distance_diag, in_axes=(None, None, 0, 0)),
+            in_axes=(0, 0, None, None),
+        )(hist_mean, hist_var, hist_mean, hist_var)
+        if use_full.any():
+            # Diag members are diag-embedded; their rows/columns are never
+            # selected on a use_full fold (the fold mask excludes them).
+            hist_covs = jnp.stack(
+                [
+                    jnp.asarray(pm.distribution.gaussian.cov)
+                    if isinstance(pm.distribution.gaussian, FullCovGaussian)
+                    else jnp.diag(jnp.asarray(pm.distribution.gaussian.variance))
+                    for pm in hindcast_models
+                ]
+            )
+            sim_full = jax.vmap(
                 jax.vmap(gaussian_w2_distance, in_axes=(None, None, 0, 0)),
                 in_axes=(0, 0, None, None),
             )(hist_mean, hist_covs, hist_mean, hist_covs)
         else:
-            sim_pair = jax.vmap(
-                jax.vmap(gaussian_w2_distance_diag, in_axes=(None, None, 0, 0)),
-                in_axes=(0, 0, None, None),
-            )(hist_mean, hist_var, hist_mean, hist_var)
+            sim_full = sim_diag
+        sim_pair = (sim_diag, sim_full, jnp.asarray(use_full))
     else:
         sim_pair = None
 
@@ -388,12 +424,15 @@ def batched_pmt(
         hist_w = jpad(jpad(hist_w, 1, pad_r), 0, pad_m)
         fore_w = jpad(jpad(fore_w, 1, pad_r), 0, pad_m)
         if sim_pair is not None:
-            sim_pair = jpad(jpad(sim_pair, 0, pad_m), 1, pad_m)
+            sd, sf, uf = sim_pair
+            sim_pair = (
+                jpad(jpad(sd, 0, pad_m), 1, pad_m),
+                jpad(jpad(sf, 0, pad_m), 1, pad_m),
+                jpad(uf, 0, pad_m),  # padded folds: use_full False (diag)
+            )
     m_pad = hist_mean.shape[0]
     real_mask = (jnp.arange(m_pad) < m).astype(dtype)
-
-    def masked_mean_r(x, w_r):  # x: (R, T), w_r: (R,)
-        return jnp.einsum("rt,r->t", x, w_r) / jnp.maximum(jnp.sum(w_r), 1.0)
+    masked_mean_r = _masked_mean_r
 
     if weight_kind == "loglik":
         # Per-(model, pseudo-obs) mean log-likelihood table, precomputed
@@ -620,6 +659,11 @@ class PerfectModelTest:
         """
         import pandas as pd
 
+        if figures and not self.save_dir:
+            raise ValueError(
+                "run_batched(figures=True) writes figures under save_dir; "
+                "construct PerfectModelTest with save_dir set"
+            )
         wname = self.weight_method().name
         kind = BATCHED_WEIGHT_KINDS.get(wname)
         if kind is None:
@@ -629,10 +673,16 @@ class PerfectModelTest:
             )
         from bayesian_ensembling_tpu.schemes import Barycentre
 
-        if not issubclass(self.ensemble_method, Barycentre):
+        if not (
+            isinstance(self.ensemble_method, type)
+            and issubclass(self.ensemble_method, Barycentre)
+        ):
+            name = getattr(
+                self.ensemble_method, "__name__", repr(self.ensemble_method)
+            )
             raise ValueError(
                 f"run_batched computes the Barycentre combine; "
-                f"{self.ensemble_method.__name__} needs run()"
+                f"{name} needs run()"
             )
         unfitted = [
             pm.name

@@ -3,6 +3,7 @@
 import os
 
 import numpy as np
+import pytest
 import scipy.stats
 
 import bayesian_ensembling_tpu as bet
@@ -404,3 +405,70 @@ def test_campaign_cli_bucketed(rng, tmp_path, capsys, monkeypatch):
     for ssp in ("sspa", "sspb"):
         csvs = list((tmp_path / "out" / ssp / "csvs").glob("*.csv"))
         assert len(csvs) == 2, (ssp, csvs)
+
+
+def test_batched_pmt_mixed_types_include_sim_matches_loop(rng):
+    """include_sim with a MIXED FullCov/Diag collection: the loop path's
+    ModelSimilarityWeight picks full-cov vs diag W2 per REDUCED collection
+    (the fold excluding the Diag member is all-FullCov), so the batched
+    path must dispatch per fold, not per collection."""
+    from bayesian_ensembling_tpu.models.gp_dtw import GPDTW1D
+
+    hind = make_collection(rng, n_models=3, n_reals=(2, 3), n_months=10)
+    fore = make_collection(rng, n_models=3, n_reals=(2, 3), n_months=10)
+    hind.fit(GPDTW1D(dtype=np.float64), n_optim_nits=3, dba_iterations=1)
+    fore.fit(GPDTW1D(dtype=np.float64), n_optim_nits=3, dba_iterations=1)
+    hind[1].distribution = MeanField(dtype=np.float64).fit(hind[1], n_optim_nits=0)
+    pmt = PerfectModelTest(
+        hindcast_models=hind,
+        forecast_models=fore,
+        emulate_method=None,
+        weight_method=bet.CRPSWeight,
+        ensemble_method=bet.Barycentre,
+        ssp="testssp",
+        include_sim=True,
+    )
+    want = pmt.run(use_prefit_models=True)
+    got = pmt.run_batched()
+    np.testing.assert_allclose(
+        got.iloc[:, 1:].to_numpy(dtype=float),
+        want.iloc[:, 1:].to_numpy(dtype=float),
+        rtol=1e-5,
+        atol=1e-8,
+    )
+
+
+def test_batched_pmt_include_sim_two_models_raises(rng):
+    """2 models + include_sim: the loop fails loudly inside the similarity
+    weighter; the batched path must refuse too instead of emitting NaNs."""
+    hind, fore = _prefit(rng, n_models=2, n_months=8)
+    pmt = PerfectModelTest(
+        hindcast_models=hind,
+        forecast_models=fore,
+        emulate_method=None,
+        weight_method=bet.CRPSWeight,
+        ensemble_method=bet.Barycentre,
+        ssp="testssp",
+        include_sim=True,
+    )
+    with pytest.raises(ValueError, match="at least 3 models"):
+        pmt.run_batched()
+
+
+def test_run_batched_guards(rng):
+    """figures=True needs save_dir; non-class ensemble_method gets the
+    guidance ValueError (not a TypeError from issubclass)."""
+    hind, fore = _prefit(rng, n_models=3, n_months=8)
+    pmt = PerfectModelTest(
+        hindcast_models=hind,
+        forecast_models=fore,
+        emulate_method=None,
+        weight_method=bet.CRPSWeight,
+        ensemble_method=bet.Barycentre,
+        ssp="testssp",
+    )
+    with pytest.raises(ValueError, match="save_dir"):
+        pmt.run_batched(figures=True)
+    pmt.ensemble_method = lambda: bet.Barycentre()
+    with pytest.raises(ValueError, match="needs run"):
+        pmt.run_batched()
