@@ -34,6 +34,7 @@ __all__ = [
     "gridded_ensemble_step",
     "make_sharded_gridded_step",
     "coarse_cell_indices",
+    "coarse_fit_params",
     "coarse_warm_start",
 ]
 
@@ -244,24 +245,48 @@ def coarse_warm_start(
     coarse, nearest = coarse_cell_indices(lat, lon, stride)
     cb = block[:, coarse].reshape(m * coarse.size, r, t)
     cm = mask[:, coarse].reshape(m * coarse.size, r)
+    params = coarse_fit_params(
+        cb, cm, n_optim_nits=n_optim_nits, mesh=mesh, cells_axis=cells_axis,
+        **emulate_kwargs,
+    )
+    params = jax.tree.map(lambda p: p.reshape(m, coarse.size), params)
+    return jax.tree.map(lambda p: p[:, nearest], params)
+
+
+def coarse_fit_params(
+    cb: jnp.ndarray,  # (N, R, T) stacked coarse-cell realisations
+    cm: jnp.ndarray,  # (N, R)
+    *,
+    n_optim_nits: int = 500,
+    mesh: tp.Optional[Mesh] = None,
+    cells_axis: str = "cells",
+    **emulate_kwargs,
+):
+    """Scratch-fit hyperparameters for a stack of coarse cells.
+
+    The shared lower half of the coarse-to-fine path: ``coarse_warm_start``
+    and external callers that materialise their own coarse subsets (e.g.
+    the benchmark's CPU float64 oracle fits only the coarse cells its
+    fine subset needs) both get the fit-kwargs construction and the
+    (optional) cells-sharded program from ONE place.  Returns batched
+    ``GPParams`` with leading dim N.
+    """
     kwargs_items = tuple(
         sorted({"n_optim_nits": n_optim_nits, **emulate_kwargs}.items())
     )
     if mesh is None:
-        params = _warm_fit_program(kwargs_items)(cb, cm)
-    else:
-        n = cb.shape[0]
-        n_dev = mesh.shape[cells_axis]
-        target = -(-n // n_dev) * n_dev
-        if target != n:
-            reps = target - n
-            cb = jnp.concatenate([cb, jnp.repeat(cb[:1], reps, axis=0)], axis=0)
-            cm = jnp.concatenate([cm, jnp.repeat(cm[:1], reps, axis=0)], axis=0)
-        params = _sharded_warm_fit_program(mesh, cells_axis, kwargs_items)(cb, cm)
-        if target != n:
-            params = jax.tree.map(lambda p: p[:n], params)
-    params = jax.tree.map(lambda p: p.reshape(m, coarse.size), params)
-    return jax.tree.map(lambda p: p[:, nearest], params)
+        return _warm_fit_program(kwargs_items)(cb, cm)
+    n = cb.shape[0]
+    n_dev = mesh.shape[cells_axis]
+    target = -(-n // n_dev) * n_dev
+    if target != n:
+        reps = target - n
+        cb = jnp.concatenate([cb, jnp.repeat(cb[:1], reps, axis=0)], axis=0)
+        cm = jnp.concatenate([cm, jnp.repeat(cm[:1], reps, axis=0)], axis=0)
+    params = _sharded_warm_fit_program(mesh, cells_axis, kwargs_items)(cb, cm)
+    if target != n:
+        params = jax.tree.map(lambda p: p[:n], params)
+    return params
 
 
 @functools.lru_cache(maxsize=32)

@@ -52,8 +52,8 @@ def coarse_params_for(cell_indices, lat, lon, stride, n_iters, dtype=np.float32)
     import jax.numpy as jnp
 
     from bayesian_ensembling_tpu.parallel.gridded import (
-        _warm_fit_program,
         coarse_cell_indices,
+        coarse_fit_params,
     )
 
     cell_indices = np.asarray(cell_indices)
@@ -61,9 +61,10 @@ def coarse_params_for(cell_indices, lat, lon, stride, n_iters, dtype=np.float32)
     need = np.unique(nearest[cell_indices])
     cblock, _ = make_workload_cells(coarse[need], dtype)
     m, nc, r, t = cblock.shape
-    program = _warm_fit_program((("n_optim_nits", n_iters),))
-    params = program(
-        jnp.asarray(cblock.reshape(m * nc, r, t)), jnp.ones((m * nc, r), bool)
+    params = coarse_fit_params(
+        jnp.asarray(cblock.reshape(m * nc, r, t)),
+        jnp.ones((m * nc, r), bool),
+        n_optim_nits=n_iters,
     )
     params = jax.tree.map(lambda p: np.asarray(p).reshape(m, nc), params)
     pos = {int(v): i for i, v in enumerate(need)}

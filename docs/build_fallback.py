@@ -74,7 +74,9 @@ def md_to_html(text: str) -> str:
     def flush_para():
         nonlocal para
         if para:
-            out.append("<p>" + _inline("\n".join(para)) + "</p>")
+            # Join with a space, not a newline: the inline regexes cannot
+            # match markup that spans a source-line wrap.
+            out.append("<p>" + _inline(" ".join(para)) + "</p>")
             para = []
 
     def close_list():
@@ -234,23 +236,34 @@ def render_automodule(modname: str, members) -> str:
 
 # --------------------------------------------------------------- rst index
 def parse_bib(path: str) -> dict:
+    """Brace-counting BibTeX parser (regexes cap nesting depth and silently
+    drop entries like ``Fran{\\c{c}}ois`` with doubly-nested braces)."""
     entries = {}
-    with open(path) as f:
+    with open(path, encoding="utf-8") as f:
         text = f.read()
-    for m in re.finditer(r"@\w+\{([^,]+),((?:[^{}]|\{[^{}]*\})*)\}", text):
-        key = m.group(1).strip()
-        fields = dict(
-            (fm.group(1).lower(), re.sub(r"[{}]", "", fm.group(2)).strip())
-            for fm in re.finditer(
-                r"(\w+)\s*=\s*[{\"]((?:[^{}\"]|\{[^{}]*\})*)[}\"]", m.group(2)
-            )
-        )
-        entries[key] = fields
+    for m in re.finditer(r"@\w+\{", text):
+        depth, j = 1, m.end()
+        while j < len(text) and depth:
+            depth += {"{": 1, "}": -1}.get(text[j], 0)
+            j += 1
+        body = text[m.end() : j - 1]
+        key, _, rest = body.partition(",")
+        fields = {}
+        for fm in re.finditer(r"(\w+)\s*=\s*\{", rest):
+            depth, q = 1, fm.end()
+            while q < len(rest) and depth:
+                depth += {"{": 1, "}": -1}.get(rest[q], 0)
+                q += 1
+            val = rest[fm.end() : q - 1]
+            # Drop TeX control sequences and grouping braces for display.
+            val = re.sub(r"\\[a-zA-Z]+", "", val)
+            fields[fm.group(1).lower()] = re.sub(r"[{}]", "", val).strip()
+        entries[key.strip()] = fields
     return entries
 
 
 def render_index(outdir: str, pages: list) -> None:
-    with open(os.path.join(DOCS, "index.rst")) as f:
+    with open(os.path.join(DOCS, "index.rst"), encoding="utf-8") as f:
         rst = f.read()
     bib = parse_bib(os.path.join(DOCS, "refs.bib"))
 
@@ -265,9 +278,10 @@ def render_index(outdir: str, pages: list) -> None:
             text = html.escape(" ".join(para))
             text = re.sub(r"``(.+?)``", r"<code>\1</code>", text)
             text = re.sub(
-                r":cite:<code>(\w+)</code>|:cite:`(\w+)`",
-                lambda m: '<a href="#bib-{0}">[{0}]</a>'.format(
-                    m.group(1) or m.group(2)
+                r":cite:<code>([\w,\s]+)</code>|:cite:`([\w,\s]+)`",
+                lambda m: ", ".join(
+                    '<a href="#bib-{0}">[{0}]</a>'.format(k.strip())
+                    for k in (m.group(1) or m.group(2)).split(",")
                 ),
                 text,
             )
@@ -357,7 +371,7 @@ def write_page(outdir: str, stem: str, title: str, body: str, pages: list) -> No
 <nav><div class="brand">bayesian_ensembling_tpu</div>{nav}</nav>
 <main>{body}</main>
 </div></body></html>"""
-    with open(os.path.join(outdir, stem + ".html"), "w") as f:
+    with open(os.path.join(outdir, stem + ".html"), "w", encoding="utf-8") as f:
         f.write(doc)
 
 
@@ -370,7 +384,7 @@ def build(outdir: str | None = None) -> str:
     ]
     pages = [("index", "Home")] + [(p, p.capitalize()) for p in md_pages]
     for stem in md_pages:
-        with open(os.path.join(DOCS, stem + ".md")) as f:
+        with open(os.path.join(DOCS, stem + ".md"), encoding="utf-8") as f:
             text = f.read()
         m = re.match(r"^#\s+(.*)$", text.split("\n", 1)[0])
         title = m.group(1) if m else stem

@@ -63,6 +63,9 @@ def main():
         "figures from the batched program's outputs",
     )
     args = ap.parse_args()
+    if args.batched and not args.prefit_dir:
+        # Fail at parse time, before loading/anomalising every scenario.
+        raise SystemExit("--batched requires --prefit-dir")
 
     import bayesian_ensembling_tpu as bet
     from bayesian_ensembling_tpu import pipeline
@@ -116,8 +119,6 @@ def main():
                 ),
             )
             if args.batched:
-                if not use_prefit:
-                    raise SystemExit("--batched requires --prefit-dir")
                 df = pmt.run_batched(pad_shape=pad_shape, figures=args.figures)
             else:
                 df = pmt.run(

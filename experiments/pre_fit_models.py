@@ -32,7 +32,6 @@ def main():
     )
     args = ap.parse_args()
 
-    import numpy as np
 
     from bayesian_ensembling_tpu import pipeline
     from bayesian_ensembling_tpu.models.gp_dtw import GPDTW1D
