@@ -20,8 +20,6 @@ from bayesian_ensembling_tpu.io import timeutils
 
 __all__ = ["open_dataarray", "save_dataarray"]
 
-_DIM_SENTINELS = ("DIMENSION_LIST", "_Netcdf4Coordinates")
-
 
 def _is_dim_scale(ds: h5py.Dataset) -> bool:
     return ds.attrs.get("CLASS", b"") == b"DIMENSION_SCALE"
@@ -47,8 +45,12 @@ def _dim_names(f: h5py.File, var: h5py.Dataset) -> tp.Tuple[str, ...]:
     names = []
     if "DIMENSION_LIST" in var.attrs:
         for ax_refs in var.attrs["DIMENSION_LIST"]:
-            ref = ax_refs[0]
-            names.append(f[ref].name.lstrip("/"))
+            if len(ax_refs):
+                names.append(f[ax_refs[0]].name.lstrip("/"))
+            else:
+                # Phony axis with no attached scale (some writers): fall
+                # back to a generated name rather than IndexError.
+                names.append(f"dim_{len(names)}")
         return tuple(names)
     # Fall back: match dimension-scale datasets by length, consuming each
     # scale at most once (two equal-length axes must not both claim the
@@ -60,6 +62,17 @@ def _dim_names(f: h5py.File, var: h5py.Dataset) -> tp.Tuple[str, ...]:
             n for n, d in scales.items() if d.shape == (size,) and n not in used
         ]
         if match:
+            if len(match) > 1:
+                # Without DIMENSION_LIST, equal-length axes are assigned by
+                # file order — possibly transposed (e.g. a square lat/lon
+                # grid).  Say so instead of silently guessing.
+                import warnings
+
+                warnings.warn(
+                    f"file has no DIMENSION_LIST and several dimension "
+                    f"scales of length {size} ({match}); assigning "
+                    f"{match[0]!r} by file order — verify axis order"
+                )
             names.append(match[0])
             used.add(match[0])
         else:
@@ -142,6 +155,12 @@ def save_dataarray(path: str, da: DimArray, var_name: tp.Optional[str] = None):
             coord = da.get_coord(d)
             if d == "time" and np.issubdtype(coord.dtype, np.datetime64):
                 epoch = coord[0].astype("datetime64[ns]")
+                # decode_cf_time parses epochs at microsecond resolution:
+                # align the epoch down to a whole microsecond and let the
+                # offsets absorb any sub-microsecond remainder.
+                epoch = epoch - (
+                    int(epoch.astype("int64")) % 1000
+                ) * np.timedelta64(1, "ns")
                 offsets_ns = (coord.astype("datetime64[ns]") - epoch).astype("int64")
                 # Choose the coarsest CF unit that represents the offsets
                 # EXACTLY (a fixed hours-floor silently corrupted sub-hour
@@ -154,9 +173,17 @@ def save_dataarray(path: str, da: DimArray, var_name: tp.Optional[str] = None):
                 else:
                     unit, enc = "seconds", offsets_ns / 1e9
                 ds = f.create_dataset(d, data=enc)
-                epoch_s = np.datetime_as_string(
-                    epoch.astype("datetime64[s]"), unit="s"
-                ).replace("T", " ")
+                # The units string must carry the EXACT epoch: truncating a
+                # fractional-second epoch to whole seconds silently shifted
+                # every round-tripped stamp by the fraction.
+                if int(epoch.astype("int64")) % 10**9:
+                    epoch_s = np.datetime_as_string(
+                        epoch.astype("datetime64[us]"), unit="us"
+                    ).replace("T", " ")
+                else:
+                    epoch_s = np.datetime_as_string(
+                        epoch.astype("datetime64[s]"), unit="s"
+                    ).replace("T", " ")
                 ds.attrs["units"] = np.bytes_(f"{unit} since {epoch_s}")
                 ds.attrs["calendar"] = np.bytes_("proleptic_gregorian")
             else:

@@ -49,12 +49,33 @@ def decode_cf_time(values: np.ndarray, units: str) -> np.ndarray:
     epoch_str = epoch_str.replace(" ", "T").split("T")
     date = epoch_str[0]
     time = epoch_str[1] if len(epoch_str) > 1 else "00:00:00"
-    epoch = np.datetime64(f"{date}T{time}", "ns")
-    # Use float seconds to keep fractional days exact enough (ns resolution).
+    # Parse the epoch at MICROSECOND resolution: datetime64[ns] only spans
+    # 1677-2262 and np.datetime64(..., "ns") silently WRAPS outside it
+    # (e.g. 'days since 0001-01-01' became 1754), while the offset multiply
+    # could overflow int64 ns to NaT with only a RuntimeWarning.  Compute
+    # wide, check the DECODED range, fail loudly instead of corrupting.
+    epoch = np.datetime64(f"{date}T{time}", "us")
     vals = np.asarray(values, dtype=np.float64)
-    step_ns = _UNIT_NS[unit].astype(np.int64)
-    offsets = (vals * step_ns).astype("timedelta64[ns]")
-    return epoch + offsets
+    step_us = _UNIT_NS[unit].astype(np.int64) // 1000
+    off_us_f = vals * step_us
+    if vals.size and (
+        not np.isfinite(off_us_f).all()
+        or np.abs(off_us_f).max() >= float(2**62)
+    ):
+        raise ValueError(f"CF time offsets overflow for units {units!r}")
+    off_us = np.round(off_us_f).astype(np.int64)
+    # Sub-microsecond residual keeps small offsets ns-exact (float64 only
+    # carries ns resolution for offsets below ~0.1 day anyway).
+    res_ns = np.round((off_us_f - off_us) * 1000.0).astype(np.int64)
+    out_us = epoch + off_us.astype("timedelta64[us]")
+    lo = np.datetime64("1677-09-22T00:00:00", "us")
+    hi = np.datetime64("2262-04-10T23:59:59", "us")
+    if vals.size and (out_us.min() < lo or out_us.max() > hi):
+        raise ValueError(
+            f"decoded times [{out_us.min()}, {out_us.max()}] fall outside "
+            f"the datetime64[ns] range (1678-2262) for units {units!r}"
+        )
+    return out_us.astype("datetime64[ns]") + res_ns.astype("timedelta64[ns]")
 
 
 def months_of(time: np.ndarray) -> np.ndarray:
@@ -89,7 +110,16 @@ def monthly_climatology(
       ``(12, *space)`` climatology (month index 0 = January).
     """
     lo, hi = np.datetime64(window[0]), np.datetime64(window[1])
-    in_win = (time >= lo) & (time <= hi)
+    if "T" in str(window[1]) or ":" in str(window[1]):
+        # Timestamped end: inclusive of that exact instant.
+        in_win = (time >= lo) & (time <= hi)
+    else:
+        # Date-only end: include the WHOLE end day, like xarray's
+        # sel(time=slice(a, b)) — comparing <= midnight silently dropped
+        # intra-day stamps (e.g. end-of-period 1990-12-31T12:00) from the
+        # final month of the climatology.
+        hi_excl = (hi.astype("datetime64[D]") + 1).astype("datetime64[ns]")
+        in_win = (time >= lo) & (time < hi_excl)
     months = months_of(time)
     out_shape = (12,) + data.shape[2:]
     clim = np.empty(out_shape, dtype=data.dtype)

@@ -25,11 +25,15 @@ _lib: tp.Optional[ctypes.CDLL] = None
 _tried = False
 
 
-def _build() -> bool:
+def _build(out: str = _LIB) -> bool:
+    """Compile dtw.cpp to ``out`` ATOMICALLY (temp file + os.replace): a
+    killed build or a concurrent reader must never observe a truncated
+    .so at the canonical path."""
     if not os.path.exists(_SRC):
         return False
+    tmp = f"{out}.build{os.getpid()}"
     try:
-        cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", _LIB, _SRC]
+        cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", tmp, _SRC]
         try:
             subprocess.run(
                 cmd[:2] + ["-fopenmp"] + cmd[2:],
@@ -40,8 +44,13 @@ def _build() -> bool:
         except subprocess.SubprocessError:
             # toolchains without libgomp still get the serial build
             subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, out)
         return True
     except (OSError, subprocess.SubprocessError):
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
         return False
 
 
@@ -69,24 +78,34 @@ def _load() -> tp.Optional[ctypes.CDLL]:
 
     try:
         _lib = bind(ctypes.CDLL(_LIB))
-    except OSError:
-        return None
-    except AttributeError:
-        # Stale prebuilt library missing a newer entry point: rebuild once
-        # from source; report unavailable (-> JAX fallback) if that fails.
-        # Unlink first so the rebuilt .so gets a fresh inode — dlopen caches
-        # handles by path/inode, and rebuilding in place can hand the
-        # re-dlopen the SAME stale mapping (the AttributeError would recur).
+    except (OSError, AttributeError):
+        # OSError: corrupt/truncated .so (e.g. a killed build).
+        # AttributeError: stale prebuilt library missing a newer entry
+        # point.  Either way, rebuild once from source and load the result
+        # through a UNIQUE pathname: glibc dlopen matches already-loaded
+        # objects by pathname (before dev/inode) and ctypes never dlcloses,
+        # so re-dlopening the canonical path would hand back the same stale
+        # mapping (verified empirically).  Report unavailable (-> JAX
+        # fallback) if the rebuild fails too.
         _lib = None
-        try:
-            os.remove(_LIB)
-        except OSError:
-            pass
-        if _build():
+        fresh = f"{_LIB}.r{os.getpid()}"
+        if _build(fresh):
             try:
-                _lib = bind(ctypes.CDLL(_LIB))
+                _lib = bind(ctypes.CDLL(fresh))
             except (OSError, AttributeError):
                 _lib = None
+            if _lib is not None:
+                # Future processes get the good library at the canonical
+                # path (the current mapping is unaffected by the rename).
+                try:
+                    os.replace(fresh, _LIB)
+                except OSError:
+                    pass
+            else:
+                try:
+                    os.remove(fresh)
+                except OSError:
+                    pass
     return _lib
 
 

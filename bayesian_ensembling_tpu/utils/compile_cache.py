@@ -56,13 +56,22 @@ def enable_persistent_cache(cache_dir: tp.Optional[str] = None) -> tp.Optional[s
     env = os.environ.get("BET_COMPILE_CACHE")
     if env is not None and env.lower() in ("0", "off", "none", "false"):
         return None
-    cache_dir = cache_dir or env or _DEFAULT
+    # The env var overrides in BOTH directions (the docstring's contract):
+    # an operator's BET_COMPILE_CACHE path beats a caller's explicit
+    # cache_dir argument, just as the =0 spelling beats it.
+    cache_dir = env or cache_dir or _DEFAULT
     try:
         os.makedirs(cache_dir, exist_ok=True)
-        probe = os.path.join(cache_dir, ".writable")
+        # Per-process probe name: concurrent launches racing on a shared
+        # fixed name made the loser's os.remove raise and silently disable
+        # its cache.
+        probe = os.path.join(cache_dir, f".writable.{os.getpid()}")
         with open(probe, "w"):
             pass
-        os.remove(probe)
+        try:
+            os.remove(probe)
+        except FileNotFoundError:
+            pass
     except OSError:
         return None
 

@@ -186,3 +186,53 @@ def test_netcdf_unpacks_scaled_integers(tmp_path):
     da = netcdf.open_dataarray(p)
     np.testing.assert_allclose(da.values[0, :2], [274.15, 275.15])
     assert np.isnan(da.values[0, 2])
+
+
+def test_decode_cf_time_wide_epoch():
+    """Epochs OUTSIDE the datetime64[ns] range must decode correctly when
+    the decoded instants are inside it (np.datetime64(..., 'ns') silently
+    wrapped 'days since 0001-01-01' to 1754 before)."""
+    days = 365.2425 * 2014 + 16  # ~mid-January 2015
+    t = timeutils.decode_cf_time(np.array([days]), "days since 0001-01-01")
+    assert str(t[0]).startswith("2015-01-1")
+
+
+def test_decode_cf_time_out_of_range_raises():
+    with pytest.raises(ValueError, match="outside"):
+        timeutils.decode_cf_time(np.array([0.0]), "days since 0001-01-01")
+    # int64-ns overflow used to become NaT with only a RuntimeWarning
+    with pytest.raises(ValueError):
+        timeutils.decode_cf_time(np.array([1e18]), "days since 1850-01-01")
+
+
+def test_climatology_includes_intra_day_end_stamps():
+    """A date-only window end includes the WHOLE end day (xarray slice
+    semantics): end-of-period stamps like 1990-12-31T12:00 used to be
+    dropped from the final month."""
+    # One stamp per month of 1990, each at midday on the month's LAST day.
+    months = np.datetime64("1990-01", "M") + np.arange(12)
+    last_day = (months + 1).astype("datetime64[D]") - np.timedelta64(1, "D")
+    time = last_day.astype("datetime64[ns]") + np.timedelta64(12, "h")
+    data = np.arange(1.0, 13.0)[None, :]  # (realisation, time)
+    out = timeutils.monthly_climatology(
+        data, time, window=("1961-01-01", "1990-12-31")
+    )
+    np.testing.assert_array_equal(out, np.arange(1.0, 13.0))
+
+
+def test_netcdf_fractional_second_epoch_roundtrip(rng, tmp_path):
+    """A first stamp with fractional seconds must round-trip exactly (the
+    units string used to truncate the epoch to whole seconds, silently
+    shifting every re-opened stamp)."""
+    from bayesian_ensembling_tpu.coords import DimArray
+    from bayesian_ensembling_tpu.io import netcdf
+
+    base = np.datetime64("2000-01-01T00:00:00.500", "ns")
+    time = base + np.arange(3) * np.timedelta64(1, "h")
+    da = DimArray(
+        rng.normal(size=(2, 3)), ("realisation", "time"), {"time": time}, name="tas"
+    )
+    p = str(tmp_path / "frac.nc")
+    netcdf.save_dataarray(p, da)
+    back = netcdf.open_dataarray(p)
+    np.testing.assert_array_equal(back.time, time)
