@@ -114,11 +114,14 @@ def monthly_climatology(
         # Timestamped end: inclusive of that exact instant.
         in_win = (time >= lo) & (time <= hi)
     else:
-        # Date-only end: include the WHOLE end day, like xarray's
-        # sel(time=slice(a, b)) — comparing <= midnight silently dropped
-        # intra-day stamps (e.g. end-of-period 1990-12-31T12:00) from the
-        # final month of the climatology.
-        hi_excl = (hi.astype("datetime64[D]") + 1).astype("datetime64[ns]")
+        # Label end: include the WHOLE labelled period at the string's own
+        # resolution, like xarray's sel(time=slice(a, b)) — '1990-12-31'
+        # covers the full day, '1990-12' the full month, '1990' the full
+        # year.  np.datetime64 parses each at its native unit, so +1 steps
+        # exactly one such period; comparing <= the parsed instant silently
+        # dropped every later stamp inside the period (e.g. mid-month CMIP
+        # monthly stamps against a '1990-12' end).
+        hi_excl = (hi + 1).astype("datetime64[ns]")
         in_win = (time >= lo) & (time < hi_excl)
     months = months_of(time)
     out_shape = (12,) + data.shape[2:]

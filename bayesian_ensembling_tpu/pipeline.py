@@ -17,7 +17,6 @@ of a scenario fit in two compiled calls instead of the reference's
 from __future__ import annotations
 
 import dataclasses
-import functools
 import glob
 import os
 import time as _time
@@ -79,19 +78,29 @@ def _model_name(path: str) -> str:
     return "_".join(os.path.basename(path).split("_")[:2])
 
 
-@functools.lru_cache(maxsize=8)
+_OBS_TIME_CACHE: tp.Dict[str, np.ndarray] = {}
+
+
 def _obs_time(data_dir: str) -> tp.Optional[np.ndarray]:
     """HadCRUT5 time coordinate, parsed once per data directory.
 
     Every scenario load needs it for the calendar-collocation hack; without
     caching a 7-SSP run re-opens and parses the full observations netCDF
-    once per scenario."""
+    once per scenario.  Existence is re-checked every call (an obs file
+    created after the first lookup must be seen — an lru_cache here once
+    pinned the miss for the process lifetime) and the cached vector is
+    read-only so one consumer cannot corrupt every scenario's coords."""
     obs_path = os.path.join(
         data_dir, "obs/gmst/HadCRUT.5.0.1.0.analysis.anomalies_gmst.nc"
     )
-    if os.path.exists(obs_path):
-        return netcdf.open_dataarray(obs_path, name="tas").time
-    return None
+    if not os.path.exists(obs_path):
+        return None
+    cached = _OBS_TIME_CACHE.get(obs_path)
+    if cached is None:
+        cached = np.asarray(netcdf.open_dataarray(obs_path, name="tas").time)
+        cached.setflags(write=False)
+        _OBS_TIME_CACHE[obs_path] = cached
+    return cached
 
 
 def load_observations(

@@ -174,14 +174,23 @@ def plot_posterior_spatial(post, fig=None):
         t_ax = dims.index("time")
         m = mean.values.mean(axis=t_ax)
         s = sd.values.mean(axis=t_ax)
+        rem = tuple(d for d in dims if d != "time")
     else:
         m, s = mean.values, sd.values
+        rem = dims
     lat = np.asarray(mean.get_coord("latitude"), float)
     lon = np.asarray(mean.get_coord("longitude"), float)
-    # Fields arrive (latitude, longitude) after the time collapse; transpose
-    # if the container carries them the other way round.
-    if m.shape != (lat.size, lon.size):
+    # Orient (latitude, longitude) from the dims tuple, not from the shape —
+    # a square grid is shape-ambiguous and a guessed transpose silently
+    # mis-orients the map.
+    if rem.index("latitude") > rem.index("longitude"):
         m, s = m.T, s.T
+    # Normalise both axes ascending so the imshow fallback's origin/extent
+    # stay truthful for descending-latitude products (90..-90).
+    if lat.size > 1 and lat[0] > lat[-1]:
+        lat, m, s = lat[::-1], m[::-1], s[::-1]
+    if lon.size > 1 and lon[0] > lon[-1]:
+        lon, m, s = lon[::-1], m[:, ::-1], s[:, ::-1]
     plot_proj, data_proj = _geo_projections()
     if fig is None:
         fig = plt.figure(figsize=(12, 5))

@@ -45,10 +45,10 @@ def main():
     ap.add_argument(
         "--sigma-mode",
         choices=["w2", "compat", "mixture"],
-        default="w2",
-        help="combined sigma: 'w2' closed-form barycentre, 'compat' "
-        "reference fixed point, 'mixture' moment-matched mixture variance "
-        "(the calibrated option)",
+        default=None,
+        help="combined sigma: 'w2' closed-form barycentre (default), "
+        "'compat' reference fixed point, 'mixture' moment-matched mixture "
+        "variance (the calibrated option)",
     )
     ap.add_argument(
         "--batched",
@@ -66,6 +66,13 @@ def main():
     if args.batched and not args.prefit_dir:
         # Fail at parse time, before loading/anomalising every scenario.
         raise SystemExit("--batched requires --prefit-dir")
+    if args.compat_fixed_point and args.sigma_mode not in (None, "compat"):
+        # The alias must not silently discard an explicit conflicting mode —
+        # the CSVs would be labelled one way and computed the other.
+        ap.error(
+            f"--compat-fixed-point conflicts with --sigma-mode {args.sigma_mode}"
+        )
+    sigma_mode = "compat" if args.compat_fixed_point else (args.sigma_mode or "w2")
 
     import bayesian_ensembling_tpu as bet
     from bayesian_ensembling_tpu import pipeline
@@ -112,11 +119,7 @@ def main():
                 ssp=ssp,
                 include_sim=args.include_sim,
                 save_dir=os.path.join(args.out_dir, ssp),
-                scheme_kwargs=(
-                    {"compat_fixed_point": True}
-                    if args.compat_fixed_point
-                    else {"sigma_mode": args.sigma_mode}
-                ),
+                scheme_kwargs={"sigma_mode": sigma_mode},
             )
             if args.batched:
                 df = pmt.run_batched(pad_shape=pad_shape, figures=args.figures)

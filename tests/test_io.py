@@ -220,6 +220,19 @@ def test_climatology_includes_intra_day_end_stamps():
     np.testing.assert_array_equal(out, np.arange(1.0, 13.0))
 
 
+def test_climatology_month_resolution_window_end():
+    """A month-resolution window end ('1990-12') covers the WHOLE month
+    (xarray label-slice semantics) — mid-month CMIP stamps in the final
+    month used to be silently dropped."""
+    months = np.datetime64("1990-01", "M") + np.arange(12)
+    time = months.astype("datetime64[D]").astype("datetime64[ns]") + np.timedelta64(
+        15, "D"
+    )
+    data = np.arange(1.0, 13.0)[None, :]
+    out = timeutils.monthly_climatology(data, time, window=("1990-01", "1990-12"))
+    np.testing.assert_array_equal(out, np.arange(1.0, 13.0))
+
+
 def test_netcdf_fractional_second_epoch_roundtrip(rng, tmp_path):
     """A first stamp with fractional seconds must round-trip exactly (the
     units string used to truncate the epoch to whole seconds, silently

@@ -105,6 +105,38 @@ def test_plot_posterior_spatial(rng):
     plt.close(fig)
 
 
+def test_plot_posterior_spatial_square_grid_orientation():
+    """A square (lon, lat)-ordered grid with DESCENDING latitude must plot
+    correctly oriented: orientation comes from the dims tuple (shape is
+    ambiguous on square grids) and the imshow fallback normalises axes
+    ascending to match its origin='lower' extent."""
+    import matplotlib.pyplot as plt
+
+    from bayesian_ensembling_tpu import plotters
+    from bayesian_ensembling_tpu.coords import DimArray
+    from bayesian_ensembling_tpu.data import Posterior
+    from bayesian_ensembling_tpu.ops.distributions import DiagGaussian
+
+    lon = np.array([0.0, 10.0, 20.0])
+    lat = np.array([60.0, 30.0, 0.0])  # descending, obs-product style
+    vals = lon[:, None] + lat[None, :]  # value at (lon_i, lat_j)
+    template = DimArray(
+        vals, ("longitude", "latitude"), {"longitude": lon, "latitude": lat}
+    )
+    post = Posterior(
+        DiagGaussian(vals.ravel(), np.ones(vals.size)), template
+    )
+    fig = plotters.plot_posterior_spatial(post)
+    if plotters._geo_projections()[0] is None:
+        img = np.asarray(fig.axes[0].images[0].get_array())
+        lat_asc = lat[::-1]
+        expected = lat_asc[:, None] + lon[None, :]  # (lat, lon), ascending
+        np.testing.assert_array_equal(img, expected)
+        ext = np.asarray(fig.axes[0].images[0].get_extent(), float)
+        np.testing.assert_allclose(ext, [0.0, 20.0, 0.0, 60.0])
+    plt.close(fig)
+
+
 def test_container_plot_methods(rng):
     import matplotlib.pyplot as plt
     import numpy as np
