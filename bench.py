@@ -29,6 +29,44 @@ from bayesian_ensembling_tpu.utils.compile_cache import enable_persistent_cache
 
 _CACHE_DIR = enable_persistent_cache()
 
+
+def _probe_backend(timeout_s: int = 180) -> None:
+    """Fail fast when the accelerator is unreachable.
+
+    The tunnelled TPU plugin can block ~30 minutes inside backend init when
+    the chip/tunnel is down; a subprocess probe with a hard timeout turns
+    that into a loud, quick failure instead of silently eating the whole
+    measurement window.  Skippable via BENCH_SKIP_PROBE=1."""
+    if os.environ.get("BENCH_SKIP_PROBE"):
+        return
+    import subprocess
+
+    code = (
+        "import jax, jax.numpy as jnp, numpy as np;"
+        "np.asarray(jax.jit(lambda a: a + 1)(jnp.ones(8)));"
+        "print(jax.devices())"
+    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        raise SystemExit(
+            f"bench: accelerator backend unreachable (probe exceeded "
+            f"{timeout_s}s — tunnel/chip down?). Set BENCH_SKIP_PROBE=1 to "
+            "bypass."
+        )
+    if proc.returncode != 0:
+        raise SystemExit(
+            "bench: accelerator backend probe failed:\n" + proc.stderr[-2000:]
+        )
+
+
+_probe_backend()
+
 import jax
 import jax.numpy as jnp
 
