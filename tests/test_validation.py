@@ -407,6 +407,28 @@ def test_campaign_cli_bucketed(rng, tmp_path, capsys, monkeypatch):
         assert len(csvs) == 2, (ssp, csvs)
 
 
+def test_campaign_cli_sigma_mode_conflict(monkeypatch):
+    """--compat-fixed-point with a conflicting explicit --sigma-mode must
+    error at parse time (silently computing compat numbers under a mixture
+    label mislabels the campaign CSVs)."""
+    import runpy
+    import sys
+
+    import pytest
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "experiments", "perfect_model_tests.py"
+    )
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        ["perfect_model_tests", "--sigma-mode", "mixture", "--compat-fixed-point"],
+    )
+    with pytest.raises(SystemExit) as exc:
+        runpy.run_path(path, run_name="__main__")
+    assert exc.value.code == 2  # argparse usage error
+
+
 def test_batched_pmt_mixed_types_include_sim_matches_loop(rng):
     """include_sim with a MIXED FullCov/Diag collection: the loop path's
     ModelSimilarityWeight picks full-cov vs diag W2 per REDUCED collection
