@@ -25,16 +25,43 @@ __all__ = [
 ]
 
 _UNIT_NS = {
+    "microseconds": np.timedelta64(1, "us").astype("timedelta64[ns]"),
+    "milliseconds": np.timedelta64(1, "ms").astype("timedelta64[ns]"),
     "seconds": np.timedelta64(1, "s").astype("timedelta64[ns]"),
+    "minutes": np.timedelta64(1, "m").astype("timedelta64[ns]"),
     "hours": np.timedelta64(1, "h").astype("timedelta64[ns]"),
     "days": np.timedelta64(1, "D").astype("timedelta64[ns]"),
+}
+# udunits singular/abbreviated spellings accepted by CF writers in the wild.
+_UNIT_ALIASES = {
+    "microsecond": "microseconds",
+    "usecs": "microseconds",
+    "usec": "microseconds",
+    "millisecond": "milliseconds",
+    "msecs": "milliseconds",
+    "msec": "milliseconds",
+    "ms": "milliseconds",
+    "second": "seconds",
+    "secs": "seconds",
+    "sec": "seconds",
+    "s": "seconds",
+    "minute": "minutes",
+    "mins": "minutes",
+    "min": "minutes",
+    "hour": "hours",
+    "hrs": "hours",
+    "hr": "hours",
+    "h": "hours",
+    "day": "days",
+    "d": "days",
 }
 
 
 def decode_cf_time(values: np.ndarray, units: str) -> np.ndarray:
     """Decode CF-convention numeric time to ``datetime64[ns]``.
 
-    Supports '<unit> since <timestamp>' for seconds/hours/days and
+    Supports '<unit> since <timestamp>' for microseconds through days
+    (plus the udunits singular/abbreviated spellings) and
     gregorian/proleptic_gregorian/standard calendars (all the bundled GMST
     files use these; verified by h5py inspection of
     ``experiments/data/*`` — e.g. 'days since 1850-01-01' for HadCRUT5 and
@@ -44,6 +71,7 @@ def decode_cf_time(values: np.ndarray, units: str) -> np.ndarray:
     if not m:
         raise ValueError(f"cannot parse CF time units: {units!r}")
     unit, epoch_str = m.group(1).lower(), m.group(2)
+    unit = _UNIT_ALIASES.get(unit, unit)
     if unit not in _UNIT_NS:
         raise ValueError(f"unsupported CF time unit {unit!r}")
     epoch_str = epoch_str.replace(" ", "T").split("T")

@@ -133,6 +133,71 @@ def test_crps_properties(obs, mu, sigma):
 
 @_settings
 @given(
+    # Epoch anywhere in [1700, 2200) at second resolution — including epochs
+    # OUTSIDE the datetime64[ns] span (pre-1678 handled by a separate test).
+    st.integers(min_value=-8_520_336_000, max_value=7_258_118_400),
+    st.sampled_from(["seconds", "minutes", "hours", "days"]),
+    st.lists(
+        st.integers(min_value=0, max_value=20_000), min_size=1, max_size=8, unique=True
+    ).map(sorted),
+)
+def test_cf_time_decode_matches_integer_arithmetic(epoch_s, unit, offsets):
+    """decode_cf_time on integer offsets equals exact datetime64 arithmetic,
+    for every CF unit and any second-resolution epoch in [1700, 2200)."""
+    from bayesian_ensembling_tpu.io import timeutils
+
+    epoch = np.datetime64(0, "s") + np.timedelta64(int(epoch_s), "s")
+    step = {"seconds": 1, "minutes": 60, "hours": 3600, "days": 86400}[unit]
+    want = (
+        epoch.astype("datetime64[us]")
+        + np.asarray(offsets, np.int64) * np.timedelta64(step * 10**6, "us")
+    )
+    lo = np.datetime64("1678-01-01")
+    hi = np.datetime64("2262-01-01")
+    units = f"{unit} since {np.datetime_as_string(epoch, unit='s').replace('T', ' ')}"
+    if want.min() < lo or want.max() > hi:
+        return  # decoded range outside ns span is a separate (raising) test
+    got = timeutils.decode_cf_time(np.asarray(offsets, np.float64), units)
+    np.testing.assert_array_equal(got, want.astype("datetime64[ns]"))
+
+
+@_settings
+@given(
+    st.integers(min_value=0, max_value=2**33),  # seconds offset into ns span
+    st.sampled_from(["s", "m", "h", "D"]),
+    st.lists(
+        st.integers(min_value=0, max_value=5_000), min_size=2, max_size=6, unique=True
+    ).map(sorted),
+)
+def test_netcdf_time_roundtrip_exact(start_s, res, offsets):
+    """save_dataarray -> open_dataarray round-trips ANY datetime64 time
+    coordinate exactly (the writer must pick a CF unit that represents the
+    offsets exactly, whatever their resolution)."""
+    import os
+    import tempfile
+
+    from bayesian_ensembling_tpu.coords import DimArray
+    from bayesian_ensembling_tpu.io import netcdf
+
+    base = np.datetime64("1700-01-01", "ns") + np.timedelta64(int(start_s), "s")
+    time = base + np.asarray(offsets, np.int64) * np.timedelta64(1, res).astype(
+        "timedelta64[ns]"
+    )
+    vals = np.arange(2 * len(time), dtype=np.float64).reshape(2, len(time))
+    da = DimArray(vals, ("realisation", "time"), {"time": time}, name="tas")
+    fd, p = tempfile.mkstemp(suffix=".nc")
+    os.close(fd)
+    try:
+        netcdf.save_dataarray(p, da)
+        back = netcdf.open_dataarray(p)
+    finally:
+        os.remove(p)
+    np.testing.assert_array_equal(back.time, time)
+    np.testing.assert_array_equal(back.values, vals)
+
+
+@_settings
+@given(
     st.lists(st.floats(-3.0, 3.0, allow_nan=False), min_size=2, max_size=12).map(
         np.asarray
     ),
