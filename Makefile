@@ -1,7 +1,7 @@
 .PHONY: test bench clean format native
 
 native:
-	g++ -O3 -fopenmp -shared -fPIC -std=c++17 -o bayesian_ensembling_tpu/native/libbetdtw.so native/dtw.cpp
+	g++ -O3 -fopenmp -shared -fPIC -std=c++17 -o bayesian_ensembling_tpu/native/libbetdtw.so bayesian_ensembling_tpu/native/dtw.cpp
 
 test:
 	python -m pytest tests/ -q

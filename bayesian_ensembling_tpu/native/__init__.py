@@ -17,8 +17,10 @@ import numpy as np
 __all__ = ["available", "squared_dtw", "dtw_pairwise", "dba", "dba_batch"]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_REPO = os.path.dirname(os.path.dirname(_HERE))
-_SRC = os.path.join(_REPO, "native", "dtw.cpp")
+# The C++ source ships INSIDE the package (wheel package-data) so an
+# installed copy can rebuild for its local toolchain when the bundled .so
+# doesn't load.
+_SRC = os.path.join(_HERE, "dtw.cpp")
 _LIB = os.path.join(_HERE, "libbetdtw.so")
 
 _lib: tp.Optional[ctypes.CDLL] = None
