@@ -46,6 +46,15 @@ _SQRT3 = 1.7320508075688772
 
 def default_feature_groups(n_features: int) -> tp.Tuple[tp.Tuple[int, ...], ...]:
     """Reference grouping (models.py:358-364): xy, z, time, realisations."""
+    if n_features < 4:
+        # The grouping is defined for the reference's feature layout
+        # (unit-sphere xy, z, scaled time[, realisation columns]); with
+        # fewer columns the hardcoded indices would silently gather
+        # out-of-bounds (JAX clamps instead of raising).
+        raise ValueError(
+            f"default_feature_groups needs >= 4 features (xy, z, time), "
+            f"got {n_features}; pass explicit groups for other layouts"
+        )
     groups: tp.List[tp.Tuple[int, ...]] = [(0, 1), (2,), (3,)]
     if n_features > 4:
         groups.append(tuple(range(4, n_features)))
@@ -55,23 +64,17 @@ def default_feature_groups(n_features: int) -> tp.Tuple[tp.Tuple[int, ...], ...]
 def _additive_matern32(params, x1, x2, groups):
     """Sum of Matern-3/2 kernels over feature groups.
 
-    Distance/kernel math shared with ops.gp (``_sq_dists`` carries the
-    HIGHEST-precision matmul + PSD clip; ``_matern32_from_dist`` the
+    Built on ops.gp.matern32 (HIGHEST-precision distance matmul + PSD clip +
     sqrt-guarded Matern form) so numerical fixes there reach the SVGP path.
     """
-    from bayesian_ensembling_tpu.ops.gp import (
-        GPParams,
-        _matern32_from_dist,
-        _sq_dists,
-    )
+    from bayesian_ensembling_tpu.ops.gp import GPParams, matern32
 
     total = 0.0
     for g, idx in enumerate(groups):
         gp_params = GPParams(
             raw_lengthscale=params["raw_ls"][g], raw_variance=params["raw_var"][g]
         )
-        dist = jnp.sqrt(_sq_dists(x1[:, idx], x2[:, idx]) + 1e-36)
-        total = total + _matern32_from_dist(gp_params, dist)
+        total = total + matern32(gp_params, x1[:, idx], x2[:, idx])
     return total
 
 

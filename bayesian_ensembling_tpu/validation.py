@@ -79,6 +79,7 @@ def _pmt_program():
     from bayesian_ensembling_tpu.ops.wasserstein import (
         batched_gaussian_barycentre,
         gaussian_w2_distance,
+        gaussian_w2_distance_diag,
     )
 
     def folds(
@@ -86,7 +87,8 @@ def _pmt_program():
         hist_var,       # (M, T_h) posterior variances (padded models: 1)
         fore_mean,      # (M, T_s)
         fore_var,       # (M, T_s)
-        fore_cov,       # (M, T_s, T_s) (padded models: identity)
+        fore_cov,       # (M, T_s, T_s) (padded: identity); with w2_diag
+                        # just the (M, T_s) variances (padded: ones)
         hist_block,     # (M, R, T_h) raw realisations, zero-padded
         hist_w,         # (M, R) realisation mask as floats
         fore_block,     # (M, R, T_s)
@@ -99,6 +101,7 @@ def _pmt_program():
         weight_kind: str,
         sigma_mode: str,
         compat_fixed_point: bool,
+        w2_diag: bool,
     ):
         m, t_s = fore_mean.shape
         dtype = hist_mean.dtype
@@ -181,13 +184,18 @@ def _pmt_program():
 
             w_b = jnp.broadcast_to(w[:, None], (m, t_s))
             if compat_fixed_point or sigma_mode == "compat":
-                bary_mu, bary_sigma, _ = batched_gaussian_barycentre(
+                bary_mu, bary_sigma, n_it = batched_gaussian_barycentre(
                     fore_mean, jnp.sqrt(fore_var), w_b, compat_fixed_point=True
                 )
+                # The loop path (schemes.Barycentre) warns on points that hit
+                # the 200-iteration cap; carry the per-fold count out so
+                # batched_pmt can emit the same diagnostic.
+                n_fp_bad = jnp.sum(n_it > 200)
             else:
                 bary_mu, bary_sigma = batched_gaussian_barycentre(
                     fore_mean, jnp.sqrt(fore_var), w_b, sigma_mode=sigma_mode
                 )
+                n_fp_bad = jnp.zeros((), jnp.int32)
 
             truth = fore_block[i]  # (R, T_s)
             tw = fore_w[i]
@@ -209,12 +217,21 @@ def _pmt_program():
 
             nll_b = nll_of(bary_mu, jnp.square(bary_sigma))
             rmse_b = rmse_of(bary_mu)
-            w2_b = gaussian_w2_distance(
-                bary_mu,
-                jnp.diag(jnp.square(bary_sigma)),
-                fore_mean[i],
-                fore_cov[i],
-            )
+            if w2_diag:
+                # All forecast posteriors are diagonal: the closed-form diag
+                # W2 equals the dense-embedded full-matrix W2 (tested in
+                # test_wasserstein) without the (M, T_s, T_s) embedding or
+                # the two eigendecompositions per fold.
+                w2_b = gaussian_w2_distance_diag(
+                    bary_mu, jnp.square(bary_sigma), fore_mean[i], fore_cov[i]
+                )
+            else:
+                w2_b = gaussian_w2_distance(
+                    bary_mu,
+                    jnp.diag(jnp.square(bary_sigma)),
+                    fore_mean[i],
+                    fore_cov[i],
+                )
 
             # Pooled multi-model-mean baseline over the remaining models
             # (population std, schemes.MultiModelMean semantics).
@@ -228,20 +245,30 @@ def _pmt_program():
             mmm_var = jnp.maximum(mmm_var, 1e-12)
             nll_m = nll_of(mmm_mu, mmm_var)
             rmse_m = rmse_of(mmm_mu)
-            w2_m = gaussian_w2_distance(
-                mmm_mu, jnp.diag(mmm_var), fore_mean[i], fore_cov[i]
-            )
+            if w2_diag:
+                w2_m = gaussian_w2_distance_diag(
+                    mmm_mu, mmm_var, fore_mean[i], fore_cov[i]
+                )
+            else:
+                w2_m = gaussian_w2_distance(
+                    mmm_mu, jnp.diag(mmm_var), fore_mean[i], fore_cov[i]
+                )
             metrics = jnp.stack([nll_b, rmse_b, w2_b, nll_m, rmse_m, w2_m])
             # The per-fold combination products ride along for free (already
             # computed for the metrics) so the caller can draw the
             # reference's weight/projection figures without a second pass.
-            return metrics, w, bary_mu, bary_sigma, mmm_mu, mmm_var
+            return metrics, w, bary_mu, bary_sigma, mmm_mu, mmm_var, n_fp_bad
 
         return jax.vmap(fold)(jnp.arange(m))
 
     _PMT_PROGRAM = jax.jit(
         folds,
-        static_argnames=("weight_kind", "sigma_mode", "compat_fixed_point"),
+        static_argnames=(
+            "weight_kind",
+            "sigma_mode",
+            "compat_fixed_point",
+            "w2_diag",
+        ),
     )
     return _PMT_PROGRAM
 
@@ -299,6 +326,14 @@ def batched_pmt(
     from bayesian_ensembling_tpu.ops.distributions import FullCovGaussian
 
     m = len(hindcast_models)
+    if m < 2:
+        # The loop path fails loudly inside the weighter on the empty
+        # reduced collection; with the batched masked reductions a single
+        # model would instead produce silent 0/0 = NaN weights.
+        raise ValueError(
+            f"batched_pmt needs at least 2 models (got {m}): leave-one-out "
+            "folds weight the remaining models against the held-out one"
+        )
     hist_mean = jnp.stack(
         [jnp.asarray(pm.distribution.gaussian.mean) for pm in hindcast_models]
     )
@@ -317,14 +352,25 @@ def batched_pmt(
     hist_block, hist_rmask = hindcast_models.padded_stack(dtype=np.dtype(str(dtype)))
     fore_block, fore_rmask = forecast_models.padded_stack(dtype=np.dtype(str(dtype)))
     t_s = fore_mean.shape[1]
-    fore_cov = jnp.stack(
-        [
-            jnp.asarray(pm.distribution.gaussian.cov)
-            if isinstance(pm.distribution.gaussian, FullCovGaussian)
-            else jnp.diag(jnp.asarray(pm.distribution.gaussian.variance))
-            for pm in forecast_models
-        ]
+    # With all-diagonal forecast posteriors (the common case) the fold W2 is
+    # the closed-form diagonal one: skip the (M, T_s, T_s) dense embedding
+    # and its two eigendecompositions per fold entirely (at monthly
+    # resolution the embedding alone is ~M x 4 MB of HBM).
+    w2_diag = not any(
+        isinstance(pm.distribution.gaussian, FullCovGaussian)
+        for pm in forecast_models
     )
+    if w2_diag:
+        fore_cov = fore_var
+    else:
+        fore_cov = jnp.stack(
+            [
+                jnp.asarray(pm.distribution.gaussian.cov)
+                if isinstance(pm.distribution.gaussian, FullCovGaussian)
+                else jnp.diag(jnp.asarray(pm.distribution.gaussian.variance))
+                for pm in forecast_models
+            ]
+        )
     hist_block = jnp.asarray(hist_block, dtype)
     fore_block = jnp.asarray(fore_block, dtype)
     hist_w = jnp.asarray(hist_rmask, dtype)
@@ -408,17 +454,20 @@ def batched_pmt(
         hist_var = jpad(hist_var, 0, pad_m, 1.0)  # benign sigma for padding
         fore_mean = jpad(fore_mean, 0, pad_m)
         fore_var = jpad(fore_var, 0, pad_m, 1.0)
-        grow = pad_m - fore_cov.shape[0]
-        if grow:
-            fore_cov = jnp.concatenate(
-                [
-                    fore_cov,
-                    jnp.broadcast_to(
-                        jnp.eye(t_s, dtype=dtype), (grow, t_s, t_s)
-                    ),
-                ],
-                axis=0,
-            )
+        if w2_diag:
+            fore_cov = jpad(fore_cov, 0, pad_m, 1.0)  # benign unit variances
+        else:
+            grow = pad_m - fore_cov.shape[0]
+            if grow:
+                fore_cov = jnp.concatenate(
+                    [
+                        fore_cov,
+                        jnp.broadcast_to(
+                            jnp.eye(t_s, dtype=dtype), (grow, t_s, t_s)
+                        ),
+                    ],
+                    axis=0,
+                )
         hist_block = jpad(jpad(hist_block, 1, pad_r), 0, pad_m)
         fore_block = jpad(jpad(fore_block, 1, pad_r), 0, pad_m)
         hist_w = jpad(jpad(hist_w, 1, pad_r), 0, pad_m)
@@ -465,7 +514,7 @@ def batched_pmt(
     else:
         ll_table = None
 
-    metrics, w, bary_mu, bary_sigma, mmm_mu, mmm_var = _pmt_program()(
+    metrics, w, bary_mu, bary_sigma, mmm_mu, mmm_var, n_fp_bad = _pmt_program()(
         hist_mean,
         hist_var,
         fore_mean,
@@ -482,7 +531,18 @@ def batched_pmt(
         weight_kind=weight_kind,
         sigma_mode=sigma_mode,
         compat_fixed_point=bool(compat_fixed_point),
+        w2_diag=w2_diag,
     )
+    if compat_fixed_point or sigma_mode == "compat":
+        # Same diagnostic the loop path's schemes.Barycentre emits per fold.
+        n_bad = int(np.sum(np.asarray(n_fp_bad)[:m]))
+        if n_bad:
+            import warnings
+
+            warnings.warn(
+                f"Barycentre not converged for {n_bad} point(s) across folds "
+                "(fixed-point cap reached; reference wasserstein.py:94-97)"
+            )
     if not return_details:
         return np.asarray(metrics)[:m]
     details = {
@@ -630,13 +690,20 @@ class PerfectModelTest:
             ],
         )
         if self.save_dir:
-            suffix = f"{wname}_plus_sim" if self.include_sim else wname
-            path = os.path.join(
-                self.csv_dir, f"perfect_model_test_results_{suffix}_{self.ssp}.csv"
-            )
-            df.to_csv(path)
-            print(f"Saved results to {path}")
+            self._save_csv(df, wname)
         return df
+
+    def _weight_suffix(self, wname: str) -> str:
+        """One naming scheme for every result artifact (CSVs + figures)."""
+        return f"{wname}_plus_sim" if self.include_sim else wname
+
+    def _save_csv(self, df, wname: str) -> None:
+        path = os.path.join(
+            self.csv_dir,
+            f"perfect_model_test_results_{self._weight_suffix(wname)}_{self.ssp}.csv",
+        )
+        df.to_csv(path)
+        print(f"Saved results to {path}")
 
     def run_batched(
         self,
@@ -720,12 +787,7 @@ class PerfectModelTest:
         )
         df.insert(0, "model as pseudo obs", list(self.hindcast_models.model_names))
         if self.save_dir:
-            suffix = f"{wname}_plus_sim" if self.include_sim else wname
-            path = os.path.join(
-                self.csv_dir, f"perfect_model_test_results_{suffix}_{self.ssp}.csv"
-            )
-            df.to_csv(path)
-            print(f"Saved results to {path}")
+            self._save_csv(df, wname)
             if figures:
                 self._plot_batched_folds(details, wname)
         return df
@@ -770,7 +832,7 @@ class PerfectModelTest:
         plt.bar(list(model_names), np.asarray(total))
         plt.ylabel("Weights")
         plt.xticks(rotation="vertical")
-        suffix = f"{wname}_plus_sim" if self.include_sim else wname
+        suffix = self._weight_suffix(wname)
         path = os.path.join(
             self.fig_dir,
             "weights",
@@ -795,7 +857,7 @@ class PerfectModelTest:
         ax.set_xlabel("Time")
         ax.set_ylabel("Temperature anomaly (degC)\nrelative to 1961-1990")
         ax.legend()
-        suffix = f"{wname}_plus_sim" if self.include_sim else wname
+        suffix = self._weight_suffix(wname)
         path = os.path.join(
             self.fig_dir,
             "projs",

@@ -163,3 +163,14 @@ def test_gpdtw3d_svgp_mode(rng):
     # Posterior variance includes the DTW variance floor.
     y_var = pm.data.values.var(axis=0).reshape(-1)
     assert (np.asarray(post.gaussian.var) >= y_var * 0.99).all()
+
+
+def test_default_feature_groups_rejects_narrow_layouts():
+    """The reference grouping assumes >= 4 feature columns (xy, z, time);
+    fewer used to silently gather out of bounds (JAX clamps indices)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="4 features"):
+        svgp_ops.default_feature_groups(3)
+    assert svgp_ops.default_feature_groups(4) == ((0, 1), (2,), (3,))
+    assert svgp_ops.default_feature_groups(6) == ((0, 1), (2,), (3,), (4, 5))

@@ -407,6 +407,15 @@ def test_campaign_cli_bucketed(rng, tmp_path, capsys, monkeypatch):
         assert len(csvs) == 2, (ssp, csvs)
 
 
+def test_batched_pmt_single_model_raises(rng):
+    """One model has no leave-one-out folds: loud error, not NaN metrics."""
+    from bayesian_ensembling_tpu.validation import batched_pmt
+
+    hind, fore = _prefit(rng, n_models=1, n_months=8)
+    with pytest.raises(ValueError, match="at least 2 models"):
+        batched_pmt(hind, fore, "crps")
+
+
 def test_campaign_cli_sigma_mode_conflict(monkeypatch):
     """--compat-fixed-point with a conflicting explicit --sigma-mode must
     error at parse time (silently computing compat numbers under a mixture
@@ -477,7 +486,7 @@ def test_batched_pmt_include_sim_two_models_raises(rng):
         pmt.run_batched()
 
 
-def test_run_batched_guards(rng):
+def test_run_batched_figure_and_callable_guards(rng):
     """figures=True needs save_dir; non-class ensemble_method gets the
     guidance ValueError (not a TypeError from issubclass)."""
     hind, fore = _prefit(rng, n_models=3, n_months=8)
