@@ -178,42 +178,52 @@ def _cholesky_batched_tpu(ky_tlb: jnp.ndarray) -> jnp.ndarray:
 
 
 def _max_lanes(t: int) -> int:
-    """Largest 128-multiple batch whose (T, T, lanes) f32 buffer fits the
+    """Largest 128-multiple batch whose (T8, T8, lanes) f32 buffer fits the
     linalg VMEM budget.
 
     Sizing and the ``linalg_path`` dispatch gate share ONE budget
     (``ops.vmem.LINALG_BUDGET``) so every T the gate admits gets a lane
     width that fits — the consistency-bug class that bit the DBA kernels at
-    mid-range T (VERDICT r2 item 4).  The budget models only the dominant
-    (T, T, lanes) buffer; vmem.py documents the headroom for the small
+    mid-range T (VERDICT r2 item 4).  The cost model is the PADDED buffer
+    the kernels actually allocate (``_pad_spd_t``/``_pad_lt`` extend both
+    matrix dims to the 8-aligned T8): modelling ``t * t8`` here once
+    undersized the per-lane cost by up to 16/9 at small T, picking chunks
+    past the hardware limit.  vmem.py documents the headroom for the small
     vector outputs and staging.
     """
     sub = -(-t // 8) * 8
-    return _vmem.max_lane_chunk(t * sub * 4, _vmem.LINALG_BUDGET)
+    return _vmem.max_lane_chunk(sub * sub * 4, _vmem.LINALG_BUDGET)
 
 
-def _chunk_lanes(fn, x: jnp.ndarray, t: int):
-    """Run ``fn`` over 128-aligned lane chunks of the trailing batch dim.
+def _chunk_lanes(fn, args: tuple, t: int):
+    """Run ``fn`` over 128-aligned lane chunks of each arg's trailing dim.
 
-    Pads B up to a chunk multiple (padded lanes produce garbage confined to
-    their own lanes — every kernel op is lane-local) and maps sequentially;
-    used when one batch exceeds the VMEM budget (e.g. gridded workloads with
-    thousands of cells).
+    One chunking protocol for every batch-in-lanes entry point (pad B up to
+    a chunk multiple — padded lanes produce garbage confined to their own
+    lanes, every kernel op is lane-local — map sequentially, un-chunk each
+    output); used when one batch exceeds the VMEM budget (e.g. gridded
+    workloads with thousands of cells).  ``fn`` may return one array or a
+    pytree of arrays whose trailing dim is the batch.
     """
-    b = x.shape[-1]
+    b = args[0].shape[-1]
     chunk = _max_lanes(t)
     if b <= chunk:
-        return fn(x)
+        return fn(*args)
     n = -(-b // chunk)
     pad = n * chunk - b
-    if pad:
-        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
-    blocks = jnp.moveaxis(
-        x.reshape(x.shape[:-1] + (n, chunk)), -2, 0
-    )  # (n, ..., chunk)
-    out = jax.lax.map(fn, blocks)
-    out = jnp.moveaxis(out, 0, -2).reshape(out.shape[1:-1] + (n * chunk,))
-    return out[..., :b]
+
+    def prep(x):
+        if pad:
+            x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+        return jnp.moveaxis(x.reshape(x.shape[:-1] + (n, chunk)), -2, 0)
+
+    out = jax.lax.map(lambda xs: fn(*xs), tuple(prep(a) for a in args))
+
+    def unchunk(a):
+        flat = jnp.moveaxis(a, 0, -2).reshape(a.shape[1:-1] + (n * chunk,))
+        return flat[..., :b]
+
+    return jax.tree.map(unchunk, out)
 
 
 def cholesky_batched(ky_tlb: jnp.ndarray) -> jnp.ndarray:
@@ -227,7 +237,7 @@ def cholesky_batched(ky_tlb: jnp.ndarray) -> jnp.ndarray:
       ``(T, T, B)`` where row k holds column k of L (the L^T layout).
     """
     if linalg_path(ky_tlb.shape[0]) == "pallas":
-        return _chunk_lanes(_cholesky_batched_tpu, ky_tlb, ky_tlb.shape[0])
+        return _chunk_lanes(_cholesky_batched_tpu, (ky_tlb,), ky_tlb.shape[0])
     ky = jnp.transpose(ky_tlb, (2, 0, 1))
     l = jnp.linalg.cholesky(ky)
     return jnp.transpose(l, (2, 1, 0))  # rows = columns of L
@@ -303,25 +313,9 @@ def cholesky_solve_fused(ky_tlb: jnp.ndarray, y_tb: jnp.ndarray):
     Elsewhere: composed from cholesky_batched + solve_vec_batched.
     """
     if linalg_path(ky_tlb.shape[0]) == "pallas":
-        t = ky_tlb.shape[0]
-        b = ky_tlb.shape[-1]
-        chunk = _max_lanes(t)
-        if b <= chunk:
-            return _chol_solve_fused_tpu(ky_tlb, y_tb)
-        n = -(-b // chunk)
-        pad = n * chunk - b
-        if pad:
-            ky_tlb = jnp.pad(ky_tlb, ((0, 0), (0, 0), (0, pad)))
-            y_tb = jnp.pad(y_tb, ((0, 0), (0, pad)))
-        ky_c = jnp.moveaxis(ky_tlb.reshape(ky_tlb.shape[:-1] + (n, chunk)), -2, 0)
-        y_c = jnp.moveaxis(y_tb.reshape(y_tb.shape[:-1] + (n, chunk)), -2, 0)
-        lt, z, alpha, logdet = jax.lax.map(
-            lambda xs: _chol_solve_fused_tpu(*xs), (ky_c, y_c)
+        return _chunk_lanes(
+            _chol_solve_fused_tpu, (ky_tlb, y_tb), ky_tlb.shape[0]
         )
-        unchunk = lambda a: jnp.moveaxis(a, 0, -2).reshape(
-            a.shape[1:-1] + (n * chunk,)
-        )[..., :b]
-        return unchunk(lt), unchunk(z), unchunk(alpha), logdet.reshape(-1)[:b]
     lt = cholesky_batched(ky_tlb)
     z, alpha, logdet = solve_vec_batched(lt, y_tb)
     return lt, z, alpha, logdet
@@ -405,22 +399,7 @@ def solve_vec_batched(lt: jnp.ndarray, y_tb: jnp.ndarray):
       (z ``(T, B)``, alpha ``(T, B)``, logdet ``(B,)``).
     """
     if linalg_path(lt.shape[0]) == "pallas":
-        b = lt.shape[-1]
-        chunk = _max_lanes(lt.shape[0])
-        if b <= chunk:
-            return _solve_vec_batched_tpu(lt, y_tb)
-        n = -(-b // chunk)
-        pad = n * chunk - b
-        if pad:
-            lt = jnp.pad(lt, ((0, 0), (0, 0), (0, pad)))
-            y_tb = jnp.pad(y_tb, ((0, 0), (0, pad)))
-        lt_c = jnp.moveaxis(lt.reshape(lt.shape[:-1] + (n, chunk)), -2, 0)
-        y_c = jnp.moveaxis(y_tb.reshape(y_tb.shape[:-1] + (n, chunk)), -2, 0)
-        z, alpha, logdet = jax.lax.map(
-            lambda xs: _solve_vec_batched_tpu(*xs), (lt_c, y_c)
-        )
-        unchunk2 = lambda a: jnp.moveaxis(a, 0, -2).reshape(a.shape[1:-1] + (n * chunk,))[..., :b]
-        return unchunk2(z), unchunk2(alpha), logdet.reshape(-1)[:b]
+        return _chunk_lanes(_solve_vec_batched_tpu, (lt, y_tb), lt.shape[0])
     l = jnp.transpose(lt, (2, 1, 0))  # (B, T, T) lower
     y = y_tb.T  # (B, T)
     z = jax.vmap(lambda li, yi: jax.scipy.linalg.solve_triangular(li, yi, lower=True))(l, y)
@@ -511,9 +490,10 @@ def _tri_inv_streamed_tpu(lt: jnp.ndarray) -> jnp.ndarray:
 
 
 def _vmem_bytes(t: int) -> int:
-    """VMEM footprint of one (T, T, 128-lane) f32 buffer after tiling."""
+    """VMEM footprint of one (T8, T8, 128-lane) f32 buffer — the padded
+    shape the kernels actually allocate (``_pad_spd_t``/``_pad_lt``)."""
     sub = -(-t // 8) * 8
-    return t * sub * 128 * 4
+    return sub * sub * 128 * 4
 
 
 _warned_fallback: set = set()
@@ -559,7 +539,7 @@ def linalg_path(
     """
     backend = backend or jax.default_backend()
     sub = -(-t // 8) * 8
-    fits = _vmem.fits_min_chunk(t * sub * 4, _vmem.LINALG_BUDGET)
+    fits = _vmem.fits_min_chunk(sub * sub * 4, _vmem.LINALG_BUDGET)
     if INTERPRET or (backend == "tpu" and fits):
         return "pallas"
     if backend != "tpu":
@@ -600,7 +580,7 @@ def tri_inv_batched(lt: jnp.ndarray) -> jnp.ndarray:
     ~16 MB budget; beyond that the XLA batched triangular solve takes over.
     """
     if linalg_path(lt.shape[0]) == "pallas":
-        return _chunk_lanes(_tri_inv_streamed_tpu, lt, lt.shape[0])
+        return _chunk_lanes(_tri_inv_streamed_tpu, (lt,), lt.shape[0])
     l = jnp.transpose(lt, (2, 1, 0))
     eye = jnp.eye(lt.shape[0], dtype=lt.dtype)
     w = jax.vmap(lambda li: jax.scipy.linalg.solve_triangular(li, eye, lower=True))(l)

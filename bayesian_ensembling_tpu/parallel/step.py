@@ -90,11 +90,22 @@ def fused_raw_weights(
         *pairwise*, so under model-axis sharding they all-gather the
         (small) marginal moments over ``model_axis``.
     """
+    # Reciprocal scorers (1/CRPS, 1/KSD, 1/sq-distance) floor the score at
+    # the smallest normal float: an EXACT zero (a model marginal identical
+    # to the observation mean at one timestep — constant series, synthetic
+    # data) would otherwise produce inf, and inf/inf = NaN poisons the whole
+    # scenario through the sum-to-one normalisation.  The floor only moves
+    # scores below ~1e-38 (f32), far under every parity tolerance; the
+    # library path keeps the reference's unguarded form (weights.py:157-174)
+    # for bit-parity.
+    def _recip(score):
+        return 1.0 / jnp.maximum(score, jnp.finfo(score.dtype).tiny)
+
     if weight_kind == "crps":
         score = jax.vmap(scoring.mean_gaussian_crps, in_axes=(0, 0, None))(
             hist_mean, jnp.sqrt(hist_var), obs
         )
-        return 1.0 / score
+        return _recip(score)
     if weight_kind == "loglik":
         ll = jax.vmap(scoring.diag_log_likelihood, in_axes=(0, 0, None))(
             hist_mean, hist_var, obs
@@ -119,7 +130,7 @@ def fused_raw_weights(
         ksd = jax.vmap(scoring.batched_imq_ksd, in_axes=(0, 0, None))(
             hist_mean, jnp.sqrt(hist_var), obs
         )
-        return 1.0 / ksd
+        return _recip(ksd)
     if weight_kind == "inverse_square":
         if hist_block is None or hist_mask is None:
             raise ValueError("inverse_square needs the raw realisation block")
@@ -127,7 +138,7 @@ def fused_raw_weights(
         n = jnp.maximum(jnp.sum(w, axis=1), 1.0)
         mu = jnp.einsum("mrt,mr->mt", hist_block, w) / n[:, None]
         obs_mean = jnp.mean(obs, axis=0)
-        return jnp.square(mu - obs_mean[None, :]) ** -1.0
+        return _recip(jnp.square(mu - obs_mean[None, :]))
     if weight_kind == "uniform":
         return jnp.ones_like(hist_mean)
     if weight_kind in ("similarity", "similarity_single"):

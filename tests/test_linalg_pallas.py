@@ -141,6 +141,19 @@ def test_lane_chunked_cholesky_and_solves(rng, interp, monkeypatch):
         want_a = np.linalg.solve(k[i].astype(np.float64), y[i])
         np.testing.assert_allclose(alpha[:, i], want_a, rtol=5e-3, atol=5e-4)
     assert np.asarray(logdet).shape == (b,)
+    # The fused and tri-inverse entry points share the same chunker (multi
+    # input / multi output): same oracle through the chunked path.
+    ltf, zf, alphaf, logdetf = lp.cholesky_solve_fused(
+        jnp.asarray(k.transpose(1, 2, 0)), jnp.asarray(y.T)
+    )
+    np.testing.assert_allclose(np.asarray(alphaf), alpha, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(logdetf), np.asarray(logdet), rtol=1e-5, atol=1e-6
+    )
+    w = np.asarray(lp.tri_inv_batched(jnp.asarray(lt)))
+    for i in range(0, b, 97):
+        want_w = np.linalg.inv(np.linalg.cholesky(k[i].astype(np.float64)))
+        np.testing.assert_allclose(w[:, :, i], want_w, rtol=5e-3, atol=5e-4)
 
 
 def test_cholesky_solve_fused_interpret(rng, interp):

@@ -291,6 +291,30 @@ def test_fused_loglik_no_underflow(rng):
     np.testing.assert_allclose(np.asarray(w).sum(axis=0), np.ones(t), rtol=1e-5)
 
 
+def test_fused_reciprocal_scorers_survive_exact_match(rng):
+    """A model marginal EXACTLY equal to the obs mean (constant/synthetic
+    data) must not NaN-poison the scenario: the reciprocal scorers floor
+    the score at the smallest normal float instead of producing inf."""
+    from bayesian_ensembling_tpu.parallel.step import fused_raw_weights
+
+    m, r, t, ro = 3, 2, 6, 4
+    obs = jnp.asarray(rng.normal(size=(ro, t)).astype(np.float32))
+    obs_mean = jnp.mean(obs, axis=0)
+    block = jnp.asarray(rng.normal(size=(m, r, t)).astype(np.float32))
+    # Model 0's realisations average EXACTLY to the obs mean everywhere.
+    block = block.at[0, 0].set(obs_mean)
+    block = block.at[0, 1].set(obs_mean)
+    mask = jnp.ones((m, r), bool)
+    raw = fused_raw_weights(
+        "inverse_square", block[:, 0], jnp.ones((m, t)), obs,
+        hist_block=block, hist_mask=mask,
+    )
+    w = raw / jnp.sum(raw, axis=0, keepdims=True)
+    assert np.isfinite(np.asarray(w)).all()
+    # The exact-match model dominates (its floored score is the smallest).
+    assert np.all(np.asarray(w)[0] > 0.99)
+
+
 def test_fused_loglik_padded_model_excluded_from_max_shift(rng):
     """A junk padded model with a spuriously HIGH log-likelihood must not
     shrink the real models' exp(ll - max) headroom: the max-shift is taken

@@ -57,13 +57,20 @@ def test_dtw_cost_gate_implies_chunk_fits(t):
 @pytest.mark.parametrize("t", list(range(2, 260)))
 def test_linalg_gate_implies_chunk_fits(t):
     """linalg_path('tpu') admitting T means _max_lanes(T)'s buffer fits the
-    SAME budget (previously: 14 MiB gate vs an unrelated 12 MiB sizer)."""
+    SAME budget (previously: 14 MiB gate vs an unrelated 12 MiB sizer).
+
+    The cost model must be the PADDED (T8, T8, lanes) buffer the kernels
+    actually allocate — modelling t*t8 once undersized small T by up to
+    16/9 and picked chunks past the 16 MiB hardware limit (e.g. T=12 drew
+    19,072 lanes = 18.6 MiB)."""
     sub = -(-t // 8) * 8
-    admitted = vmem.fits_min_chunk(t * sub * 4, vmem.LINALG_BUDGET)
+    admitted = vmem.fits_min_chunk(sub * sub * 4, vmem.LINALG_BUDGET)
+    assert admitted == (lp.linalg_path(t, backend="tpu") == "pallas")
     lanes = lp._max_lanes(t)
     assert lanes >= 128 and lanes % 128 == 0
     if admitted:
-        assert lanes * t * sub * 4 <= vmem.LINALG_BUDGET
+        assert lanes * sub * sub * 4 <= vmem.LINALG_BUDGET
+        assert lanes * sub * sub * 4 <= vmem.SCOPED_VMEM_LIMIT
     # The production annual case must stay on the Pallas path.
     if t == 165:
         assert admitted
