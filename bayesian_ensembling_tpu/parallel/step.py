@@ -36,6 +36,7 @@ __all__ = [
     "fused_raw_weights",
     "ensemble_scenario_step",
     "ensemble_multi_scenario_step",
+    "multi_scenario_tail",
     "make_sharded_step",
     "make_sharded_multi_scenario_step",
     "WEIGHT_KINDS",
@@ -362,11 +363,45 @@ def ensemble_multi_scenario_step(
     ssp_mean, ssp_var = em(
         ssp_blocks.reshape(s * m, r, t_ssp), ssp_masks.reshape(s * m, r)
     )
-    hist_mean = hist_mean.reshape(s, m, t_hist)
-    hist_var = hist_var.reshape(s, m, t_hist)
-    ssp_mean = ssp_mean.reshape(s, m, t_ssp)
-    ssp_var = ssp_var.reshape(s, m, t_ssp)
+    return multi_scenario_tail(
+        hist_mean.reshape(s, m, t_hist),
+        hist_var.reshape(s, m, t_hist),
+        ssp_mean.reshape(s, m, t_ssp),
+        ssp_var.reshape(s, m, t_ssp),
+        obs,
+        hist_blocks,
+        hist_masks,
+        model_masks,
+        weight_kind=weight_kind,
+        model_axis=model_axis,
+        sigma_mode=sigma_mode,
+    )
 
+
+def multi_scenario_tail(
+    hist_mean: jnp.ndarray,  # (S, M, T_hist) posterior marginal means
+    hist_var: jnp.ndarray,  # (S, M, T_hist)
+    ssp_mean: jnp.ndarray,  # (S, M, T_ssp)
+    ssp_var: jnp.ndarray,  # (S, M, T_ssp)
+    obs: jnp.ndarray,  # (R_obs, T_hist)
+    hist_blocks: jnp.ndarray,  # (S, M, R, T_hist) raw realisations
+    hist_masks: jnp.ndarray,  # (S, M, R)
+    model_masks: jnp.ndarray,  # (S, M)
+    *,
+    weight_kind: str = "crps",
+    model_axis: tp.Optional[str] = None,
+    sigma_mode: str = "w2",
+):
+    """Weighting + barycentre tail of the multi-scenario step, given the
+    emulated marginals.
+
+    Split out of ``ensemble_multi_scenario_step`` so callers that must
+    stage the emulation differently — e.g. the native-monthly campaign,
+    whose merged (S*M, T=1980) historical grams exceed single-chip HBM and
+    are emulated in host-pipelined model chunks (benchmarks/monthly_bench
+    ``all``) — reuse the exact same cross-model couplings (weight psum,
+    barycentre sums) instead of duplicating them.
+    """
     raw = jax.vmap(
         functools.partial(fused_raw_weights, weight_kind, model_axis=model_axis),
         in_axes=(0, 0, None, 0, 0, 0),

@@ -13,13 +13,16 @@ heteroskedastic GP per member at monthly resolution, CRPS weights vs monthly
 HadCRUT5, W2 barycentre.  Prints one JSON line.
 
 Usage: python benchmarks/monthly_bench.py [ssp] [n_optim_nits] [dba_iters]
-       python benchmarks/monthly_bench.py all [n_optim_nits] [dba_iters]
+       python benchmarks/monthly_bench.py all [n_optim_nits] [dba_iters] [hist_chunk]
 
-``all`` runs the ENTIRE 7-SSP experiment at native monthly resolution as
-one merged (scenario x model) program (parallel/step.py's multi-scenario
-step) — the merged batch (7 x 16 padded models = 112) crosses the blocked
-hybrid's batch gate, so the T = 1032 SSP emulations run through
-ops/linalg_blocked.py on the MXU.
+``all`` runs the ENTIRE 7-SSP experiment at native monthly resolution: the
+T = 1032 SSP emulations as ONE merged (scenario x model) program — the
+merged batch (7 x 16 padded models = 112) crosses the blocked hybrid's
+batch gate, so they run through ops/linalg_blocked.py on the MXU — and the
+T = 1980 historical emulations host-pipelined in HBM-sized model chunks
+(a single merged T=1980 program needs ~1.76 GB per gram buffer and
+measured RESOURCE_EXHAUSTED on one v5e chip), then the production
+weighting/barycentre tail (parallel/step.multi_scenario_tail).
 """
 
 import functools
@@ -48,7 +51,8 @@ def main():
     n_iters = int(sys.argv[2]) if len(sys.argv) > 2 else 500
     dba_iters = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     if ssp == "all":
-        return run_all_ssps(n_iters, dba_iters)
+        hist_chunk = int(sys.argv[4]) if len(sys.argv) > 4 else 28
+        return run_all_ssps(n_iters, dba_iters, hist_chunk)
 
     obs_pm = pipeline.load_observations(resample_freq=None)
     obs = jnp.asarray(obs_pm.data.values, dtype=jnp.float32)
@@ -108,14 +112,54 @@ def main():
 
 
 
-def run_all_ssps(n_iters: int, dba_iters: int):
-    """Full 7-SSP experiment at native monthly resolution, ONE program."""
+def _chunked_marginals(em, block, mask, chunk: int):
+    """Emulate a merged (B, R, T) batch in host-pipelined model chunks.
+
+    The merged native-monthly historical batch (7 SSPs x 16 padded models =
+    112 emulators at T = 1980) needs several (B, T, T) f32 gram-sized
+    buffers inside the NLML scan — ~1.76 GB each at B = 112 — and a single
+    merged program exhausts the chip's HBM (measured: RESOURCE_EXHAUSTED on
+    v5e-16GB).  Chunking the model axis at the HOST level keeps one
+    compiled program (all chunks share a shape) executed g times, bounding
+    peak HBM at the chunk's working set; dispatch overhead is a few ms
+    against ~30 s chunk executions, and each execution stays well under the
+    tunnelled backend's multi-minute kill threshold (ops/svgp.py finding).
+    """
+    import jax.numpy as jnp
+
+    b = block.shape[0]
+    g = -(-b // chunk)
+    pad = g * chunk - b
+    if pad:
+        block = jnp.concatenate([block, block[:pad]], axis=0)
+        mask = jnp.concatenate([mask, mask[:pad]], axis=0)
+    means, varis = [], []
+    for i in range(g):
+        mu, var = em(
+            block[i * chunk : (i + 1) * chunk], mask[i * chunk : (i + 1) * chunk]
+        )
+        means.append(mu)
+        varis.append(var)
+    return jnp.concatenate(means)[:b], jnp.concatenate(varis)[:b]
+
+
+def run_all_ssps(n_iters: int, dba_iters: int, hist_chunk: int = 28):
+    """Full 7-SSP experiment at native monthly resolution.
+
+    The T = 1032 SSP emulations run as ONE merged 112-model program — the
+    batch crosses the blocked hybrid's gate, so they go through
+    ops/linalg_blocked.py on the MXU — while the T = 1980 historical
+    emulations are host-pipelined in ``hist_chunk``-model chunks purely for
+    HBM capacity (see _chunked_marginals).  The weighting + barycentre tail
+    is the production ``multi_scenario_tail`` program.
+    """
     import jax
     import jax.numpy as jnp
 
     from bayesian_ensembling_tpu import pipeline
     from bayesian_ensembling_tpu.parallel.step import (
-        ensemble_multi_scenario_step,
+        emulate_marginals,
+        multi_scenario_tail,
         pad_models,
     )
     from bayesian_ensembling_tpu.utils.profiling import device_sync as sync
@@ -138,25 +182,45 @@ def run_all_ssps(n_iters: int, dba_iters: int):
     stacked = [jnp.asarray(np.stack([p[i] for p in packed])) for i in range(5)]
     hb, hm, sb, sm, mmask = stacked
     s = hb.shape[0]
+    b = s * m_max
+    t_hist, t_ssp = hb.shape[-1], sb.shape[-1]
     print(
         f"devices: {jax.devices()}\n"
-        f"workload: ALL {s} SSPs, merged batch {s}x{m_max}={s * m_max} "
-        f"models, R={r_max}, T_hist={hb.shape[-1]}, T_ssp={sb.shape[-1]}, "
-        f"{n_iters} iterations",
+        f"workload: ALL {s} SSPs, merged batch {s}x{m_max}={b} models "
+        f"(hist chunked at {hist_chunk}), R={r_max}, T_hist={t_hist}, "
+        f"T_ssp={t_ssp}, {n_iters} iterations",
         file=sys.stderr,
     )
-    step = jax.jit(
+    em = jax.jit(
         functools.partial(
-            ensemble_multi_scenario_step,
+            emulate_marginals,
             n_optim_nits=n_iters,
             dba_iterations=dba_iters,
         )
     )
+    tail = jax.jit(multi_scenario_tail)
+
+    def run_once():
+        h_mu, h_var = _chunked_marginals(
+            em, hb.reshape(b, r_max, t_hist), hm.reshape(b, r_max), hist_chunk
+        )
+        s_mu, s_var = em(sb.reshape(b, r_max, t_ssp), sm.reshape(b, r_max))
+        return tail(
+            h_mu.reshape(s, m_max, t_hist),
+            h_var.reshape(s, m_max, t_hist),
+            s_mu.reshape(s, m_max, t_ssp),
+            s_var.reshape(s, m_max, t_ssp),
+            obs,
+            hb,
+            hm,
+            mmask,
+        )
+
     t0 = time.perf_counter()
-    sync(step(hb, hm, sb, sm, obs, mmask))
+    sync(run_once())
     print(f"warmup: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
     t0 = time.perf_counter()
-    out = step(hb, hm, sb, sm, obs, mmask)
+    out = run_once()
     sync(out)
     elapsed = time.perf_counter() - t0
     bmean, bstd, _ = (np.asarray(a) for a in out)
@@ -169,7 +233,7 @@ def run_all_ssps(n_iters: int, dba_iters: int):
             file=sys.stderr,
         )
     print(json.dumps({
-        "metric": f"monthly_all7ssp_merged{s * m_max}_fit{n_iters}",
+        "metric": f"monthly_all7ssp_merged{b}_fit{n_iters}",
         "value": round(elapsed, 3),
         "unit": "s",
     }))

@@ -384,3 +384,64 @@ def test_fused_mixture_sigma_matches_library(rng):
             jnp.asarray(hb), jnp.asarray(hm), jnp.asarray(sb), jnp.asarray(sm),
             jnp.asarray(obs), sigma_mode="compat", **kw,
         )
+
+
+def test_chunked_marginals_pipeline_matches_merged_step():
+    """The native-monthly campaign's host-chunked staging (emulate the
+    merged batch in model chunks, then multi_scenario_tail) must equal the
+    single merged ensemble_multi_scenario_step program — including a chunk
+    size that does NOT divide the merged batch (pad-and-slice path)."""
+    import importlib.util
+    import os
+
+    from bayesian_ensembling_tpu.parallel.step import (
+        emulate_marginals,
+        ensemble_multi_scenario_step,
+        multi_scenario_tail,
+    )
+
+    spec = importlib.util.spec_from_file_location(
+        "monthly_bench",
+        os.path.join(os.path.dirname(__file__), "..", "benchmarks", "monthly_bench.py"),
+    )
+    mb = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mb)
+
+    rng = np.random.default_rng(3)
+    s, m, r, th, ts, ro = 2, 5, 3, 16, 9, 4
+    hb = jnp.asarray(rng.normal(size=(s, m, r, th)).astype(np.float32))
+    hm = jnp.ones((s, m, r), bool)
+    sb = jnp.asarray(rng.normal(size=(s, m, r, ts)).astype(np.float32))
+    sm_ = jnp.ones((s, m, r), bool)
+    obs = jnp.asarray(rng.normal(size=(ro, th)).astype(np.float32))
+    mm = jnp.ones((s, m), jnp.float32)
+
+    want = jax.jit(
+        functools.partial(
+            ensemble_multi_scenario_step, n_optim_nits=3, dba_iterations=2
+        )
+    )(hb, hm, sb, sm_, obs, mm)
+
+    em = jax.jit(
+        functools.partial(emulate_marginals, n_optim_nits=3, dba_iterations=2)
+    )
+    b = s * m
+    for chunk in (4, 10):  # 10 % 4 != 0 exercises the pad-and-slice path
+        h_mu, h_var = mb._chunked_marginals(
+            em, hb.reshape(b, r, th), hm.reshape(b, r), chunk
+        )
+        s_mu, s_var = em(sb.reshape(b, r, ts), sm_.reshape(b, r))
+        got = jax.jit(multi_scenario_tail)(
+            h_mu.reshape(s, m, th),
+            h_var.reshape(s, m, th),
+            s_mu.reshape(s, m, ts),
+            s_var.reshape(s, m, ts),
+            obs,
+            hb,
+            hm,
+            mm,
+        )
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(w), rtol=1e-5, atol=1e-7
+            )
