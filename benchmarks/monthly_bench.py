@@ -14,15 +14,18 @@ HadCRUT5, W2 barycentre.  Prints one JSON line.
 
 Usage: python benchmarks/monthly_bench.py [ssp] [n_optim_nits] [dba_iters]
        python benchmarks/monthly_bench.py all [n_optim_nits] [dba_iters] [hist_chunk]
+       python benchmarks/monthly_bench.py all-nodedup ...   (replicated layout)
 
-``all`` runs the ENTIRE 7-SSP experiment at native monthly resolution: the
-T = 1032 SSP emulations as ONE merged (scenario x model) program — the
-merged batch (7 x 16 padded models = 112) crosses the blocked hybrid's
-batch gate, so they run through ops/linalg_blocked.py on the MXU — and the
-T = 1980 historical emulations host-pipelined in HBM-sized model chunks
-(a single merged T=1980 program needs ~1.76 GB per gram buffer and
-measured RESOURCE_EXHAUSTED on one v5e chip), then the production
-weighting/barycentre tail (parallel/step.multi_scenario_tail).
+``all`` runs the ENTIRE 7-SSP experiment at native monthly resolution,
+fitting each UNIQUE model once (a historical model's anomalies are
+scenario-independent, so the 7x16 scenario layout holds only ~20 distinct
+historical + ~80 distinct SSP fits — see run_all_ssps).  The merged SSP
+batch crosses the blocked hybrid's gate (ops/linalg_blocked.py on the
+MXU); the T = 1980 historical emulations are host-pipelined in HBM-sized
+model chunks when needed (a merged replicated T=1980 program needs
+~1.76 GB per gram buffer and measured RESOURCE_EXHAUSTED on one v5e
+chip); the weighting/barycentre tail is the production
+parallel/step.multi_scenario_tail.
 """
 
 import functools
@@ -50,9 +53,9 @@ def main():
     ssp = sys.argv[1] if len(sys.argv) > 1 else "ssp585"
     n_iters = int(sys.argv[2]) if len(sys.argv) > 2 else 500
     dba_iters = int(sys.argv[3]) if len(sys.argv) > 3 else 10
-    if ssp == "all":
+    if ssp in ("all", "all-nodedup"):
         hist_chunk = int(sys.argv[4]) if len(sys.argv) > 4 else 28
-        return run_all_ssps(n_iters, dba_iters, hist_chunk)
+        return run_all_ssps(n_iters, dba_iters, hist_chunk, dedup=ssp == "all")
 
     obs_pm = pipeline.load_observations(resample_freq=None)
     obs = jnp.asarray(obs_pm.data.values, dtype=jnp.float32)
@@ -143,54 +146,51 @@ def _chunked_marginals(em, block, mask, chunk: int):
     return jnp.concatenate(means)[:b], jnp.concatenate(varis)[:b]
 
 
-def run_all_ssps(n_iters: int, dba_iters: int, hist_chunk: int = 28):
-    """Full 7-SSP experiment at native monthly resolution.
+def build_all_ssps_runner(
+    scenarios, obs, n_iters: int, dba_iters: int, hist_chunk: int, dedup: bool
+):
+    """Pack the scenario collections and build the campaign runner.
 
-    The T = 1032 SSP emulations run as ONE merged 112-model program — the
-    batch crosses the blocked hybrid's gate, so they go through
-    ops/linalg_blocked.py on the MXU — while the T = 1980 historical
-    emulations are host-pipelined in ``hist_chunk``-model chunks purely for
-    HBM capacity (see _chunked_marginals).  The weighting + barycentre tail
-    is the production ``multi_scenario_tail`` program.
+    ``scenarios`` is a list of ``(name, hist_collection, ssp_collection)``.
+    Returns ``(run_once, meta)`` where ``run_once()`` executes the whole
+    campaign (chunked/deduped emulation + the production
+    ``multi_scenario_tail``) and ``meta`` describes the packing.  Separate
+    from ``run_all_ssps`` so the dedup-vs-replicated equality is testable
+    on synthetic collections (tests/test_parallel.py).
+
+    With ``dedup=True``, each UNIQUE model is fitted once: historical
+    anomalies are scenario-independent (asserted byte-identical at pack
+    time), so the padded (S, M) scenario layout gathers its marginals from
+    ~20 distinct historical and ~80 distinct SSP fits instead of
+    re-emulating every (scenario, model) slot.
     """
+    import functools
+
     import jax
     import jax.numpy as jnp
 
-    from bayesian_ensembling_tpu import pipeline
     from bayesian_ensembling_tpu.parallel.step import (
         emulate_marginals,
         multi_scenario_tail,
         pad_models,
     )
-    from bayesian_ensembling_tpu.utils.profiling import device_sync as sync
 
-    obs_pm = pipeline.load_observations(resample_freq=None)
-    obs = jnp.asarray(obs_pm.data.values, dtype=jnp.float32)
-    scenarios = []
-    for ssp in pipeline.ALL_SSPS:
-        hist, ssp_mc = pipeline.load_scenario(ssp, resample_freq=None)
-        scenarios.append((ssp, hist, ssp_mc))
     m_max = max(len(h) for _, h, _ in scenarios)
     r_max = max(max(h.max_realisations, s.max_realisations) for _, h, s in scenarios)
+    s = len(scenarios)
     packed = []
-    for ssp, hist, ssp_mc in scenarios:
-        hb, hm = hist.padded_stack(r_target=r_max)
-        sb, sm = ssp_mc.padded_stack(r_target=r_max)
-        hb, hm, mmask = pad_models(hb, hm, m_max)
-        sb, sm, _ = pad_models(sb, sm, m_max)
-        packed.append((hb, hm, sb, sm, mmask))
-    stacked = [jnp.asarray(np.stack([p[i] for p in packed])) for i in range(5)]
-    hb, hm, sb, sm, mmask = stacked
-    s = hb.shape[0]
+    for _, hist, ssp_mc in scenarios:
+        hb_, hm_ = hist.padded_stack(r_target=r_max)
+        sb_, sm_ = ssp_mc.padded_stack(r_target=r_max)
+        hb_, hm_, mmask_ = pad_models(hb_, hm_, m_max)
+        sb_, sm_, _ = pad_models(sb_, sm_, m_max)
+        packed.append((hb_, hm_, sb_, sm_, mmask_))
+    hb, hm, sb, sm, mmask = (
+        jnp.asarray(np.stack([p[i] for p in packed])) for i in range(5)
+    )
     b = s * m_max
     t_hist, t_ssp = hb.shape[-1], sb.shape[-1]
-    print(
-        f"devices: {jax.devices()}\n"
-        f"workload: ALL {s} SSPs, merged batch {s}x{m_max}={b} models "
-        f"(hist chunked at {hist_chunk}), R={r_max}, T_hist={t_hist}, "
-        f"T_ssp={t_ssp}, {n_iters} iterations",
-        file=sys.stderr,
-    )
+
     em = jax.jit(
         functools.partial(
             emulate_marginals,
@@ -200,21 +200,135 @@ def run_all_ssps(n_iters: int, dba_iters: int, hist_chunk: int = 28):
     )
     tail = jax.jit(multi_scenario_tail)
 
-    def run_once():
-        h_mu, h_var = _chunked_marginals(
-            em, hb.reshape(b, r_max, t_hist), hm.reshape(b, r_max), hist_chunk
+    if dedup:
+        # ---- unique-fit packing.  Historical: one row per distinct model
+        # name (anomaly data + realisation mask, asserted identical across
+        # scenarios).  SSP: one row per REAL (scenario, model) pair,
+        # dropping the pad replicas.
+        uniq: dict = {}
+        uidx = np.zeros((s, m_max), np.int64)
+        sidx = np.zeros((s, m_max), np.int64)
+        ssp_rows, ssp_masks = [], []
+        for si, (_, hist, ssp_mc) in enumerate(scenarios):
+            hb_, hm_ = hist.padded_stack(r_target=r_max)
+            sb_, sm_ = ssp_mc.padded_stack(r_target=r_max)
+            for mi, name in enumerate(hist.model_names):
+                if name in uniq:
+                    k, row, mrow = uniq[name]
+                    assert np.array_equal(row, hb_[mi]) and np.array_equal(
+                        mrow, hm_[mi]
+                    ), (
+                        f"historical anomalies for {name} differ between "
+                        "scenarios — dedup invalid"
+                    )
+                else:
+                    k = len(uniq)
+                    uniq[name] = (k, hb_[mi], hm_[mi])
+                uidx[si, mi] = k
+                sidx[si, mi] = len(ssp_rows)
+                ssp_rows.append(sb_[mi])
+                ssp_masks.append(sm_[mi])
+            # padded model slots keep index 0; mmask zeroes them downstream
+        uh = jnp.asarray(np.stack([v[1] for v in uniq.values()]))
+        um = jnp.asarray(np.stack([v[2] for v in uniq.values()]))
+        usb = jnp.asarray(np.stack(ssp_rows))
+        usm = jnp.asarray(np.stack(ssp_masks))
+        uidx_j = jnp.asarray(uidx)
+        sidx_j = jnp.asarray(sidx)
+        u, b_ssp = uh.shape[0], usb.shape[0]
+        n_fits = u + b_ssp
+        desc = (
+            f"ALL {s} SSPs, DEDUPED — {u} unique historical + {b_ssp} SSP "
+            f"fits (replicated layout: {b}+{b}), R={r_max}, "
+            f"T_hist={t_hist}, T_ssp={t_ssp}"
         )
-        s_mu, s_var = em(sb.reshape(b, r_max, t_ssp), sm.reshape(b, r_max))
-        return tail(
-            h_mu.reshape(s, m_max, t_hist),
-            h_var.reshape(s, m_max, t_hist),
-            s_mu.reshape(s, m_max, t_ssp),
-            s_var.reshape(s, m_max, t_ssp),
-            obs,
-            hb,
-            hm,
-            mmask,
+
+        def run_once():
+            h_mu_u, h_var_u = _chunked_marginals(em, uh, um, hist_chunk)
+            s_mu_f, s_var_f = em(usb, usm)
+            return tail(
+                jnp.take(h_mu_u, uidx_j, axis=0),
+                jnp.take(h_var_u, uidx_j, axis=0),
+                jnp.take(s_mu_f, sidx_j, axis=0),
+                jnp.take(s_var_f, sidx_j, axis=0),
+                obs,
+                hb,
+                hm,
+                mmask,
+            )
+
+    else:
+        n_fits = 2 * b
+        desc = (
+            f"ALL {s} SSPs, merged batch {s}x{m_max}={b} models "
+            f"(hist chunked at {hist_chunk}), R={r_max}, "
+            f"T_hist={t_hist}, T_ssp={t_ssp}"
         )
+
+        def run_once():
+            h_mu, h_var = _chunked_marginals(
+                em, hb.reshape(b, r_max, t_hist), hm.reshape(b, r_max), hist_chunk
+            )
+            s_mu, s_var = em(sb.reshape(b, r_max, t_ssp), sm.reshape(b, r_max))
+            return tail(
+                h_mu.reshape(s, m_max, t_hist),
+                h_var.reshape(s, m_max, t_hist),
+                s_mu.reshape(s, m_max, t_ssp),
+                s_var.reshape(s, m_max, t_ssp),
+                obs,
+                hb,
+                hm,
+                mmask,
+            )
+
+    meta = {"s": s, "m_max": m_max, "r_max": r_max, "n_fits": n_fits, "desc": desc}
+    return run_once, meta
+
+
+def run_all_ssps(
+    n_iters: int, dba_iters: int, hist_chunk: int = 28, dedup: bool = True
+):
+    """Full 7-SSP experiment at native monthly resolution.
+
+    The T = 1032 SSP emulations run as ONE merged program — the batch
+    crosses the blocked hybrid's gate, so they go through
+    ops/linalg_blocked.py on the MXU — and the T = 1980 historical
+    emulations are host-pipelined in ``hist_chunk``-model chunks when they
+    exceed HBM (see _chunked_marginals).  The weighting + barycentre tail
+    is the production ``multi_scenario_tail`` program.
+
+    ``dedup=True`` (default) fits each UNIQUE model once instead of once
+    per scenario: a historical model's anomaly series is byte-identical
+    across every SSP collection it appears in (asserted at pack time), so
+    the 7x16 padded scenario layout contains only ~20 distinct historical
+    fits and ~80 distinct SSP fits.  At monthly T the XLA/blocked fit cost
+    is linear in batch (unlike the annual regime, where the 128-wide
+    batch-in-lanes Pallas kernels price B=20 and B=112 identically), so
+    experiment-level common-subexpression elimination is a direct
+    wall-clock cut at bit-identical per-model math.  Marginals are gathered
+    back into the (S, M) scenario layout for the unchanged tail.
+    ``dedup=False`` reproduces the replicated layout.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from bayesian_ensembling_tpu import pipeline
+    from bayesian_ensembling_tpu.utils.profiling import device_sync as sync
+
+    obs_pm = pipeline.load_observations(resample_freq=None)
+    obs = jnp.asarray(obs_pm.data.values, dtype=jnp.float32)
+    scenarios = []
+    for ssp in pipeline.ALL_SSPS:
+        hist, ssp_mc = pipeline.load_scenario(ssp, resample_freq=None)
+        scenarios.append((ssp, hist, ssp_mc))
+    run_once, meta = build_all_ssps_runner(
+        scenarios, obs, n_iters, dba_iters, hist_chunk=hist_chunk, dedup=dedup
+    )
+    print(
+        f"devices: {jax.devices()}\nworkload: {meta['desc']}, "
+        f"{n_iters} iterations",
+        file=sys.stderr,
+    )
 
     t0 = time.perf_counter()
     sync(run_once())
@@ -233,7 +347,8 @@ def run_all_ssps(n_iters: int, dba_iters: int, hist_chunk: int = 28):
             file=sys.stderr,
         )
     print(json.dumps({
-        "metric": f"monthly_all7ssp_merged{b}_fit{n_iters}",
+        "metric": f"monthly_all7ssp_{'dedup' if dedup else 'merged'}"
+                  f"{meta['n_fits']}fits_opt{n_iters}",
         "value": round(elapsed, 3),
         "unit": "s",
     }))

@@ -445,3 +445,54 @@ def test_chunked_marginals_pipeline_matches_merged_step():
             np.testing.assert_allclose(
                 np.asarray(g), np.asarray(w), rtol=1e-5, atol=1e-7
             )
+
+
+def test_all_ssps_dedup_matches_replicated():
+    """The campaign's unique-fit packing (each distinct model emulated once,
+    marginals gathered back into the (S, M) layout) must produce the same
+    barycentres and weights as the replicated layout that re-fits every
+    (scenario, model) slot — scenarios share historical models by
+    construction, exactly like the real CMIP6 directories."""
+    import importlib.util
+    import os
+
+    from bayesian_ensembling_tpu.coords import DimArray
+    from bayesian_ensembling_tpu.data import ModelCollection, ProcessModel
+
+    spec = importlib.util.spec_from_file_location(
+        "monthly_bench",
+        os.path.join(os.path.dirname(__file__), "..", "benchmarks", "monthly_bench.py"),
+    )
+    mb = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mb)
+
+    rng = np.random.default_rng(7)
+    t_h, t_s, r = 14, 8, 3
+    time_h = (np.datetime64("2000-01", "M") + np.arange(t_h)).astype("datetime64[ns]")
+    time_s = (np.datetime64("2010-01", "M") + np.arange(t_s)).astype("datetime64[ns]")
+
+    def pm(name, t, time):
+        vals = rng.normal(size=(r, t)).astype(np.float32)
+        return ProcessModel(
+            DimArray(vals, ("realisation", "time"), {"time": time}, name="tas"), name
+        )
+
+    # 4 distinct historical models shared across scenarios; per-scenario
+    # SSP runs are distinct.
+    hist_pool = {n: pm(n, t_h, time_h) for n in ("a", "b", "c", "d")}
+    scenarios = []
+    for si, names in enumerate((("a", "b", "c"), ("b", "c", "d"))):
+        hists = ModelCollection([hist_pool[n] for n in names])
+        ssps = ModelCollection([pm(n, t_s, time_s) for n in names])
+        scenarios.append((f"scn{si}", hists, ssps))
+    obs = jnp.asarray(rng.normal(size=(4, t_h)).astype(np.float32))
+
+    outs = {}
+    for dedup in (True, False):
+        run_once, meta = mb.build_all_ssps_runner(
+            scenarios, obs, n_iters=3, dba_iters=2, hist_chunk=5, dedup=dedup
+        )
+        outs[dedup] = [np.asarray(a) for a in run_once()]
+    assert outs[True][0].shape == (2, 3, t_s)[:1] + outs[False][0].shape[1:]
+    for got, want in zip(outs[True], outs[False]):
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
