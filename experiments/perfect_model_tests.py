@@ -62,6 +62,13 @@ def main():
         help="with --batched: also draw the per-fold weight/projection "
         "figures from the batched program's outputs",
     )
+    ap.add_argument(
+        "--resample-freq",
+        default="Y",
+        help="calendar resample frequency for freshly-loaded scenarios "
+        "(M/Q/Y; 'none' = native monthly, the large-T path).  Ignored with "
+        "--prefit-dir, whose checkpoints fix the resolution.",
+    )
     args = ap.parse_args()
     if args.batched and not args.prefit_dir:
         # Fail at parse time, before loading/anomalising every scenario.
@@ -89,7 +96,12 @@ def main():
             fore = load_model_collection(os.path.join(args.prefit_dir, f"{ssp}.npz"))
             use_prefit = True
         else:
-            hist, fore = pipeline.load_scenario(ssp, data_dir)
+            freq = (
+                None
+                if args.resample_freq.lower() == "none"
+                else args.resample_freq
+            )
+            hist, fore = pipeline.load_scenario(ssp, data_dir, resample_freq=freq)
             use_prefit = False
         collections[ssp] = (hist, fore, use_prefit)
 

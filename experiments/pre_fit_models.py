@@ -30,6 +30,13 @@ def main():
         "--ssps",
         default="ssp119,ssp126,ssp245,ssp370,ssp434,ssp460,ssp585",
     )
+    ap.add_argument(
+        "--resample-freq",
+        default="Y",
+        help="calendar resample frequency (M/Q/Y; 'none' keeps the native "
+        "monthly resolution, the large-T path — same convention as "
+        "full_experiment.py)",
+    )
     args = ap.parse_args()
 
 
@@ -38,9 +45,10 @@ def main():
 
     data_dir = args.data_dir or pipeline.default_data_dir()
     os.makedirs(args.out_dir, exist_ok=True)
+    freq = None if args.resample_freq.lower() == "none" else args.resample_freq
 
     for ssp in args.ssps.split(","):
-        hist, ssp_mc = pipeline.load_scenario(ssp, data_dir)
+        hist, ssp_mc = pipeline.load_scenario(ssp, data_dir, resample_freq=freq)
         t0 = time.time()
         hist.fit(GPDTW1D(), n_optim_nits=args.n_optim_nits)
         ssp_mc.fit(GPDTW1D(), n_optim_nits=args.n_optim_nits)
