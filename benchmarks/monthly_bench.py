@@ -134,8 +134,14 @@ def _chunked_marginals(em, block, mask, chunk: int):
     g = -(-b // chunk)
     pad = g * chunk - b
     if pad:
-        block = jnp.concatenate([block, block[:pad]], axis=0)
-        mask = jnp.concatenate([mask, mask[:pad]], axis=0)
+        # Fill with replicated real rows (tiled when pad > b, i.e.
+        # chunk > 2b) so padded lanes run the same well-conditioned math;
+        # results are sliced off below.
+        reps = -(-pad // b)
+        filler = jnp.concatenate([block] * reps, axis=0)[:pad]
+        filler_mask = jnp.concatenate([mask] * reps, axis=0)[:pad]
+        block = jnp.concatenate([block, filler], axis=0)
+        mask = jnp.concatenate([mask, filler_mask], axis=0)
     means, varis = [], []
     for i in range(g):
         mu, var = em(

@@ -426,7 +426,9 @@ def test_chunked_marginals_pipeline_matches_merged_step():
         functools.partial(emulate_marginals, n_optim_nits=3, dba_iterations=2)
     )
     b = s * m
-    for chunk in (4, 10):  # 10 % 4 != 0 exercises the pad-and-slice path
+    # 10 % 4 != 0 exercises the pad-and-slice path; 24 > 2*10 exercises the
+    # tiled-filler branch (pad exceeds the real batch).
+    for chunk in (4, 10, 24):
         h_mu, h_var = mb._chunked_marginals(
             em, hb.reshape(b, r, th), hm.reshape(b, r), chunk
         )
