@@ -33,7 +33,50 @@ from bayesian_ensembling_tpu.ops import dtw as dtw_ops
 from bayesian_ensembling_tpu.ops import gp as gp_ops
 from bayesian_ensembling_tpu.ops.distributions import FullCovGaussian
 
-__all__ = ["GPDTW1D", "emulate_batch"]
+__all__ = ["GPDTW1D", "emulate_batch", "emulate_batch_chunked"]
+
+
+@functools.partial(jax.jit, static_argnames=("dba_iterations",))
+def _prepare_emulation(
+    block: jnp.ndarray,  # (M, R, T) zero-padded realisations
+    mask: jnp.ndarray,  # (M, R) validity
+    dba_iterations: int = 10,
+):
+    """Stages (a)-(c): DBA target mean, known noise, feature matrix."""
+    w = mask.astype(block.dtype)  # (M, R)
+    n = jnp.maximum(jnp.sum(w, axis=1), 1.0)  # (M,)
+
+    # (a) DBA barycentre per model (reference uses tslearn subgradient DBA,
+    # models.py:176-178; semantics here follow the repo's own dtwa.py).  On
+    # TPU each iteration is one fused Pallas program over all M*R problems.
+    y_mean = dtw_ops.dba_batch(
+        block, mask, n_iterations=dba_iterations, init="mean"
+    )
+
+    # (b) across-realisation variance as known noise (models.py:179).
+    mu_r = jnp.einsum("mrt,mr->mt", block, w) / n[:, None]
+    y_var = (
+        jnp.einsum("mrt,mr->mt", jnp.square(block - mu_r[:, None, :]), w)
+        / n[:, None]
+    )
+    y_var = jnp.maximum(y_var, 1e-8)  # guard single-realisation models
+
+    # (c) features = realisation matrix transposed; padded rows became zero
+    # feature columns, which are distance-neutral (models.py:182).
+    x = jnp.swapaxes(block, 1, 2)  # (M, T, R)
+    return x, y_mean, y_var
+
+
+@functools.partial(jax.jit, static_argnames=("kernel_name",))
+def _posterior_with_noise(
+    params, x, y_mean, y_var, kernel_name: str = "matern32", jitter: float = 1e-6
+):
+    """Stage (f): exact posterior + heteroskedastic noise diagonal."""
+    kernel = gp_ops.get_kernel(kernel_name)
+    post = functools.partial(gp_ops.posterior, kernel=kernel, jitter=jitter)
+    mean, cov = jax.vmap(post)(params, x, y_mean, y_var)
+    cov = cov + jax.vmap(jnp.diag)(y_var)
+    return mean, cov
 
 
 @functools.partial(
@@ -58,27 +101,7 @@ def emulate_batch(
     The covariance already includes the heteroskedastic noise diagonal, i.e.
     it is the posterior over *observables*, matching models.py:220.
     """
-    w = mask.astype(block.dtype)  # (M, R)
-    n = jnp.maximum(jnp.sum(w, axis=1), 1.0)  # (M,)
-
-    # (a) DBA barycentre per model (reference uses tslearn subgradient DBA,
-    # models.py:176-178; semantics here follow the repo's own dtwa.py).  On
-    # TPU each iteration is one fused Pallas program over all M*R problems.
-    y_mean = dtw_ops.dba_batch(
-        block, mask, n_iterations=dba_iterations, init="mean"
-    )
-
-    # (b) across-realisation variance as known noise (models.py:179).
-    mu_r = jnp.einsum("mrt,mr->mt", block, w) / n[:, None]
-    y_var = (
-        jnp.einsum("mrt,mr->mt", jnp.square(block - mu_r[:, None, :]), w)
-        / n[:, None]
-    )
-    y_var = jnp.maximum(y_var, 1e-8)  # guard single-realisation models
-
-    # (c) features = realisation matrix transposed; padded rows became zero
-    # feature columns, which are distance-neutral (models.py:182).
-    x = jnp.swapaxes(block, 1, 2)  # (M, T, R)
+    x, y_mean, y_var = _prepare_emulation(block, mask, dba_iterations=dba_iterations)
 
     # (d)+(e) hyperparameter optimisation on the exact NLML — one batched
     # scan through the Pallas cholesky/solve kernels (ops/linalg_pallas.py).
@@ -93,11 +116,48 @@ def emulate_batch(
         optimizer=optimizer,
     )
 
-    # (f) exact posterior + noise diagonal.
-    kernel = gp_ops.get_kernel(kernel_name)
-    post = functools.partial(gp_ops.posterior, kernel=kernel, jitter=jitter)
-    mean, cov = jax.vmap(post)(params, x, y_mean, y_var)
-    cov = cov + jax.vmap(jnp.diag)(y_var)
+    mean, cov = _posterior_with_noise(
+        params, x, y_mean, y_var, kernel_name=kernel_name, jitter=jitter
+    )
+    return mean, cov, losses
+
+
+def emulate_batch_chunked(
+    block: jnp.ndarray,
+    mask: jnp.ndarray,
+    kernel_name: str = "matern32",
+    n_optim_nits: int = 500,
+    learning_rate: float = 0.01,
+    dba_iterations: int = 10,
+    jitter: float = 1e-6,
+    optimizer: str = "adam",
+    fit_chunk_steps: int = 250,
+):
+    """:func:`emulate_batch` staged as prepare → host-chunked fit → posterior.
+
+    Same math, same step sequence, but the optimisation runs as a host loop
+    of ``fit_chunk_steps``-long XLA executions (ops/gp.fit_gp_batch_chunked)
+    instead of one merged program, so no single device execution exceeds a
+    few tens of seconds — for environments that kill long executions (the
+    tunnelled single-chip setup does, at minutes).  Prefer ``emulate_batch``
+    when executions are unconstrained: the merged program saves the
+    inter-stage HBM round-trips.
+    """
+    x, y_mean, y_var = _prepare_emulation(block, mask, dba_iterations=dba_iterations)
+    params, losses = gp_ops.fit_gp_batch_chunked(
+        x,
+        y_mean,
+        y_var,
+        kernel_name=kernel_name,
+        n_optim_nits=n_optim_nits,
+        learning_rate=learning_rate,
+        jitter=jitter,
+        optimizer=optimizer,
+        chunk_steps=fit_chunk_steps,
+    )
+    mean, cov = _posterior_with_noise(
+        params, x, y_mean, y_var, kernel_name=kernel_name, jitter=jitter
+    )
     return mean, cov, losses
 
 
@@ -131,6 +191,7 @@ class GPDTW1D(AbstractEmulator):
         dba_iterations: tp.Optional[int] = None,
         jitter: tp.Optional[float] = None,
         optimizer: str = "adam",
+        fit_chunk_steps: tp.Optional[int] = None,
         **_: tp.Any,
     ) -> tp.List[Posterior]:
         cfg = self.config
@@ -144,16 +205,31 @@ class GPDTW1D(AbstractEmulator):
                 "for gridded fields (reference guard models.py:171-174)"
             )
         block, mask = collection.padded_stack(dtype=np.dtype(self.dtype))
-        mean, cov, _ = emulate_batch(
-            jnp.asarray(block),
-            jnp.asarray(mask),
-            kernel_name=self.kernel,
-            n_optim_nits=n_optim_nits,
-            learning_rate=learning_rate,
-            dba_iterations=dba_iterations,
-            jitter=jitter,
-            optimizer=optimizer,
-        )
+        if fit_chunk_steps:
+            # Bounded-execution fit: host loop of fit_chunk_steps-long
+            # segments instead of one merged program (same step sequence).
+            mean, cov, _ = emulate_batch_chunked(
+                jnp.asarray(block),
+                jnp.asarray(mask),
+                kernel_name=self.kernel,
+                n_optim_nits=n_optim_nits,
+                learning_rate=learning_rate,
+                dba_iterations=dba_iterations,
+                jitter=jitter,
+                optimizer=optimizer,
+                fit_chunk_steps=fit_chunk_steps,
+            )
+        else:
+            mean, cov, _ = emulate_batch(
+                jnp.asarray(block),
+                jnp.asarray(mask),
+                kernel_name=self.kernel,
+                n_optim_nits=n_optim_nits,
+                learning_rate=learning_rate,
+                dba_iterations=dba_iterations,
+                jitter=jitter,
+                optimizer=optimizer,
+            )
         posts = []
         for i, pm in enumerate(collection):
             g = FullCovGaussian(mean=mean[i], cov=cov[i])

@@ -13,6 +13,8 @@ from bayesian_ensembling_tpu.ops.gp import (
     GPParams,
     fit_gp,
     fit_gp_batch,
+    fit_gp_batch_chunked,
+    fit_gp_batch_segment,
     init_params,
     matern32,
     nlml,
@@ -50,6 +52,8 @@ __all__ = [
     "GPParams",
     "fit_gp",
     "fit_gp_batch",
+    "fit_gp_batch_chunked",
+    "fit_gp_batch_segment",
     "init_params",
     "matern32",
     "nlml",

@@ -39,6 +39,8 @@ __all__ = [
     "fit_gp",
     "posterior",
     "fit_gp_batch",
+    "fit_gp_batch_segment",
+    "fit_gp_batch_chunked",
 ]
 
 _LOG_2PI = 1.8378770664093453
@@ -291,6 +293,83 @@ def fit_gp(
     return params, losses
 
 
+def _make_batch_opt(optimizer: str, learning_rate: float):
+    """The optimiser used by every batched-fit entry point (one place so the
+    merged single-program fit and the host-chunked segments can never drift)."""
+    if optimizer == "adam":
+        return optax.adam(learning_rate)
+    if optimizer == "lbfgs":
+        return optax.lbfgs()
+    raise ValueError(f"unknown optimizer {optimizer!r}")
+
+
+def _build_batch_step(opt, x, y, noise_var, kernel_name, jitter, optimizer):
+    """Build the per-iteration scan body for the batched NLML optimisation.
+
+    Shared by :func:`fit_gp_batch` (one merged scan) and
+    :func:`fit_gp_batch_segment` (host-chunked scans); the body — kernel
+    precompute hoisting, Pallas/blocked NLML dispatch, summed separable
+    objective — is identical, so a run split into segments executes the
+    exact same step sequence as the merged program.
+    """
+    from bayesian_ensembling_tpu.ops.linalg_pallas import linalg_path, nlml_terms
+
+    m, t, _ = x.shape
+    precompute, apply_fn = get_kernel_precomputed(kernel_name)
+    stat = jax.vmap(precompute)(x, x)  # (M, T, T), hoisted out of the scan
+    eye = jnp.eye(t, dtype=y.dtype)
+    use_blocked = linalg_path(t, b=m) == "blocked"
+    if use_blocked:
+        from bayesian_ensembling_tpu.ops.linalg_blocked import nlml_terms_blocked
+
+    def nlml_vec(params_b):
+        k = jax.vmap(apply_fn)(params_b, stat)
+        ky = k + jax.vmap(jnp.diag)(noise_var) + jitter * eye
+        if use_blocked:
+            # Monthly-T regime: recursive blocked hybrid — Pallas diagonal
+            # blocks + MXU GEMMs, measured 2-3.3x over XLA's monolithic
+            # decompositions at T in (pallas cap, BLOCKED_T_CAP].
+            quad, logdet = nlml_terms_blocked(ky, y)
+        else:
+            quad, logdet = nlml_terms(ky, y)
+        return 0.5 * (quad + logdet + t * _LOG_2PI)
+
+    def total(params_b):
+        v = nlml_vec(params_b)
+        return jnp.sum(v), v
+
+    if optimizer == "adam":
+
+        def step(carry, _):
+            params, opt_state = carry
+            (_, per_model), grads = jax.value_and_grad(total, has_aux=True)(params)
+            updates, opt_state = opt.update(grads, opt_state)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), per_model
+
+    elif optimizer == "lbfgs":
+
+        def total_scalar(params_b):
+            return total(params_b)[0]
+
+        value_and_grad = optax.value_and_grad_from_state(total_scalar)
+
+        def step(carry, _):
+            params, opt_state = carry
+            value, grads = value_and_grad(params, state=opt_state)
+            updates, opt_state = opt.update(
+                grads, opt_state, params,
+                value=value, grad=grads, value_fn=total_scalar,
+            )
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), nlml_vec(params)
+
+    else:
+        raise ValueError(f"unknown optimizer {optimizer!r}")
+
+    return step
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("kernel_name", "n_optim_nits", "learning_rate", "optimizer"),
@@ -333,71 +412,100 @@ def fit_gp_batch(
     Returns:
       (params with leading M axis, losses ``(M, n_optim_nits)``).
     """
-    from bayesian_ensembling_tpu.ops.linalg_pallas import linalg_path, nlml_terms
-
-    m, t, _ = x.shape
-    precompute, apply_fn = get_kernel_precomputed(kernel_name)
-    stat = jax.vmap(precompute)(x, x)  # (M, T, T), hoisted out of the scan
-    eye = jnp.eye(t, dtype=y.dtype)
-    use_blocked = linalg_path(t, b=m) == "blocked"
-    if use_blocked:
-        from bayesian_ensembling_tpu.ops.linalg_blocked import nlml_terms_blocked
-
-    def nlml_vec(params_b):
-        k = jax.vmap(apply_fn)(params_b, stat)
-        ky = k + jax.vmap(jnp.diag)(noise_var) + jitter * eye
-        if use_blocked:
-            # Monthly-T regime: recursive blocked hybrid — Pallas diagonal
-            # blocks + MXU GEMMs, measured 2-3.3x over XLA's monolithic
-            # decompositions at T in (pallas cap, BLOCKED_T_CAP].
-            quad, logdet = nlml_terms_blocked(ky, y)
-        else:
-            quad, logdet = nlml_terms(ky, y)
-        return 0.5 * (quad + logdet + t * _LOG_2PI)
-
-    def total(params_b):
-        v = nlml_vec(params_b)
-        return jnp.sum(v), v
-
+    m = x.shape[0]
     if init is None:
         params = jax.vmap(lambda _: init_params(dtype=y.dtype))(jnp.arange(m))
     else:
         params = jax.tree.map(lambda p: jnp.asarray(p, y.dtype), init)
 
-    if optimizer == "adam":
-        opt = optax.adam(learning_rate)
-        opt_state = opt.init(params)
-
-        def step(carry, _):
-            params, opt_state = carry
-            (_, per_model), grads = jax.value_and_grad(total, has_aux=True)(params)
-            updates, opt_state = opt.update(grads, opt_state)
-            params = optax.apply_updates(params, updates)
-            return (params, opt_state), per_model
-
-    elif optimizer == "lbfgs":
-        opt = optax.lbfgs()
-        opt_state = opt.init(params)
-
-        def total_scalar(params_b):
-            return total(params_b)[0]
-
-        value_and_grad = optax.value_and_grad_from_state(total_scalar)
-
-        def step(carry, _):
-            params, opt_state = carry
-            value, grads = value_and_grad(params, state=opt_state)
-            updates, opt_state = opt.update(
-                grads, opt_state, params,
-                value=value, grad=grads, value_fn=total_scalar,
-            )
-            params = optax.apply_updates(params, updates)
-            return (params, opt_state), nlml_vec(params)
-
-    else:
-        raise ValueError(f"unknown optimizer {optimizer!r}")
-
+    opt = _make_batch_opt(optimizer, learning_rate)
+    opt_state = opt.init(params)
+    step = _build_batch_step(opt, x, y, noise_var, kernel_name, jitter, optimizer)
     (params, _), losses = jax.lax.scan(
         step, (params, opt_state), None, length=n_optim_nits
     )
     return params, jnp.swapaxes(losses, 0, 1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kernel_name", "n_steps", "learning_rate", "optimizer"),
+)
+def fit_gp_batch_segment(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    noise_var: jnp.ndarray,
+    params: GPParams,
+    opt_state,
+    kernel_name: str = "matern32",
+    n_steps: int = 250,
+    learning_rate: float = 0.01,
+    jitter: float = 1e-6,
+    optimizer: str = "adam",
+):
+    """One ``n_steps``-long segment of the batched fit, carrying the
+    optimiser state — the building block of :func:`fit_gp_batch_chunked`.
+
+    Returns ``(params, opt_state, losses (M, n_steps))``.
+    """
+    opt = _make_batch_opt(optimizer, learning_rate)
+    step = _build_batch_step(opt, x, y, noise_var, kernel_name, jitter, optimizer)
+    (params, opt_state), losses = jax.lax.scan(
+        step, (params, opt_state), None, length=n_steps
+    )
+    return params, opt_state, jnp.swapaxes(losses, 0, 1)
+
+
+def fit_gp_batch_chunked(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    noise_var: jnp.ndarray,
+    kernel_name: str = "matern32",
+    n_optim_nits: int = 500,
+    learning_rate: float = 0.01,
+    jitter: float = 1e-6,
+    optimizer: str = "adam",
+    init: tp.Optional[GPParams] = None,
+    chunk_steps: int = 250,
+) -> tp.Tuple[GPParams, jnp.ndarray]:
+    """:func:`fit_gp_batch` as a host loop of short jitted segments.
+
+    Same step sequence, same result (the optimisers are deterministic and
+    the segment body is literally the merged scan's body) — but each XLA
+    execution is bounded at ``chunk_steps`` iterations.  This exists for
+    environments that cap single-execution wall time (e.g. tunnelled
+    single-chip access, premptible schedulers): at M=16 models of monthly
+    historical length (T=1980) the merged 2500-step program runs minutes
+    as ONE execution, which such environments kill.  All full-size chunks
+    share one compilation; Adam/L-BFGS state carries across segments
+    (optax L-BFGS keeps its memory pairs and last value/grad in the state,
+    so chunk boundaries are seamless for ``value_and_grad_from_state``).
+    """
+    m = x.shape[0]
+    if init is None:
+        params = jax.vmap(lambda _: init_params(dtype=y.dtype))(jnp.arange(m))
+    else:
+        params = jax.tree.map(lambda p: jnp.asarray(p, y.dtype), init)
+    opt = _make_batch_opt(optimizer, learning_rate)
+    opt_state = jax.jit(opt.init)(params)
+
+    losses = []
+    done = 0
+    while done < n_optim_nits:
+        k = min(chunk_steps, n_optim_nits - done)
+        params, opt_state, seg_losses = fit_gp_batch_segment(
+            x,
+            y,
+            noise_var,
+            params,
+            opt_state,
+            kernel_name=kernel_name,
+            n_steps=k,
+            learning_rate=learning_rate,
+            jitter=jitter,
+            optimizer=optimizer,
+        )
+        jax.block_until_ready(params)  # bound each device execution
+        losses.append(seg_losses)
+        done += k
+    return params, jnp.concatenate(losses, axis=1)

@@ -37,6 +37,15 @@ def main():
         "monthly resolution, the large-T path — same convention as "
         "full_experiment.py)",
     )
+    ap.add_argument(
+        "--fit-chunk-steps",
+        type=int,
+        default=None,
+        help="split the hyperparameter optimisation into host-level chunks "
+        "of this many steps (same step sequence; bounds each XLA "
+        "execution — use when the environment kills long single "
+        "executions, e.g. ~2500 steps at native monthly T=1980)",
+    )
     args = ap.parse_args()
 
 
@@ -50,8 +59,16 @@ def main():
     for ssp in args.ssps.split(","):
         hist, ssp_mc = pipeline.load_scenario(ssp, data_dir, resample_freq=freq)
         t0 = time.time()
-        hist.fit(GPDTW1D(), n_optim_nits=args.n_optim_nits)
-        ssp_mc.fit(GPDTW1D(), n_optim_nits=args.n_optim_nits)
+        hist.fit(
+            GPDTW1D(),
+            n_optim_nits=args.n_optim_nits,
+            fit_chunk_steps=args.fit_chunk_steps,
+        )
+        ssp_mc.fit(
+            GPDTW1D(),
+            n_optim_nits=args.n_optim_nits,
+            fit_chunk_steps=args.fit_chunk_steps,
+        )
         print(f"{ssp}: fitted in {time.time() - t0:.1f}s", flush=True)
         hist.save(os.path.join(args.out_dir, f"hist_{ssp}.npz"))
         ssp_mc.save(os.path.join(args.out_dir, f"{ssp}.npz"))

@@ -113,6 +113,44 @@ def test_fit_gp_batch_lbfgs_converges_faster(rng):
     assert (lbfgs_final <= adam_final + 0.5).all(), (lbfgs_final, adam_final)
 
 
+def test_fit_gp_batch_chunked_matches_merged(rng):
+    """Host-chunked fit == merged single-program fit, for both optimisers
+    and for chunk sizes that do / don't divide n_optim_nits (a boundary
+    mid-run and a short tail chunk)."""
+    xs, ys, noises = [], [], []
+    for _ in range(3):
+        x, y, noise = make_problem(rng, t=16, d=2)
+        xs.append(x), ys.append(y), noises.append(noise)
+    xb = jnp.asarray(np.stack(xs))
+    yb = jnp.asarray(np.stack(ys))
+    nb = jnp.asarray(np.stack(noises))
+    for optimizer, nits in (("adam", 30), ("lbfgs", 12)):
+        mparams, mlosses = gp.fit_gp_batch(
+            xb, yb, nb, n_optim_nits=nits, optimizer=optimizer
+        )
+        for chunk in (7, nits):
+            cparams, closses = gp.fit_gp_batch_chunked(
+                xb, yb, nb,
+                n_optim_nits=nits,
+                optimizer=optimizer,
+                chunk_steps=chunk,
+            )
+            assert closses.shape == mlosses.shape
+            np.testing.assert_allclose(
+                np.asarray(closses), np.asarray(mlosses), rtol=1e-8, atol=1e-10
+            )
+            np.testing.assert_allclose(
+                np.asarray(cparams.lengthscale),
+                np.asarray(mparams.lengthscale),
+                rtol=1e-8,
+            )
+            np.testing.assert_allclose(
+                np.asarray(cparams.variance),
+                np.asarray(mparams.variance),
+                rtol=1e-8,
+            )
+
+
 def test_lbfgs_batch_matches_per_model_fits(rng):
     """The shared zoom-linesearch step size couples batch L-BFGS
     *trajectories*, but the summed objective is separable, so the converged

@@ -69,6 +69,27 @@ def test_gpdtw1d_fit_collection(rng):
         assert (mean > lo).all() and (mean < hi).all()
 
 
+def test_gpdtw1d_chunked_fit_matches_merged(rng):
+    """fit_chunk_steps (bounded-execution host loop) == the merged program."""
+    mc = make_collection(rng, n_models=3, n_reals=(2, 4, 3), n_months=30)
+    merged = GPDTW1D(dtype=np.float64).fit_collection(
+        mc, n_optim_nits=30, dba_iterations=3
+    )
+    chunked = GPDTW1D(dtype=np.float64).fit_collection(
+        mc, n_optim_nits=30, dba_iterations=3, fit_chunk_steps=8
+    )
+    for a, b in zip(merged, chunked):
+        np.testing.assert_allclose(
+            np.asarray(a.gaussian.mean), np.asarray(b.gaussian.mean), rtol=1e-8
+        )
+        np.testing.assert_allclose(
+            np.asarray(a.gaussian.cov),
+            np.asarray(b.gaussian.cov),
+            rtol=1e-7,
+            atol=1e-10,
+        )
+
+
 def test_gpdtw1d_rejects_spatial_data(rng):
     da = make_da(rng, n_reals=2, n_months=12, spatial=(3,))
     mc = ModelCollection([ProcessModel(da, "m")])
