@@ -208,21 +208,28 @@ def run_scenario(
     n_optim_nits: int = 2000,
     dba_iterations: int = 10,
     sigma_mode: str = "w2",
+    fit_chunk_steps: tp.Optional[int] = None,
 ) -> ScenarioResult:
     """Fit + weight + combine one scenario (script :87-143).
 
     ``sigma_mode``: combined-sigma convention — "w2" (closed-form
     barycentre, default), "compat" (reference fixed point) or "mixture"
     (calibrated moment-matched mixture; see schemes.Barycentre).
+    ``fit_chunk_steps``: optional bounded-execution fit (GPDTW1D
+    ``fit_chunk_steps``) — splits the optimisation into host-level chunks
+    for environments that kill long single XLA executions.
     """
     weighter = weighter or CRPSWeight()
     emulator = emulator or GPDTW1D()
 
     t0 = _time.perf_counter()
-    hist.fit(emulator, n_optim_nits=n_optim_nits, dba_iterations=dba_iterations)
-    ssp_collection.fit(
-        emulator, n_optim_nits=n_optim_nits, dba_iterations=dba_iterations
+    fit_kw = dict(
+        n_optim_nits=n_optim_nits,
+        dba_iterations=dba_iterations,
+        fit_chunk_steps=fit_chunk_steps,
     )
+    hist.fit(emulator, **fit_kw)
+    ssp_collection.fit(emulator, **fit_kw)
     t_fit = _time.perf_counter() - t0
 
     w = weighter(hist, observations)

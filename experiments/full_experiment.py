@@ -39,6 +39,15 @@ def main():
         default="w2",
         help="combined-sigma convention (schemes.Barycentre)",
     )
+    ap.add_argument(
+        "--fit-chunk-steps",
+        type=int,
+        default=None,
+        help="split the hyperparameter optimisation into host-level chunks "
+        "of this many steps (bounds each XLA execution; same step "
+        "sequence — for environments that kill long executions, e.g. "
+        "native monthly T=1980 at 2000 iterations)",
+    )
     ap.add_argument("--cpu", action="store_true", help="run the float64 CPU path")
     args = ap.parse_args()
 
@@ -77,6 +86,7 @@ def main():
             n_optim_nits=args.n_optim_nits,
             dba_iterations=args.dba_iterations,
             sigma_mode=args.sigma_mode,
+            fit_chunk_steps=args.fit_chunk_steps,
         )
         results[ssp] = res
         summ = pipeline.warming_summary(res)
