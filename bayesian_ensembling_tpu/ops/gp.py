@@ -481,6 +481,11 @@ def fit_gp_batch_chunked(
     (optax L-BFGS keeps its memory pairs and last value/grad in the state,
     so chunk boundaries are seamless for ``value_and_grad_from_state``).
     """
+    if chunk_steps <= 0:
+        raise ValueError(
+            f"chunk_steps must be positive, got {chunk_steps} "
+            "(the host loop would never advance)"
+        )
     m = x.shape[0]
     if init is None:
         params = jax.vmap(lambda _: init_params(dtype=y.dtype))(jnp.arange(m))

@@ -33,6 +33,7 @@ from bayesian_ensembling_tpu.ops import scoring
 
 __all__ = [
     "emulate_marginals",
+    "chunked_marginals",
     "fused_raw_weights",
     "ensemble_scenario_step",
     "ensemble_multi_scenario_step",
@@ -91,16 +92,20 @@ def fused_raw_weights(
         *pairwise*, so under model-axis sharding they all-gather the
         (small) marginal moments over ``model_axis``.
     """
-    # Reciprocal scorers (1/CRPS, 1/KSD, 1/sq-distance) floor the score at
-    # the smallest normal float: an EXACT zero (a model marginal identical
-    # to the observation mean at one timestep — constant series, synthetic
-    # data) would otherwise produce inf, and inf/inf = NaN poisons the whole
-    # scenario through the sum-to-one normalisation.  The floor only moves
-    # scores below ~1e-38 (f32), far under every parity tolerance; the
-    # library path keeps the reference's unguarded form (weights.py:157-174)
-    # for bit-parity.
+    # Reciprocal scorers (1/CRPS, 1/KSD, 1/sq-distance) floor the score:
+    # an EXACT zero (a model marginal identical to the observation mean at
+    # one timestep — constant series, synthetic data) would otherwise
+    # produce inf, and inf/inf = NaN poisons the whole scenario through the
+    # sum-to-one normalisation.  The floor is sqrt(tiny) (~1e-19 at f32),
+    # NOT tiny itself: 1/tiny = 8.5e37, so four-plus floored models would
+    # overflow the per-timestep weight SUM to inf and the normalisation
+    # would silently zero every weight at that timestep; 1/sqrt(tiny) leaves
+    # ~1e19 of summation headroom while still sitting far under every
+    # parity tolerance (real scores are >~1e-10).  The library path keeps
+    # the reference's unguarded form (weights.py:157-174) for bit-parity.
     def _recip(score):
-        return 1.0 / jnp.maximum(score, jnp.finfo(score.dtype).tiny)
+        floor = jnp.sqrt(jnp.finfo(score.dtype).tiny)
+        return 1.0 / jnp.maximum(score, floor)
 
     if weight_kind == "crps":
         score = jax.vmap(scoring.mean_gaussian_crps, in_axes=(0, 0, None))(
@@ -235,6 +240,46 @@ def emulate_marginals(
     if return_params:
         return mean, var + y_var, params
     return mean, var + y_var
+
+
+def chunked_marginals(em, block: jnp.ndarray, mask: jnp.ndarray, chunk: int):
+    """Run a jitted ``(block, mask) -> (mean, var)`` emulator ``em`` over a
+    merged ``(B, R, T)`` batch in host-pipelined model chunks.
+
+    The HBM-bounding counterpart of :func:`ops.gp.fit_gp_batch_chunked`
+    (which bounds execution TIME): a merged native-monthly historical batch
+    (7 SSPs x 16 padded models = 112 emulators at T = 1980) needs several
+    (B, T, T) f32 gram-sized buffers inside the NLML scan — ~1.76 GB each
+    at B = 112 — and a single merged program exhausts the chip's HBM
+    (measured: RESOURCE_EXHAUSTED on v5e-16GB).  Chunking the model axis at
+    the HOST level keeps ONE compiled program (all chunks share a shape)
+    executed ceil(B/chunk) times, bounding peak HBM at the chunk's working
+    set; dispatch overhead is a few ms against ~30 s chunk executions.
+
+    When ``B % chunk != 0`` the last chunk is padded with REPLICATED real
+    rows (tiled when the pad exceeds the batch, i.e. ``chunk > 2B``) so
+    padded lanes run the same well-conditioned math; replica results are
+    sliced off before returning.
+    """
+    if chunk <= 0:
+        raise ValueError(f"chunk must be positive, got {chunk}")
+    b = block.shape[0]
+    g = -(-b // chunk)
+    pad = g * chunk - b
+    if pad:
+        reps = -(-pad // b)
+        filler = jnp.concatenate([block] * reps, axis=0)[:pad]
+        filler_mask = jnp.concatenate([mask] * reps, axis=0)[:pad]
+        block = jnp.concatenate([block, filler], axis=0)
+        mask = jnp.concatenate([mask, filler_mask], axis=0)
+    means, varis = [], []
+    for i in range(g):
+        mu, var = em(
+            block[i * chunk : (i + 1) * chunk], mask[i * chunk : (i + 1) * chunk]
+        )
+        means.append(mu)
+        varis.append(var)
+    return jnp.concatenate(means)[:b], jnp.concatenate(varis)[:b]
 
 
 def ensemble_scenario_step(

@@ -73,7 +73,8 @@ def main():
     )
     args = (hb, hm, sb, sm, obs, mmask)
     t0 = time.perf_counter()
-    sync(step(*args))
+    out = step(*args)  # warmup output doubles as the parity sample if reps=0
+    sync(out)
     warmup = time.perf_counter() - t0
     print(f"warmup: {warmup:.1f}s", file=sys.stderr)
     elapsed = float("inf")

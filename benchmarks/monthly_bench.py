@@ -115,43 +115,6 @@ def main():
 
 
 
-def _chunked_marginals(em, block, mask, chunk: int):
-    """Emulate a merged (B, R, T) batch in host-pipelined model chunks.
-
-    The merged native-monthly historical batch (7 SSPs x 16 padded models =
-    112 emulators at T = 1980) needs several (B, T, T) f32 gram-sized
-    buffers inside the NLML scan — ~1.76 GB each at B = 112 — and a single
-    merged program exhausts the chip's HBM (measured: RESOURCE_EXHAUSTED on
-    v5e-16GB).  Chunking the model axis at the HOST level keeps one
-    compiled program (all chunks share a shape) executed g times, bounding
-    peak HBM at the chunk's working set; dispatch overhead is a few ms
-    against ~30 s chunk executions, and each execution stays well under the
-    tunnelled backend's multi-minute kill threshold (ops/svgp.py finding).
-    """
-    import jax.numpy as jnp
-
-    b = block.shape[0]
-    g = -(-b // chunk)
-    pad = g * chunk - b
-    if pad:
-        # Fill with replicated real rows (tiled when pad > b, i.e.
-        # chunk > 2b) so padded lanes run the same well-conditioned math;
-        # results are sliced off below.
-        reps = -(-pad // b)
-        filler = jnp.concatenate([block] * reps, axis=0)[:pad]
-        filler_mask = jnp.concatenate([mask] * reps, axis=0)[:pad]
-        block = jnp.concatenate([block, filler], axis=0)
-        mask = jnp.concatenate([mask, filler_mask], axis=0)
-    means, varis = [], []
-    for i in range(g):
-        mu, var = em(
-            block[i * chunk : (i + 1) * chunk], mask[i * chunk : (i + 1) * chunk]
-        )
-        means.append(mu)
-        varis.append(var)
-    return jnp.concatenate(means)[:b], jnp.concatenate(varis)[:b]
-
-
 def build_all_ssps_runner(
     scenarios, obs, n_iters: int, dba_iters: int, hist_chunk: int, dedup: bool
 ):
@@ -176,6 +139,7 @@ def build_all_ssps_runner(
     import jax.numpy as jnp
 
     from bayesian_ensembling_tpu.parallel.step import (
+        chunked_marginals,
         emulate_marginals,
         multi_scenario_tail,
         pad_models,
@@ -185,9 +149,13 @@ def build_all_ssps_runner(
     r_max = max(max(h.max_realisations, s.max_realisations) for _, h, s in scenarios)
     s = len(scenarios)
     packed = []
+    prepad = []  # per-scenario (hb_, hm_, sb_, sm_) BEFORE model padding,
+    # kept so the dedup branch below doesn't re-run the multi-hundred-MB
+    # host-side padded_stack copies a second time.
     for _, hist, ssp_mc in scenarios:
         hb_, hm_ = hist.padded_stack(r_target=r_max)
         sb_, sm_ = ssp_mc.padded_stack(r_target=r_max)
+        prepad.append((hb_, hm_, sb_, sm_))
         hb_, hm_, mmask_ = pad_models(hb_, hm_, m_max)
         sb_, sm_, _ = pad_models(sb_, sm_, m_max)
         packed.append((hb_, hm_, sb_, sm_, mmask_))
@@ -216,8 +184,7 @@ def build_all_ssps_runner(
         sidx = np.zeros((s, m_max), np.int64)
         ssp_rows, ssp_masks = [], []
         for si, (_, hist, ssp_mc) in enumerate(scenarios):
-            hb_, hm_ = hist.padded_stack(r_target=r_max)
-            sb_, sm_ = ssp_mc.padded_stack(r_target=r_max)
+            hb_, hm_, sb_, sm_ = prepad[si]
             for mi, name in enumerate(hist.model_names):
                 if name in uniq:
                     k, row, mrow = uniq[name]
@@ -250,7 +217,7 @@ def build_all_ssps_runner(
         )
 
         def run_once():
-            h_mu_u, h_var_u = _chunked_marginals(em, uh, um, hist_chunk)
+            h_mu_u, h_var_u = chunked_marginals(em, uh, um, hist_chunk)
             s_mu_f, s_var_f = em(usb, usm)
             return tail(
                 jnp.take(h_mu_u, uidx_j, axis=0),
@@ -272,7 +239,7 @@ def build_all_ssps_runner(
         )
 
         def run_once():
-            h_mu, h_var = _chunked_marginals(
+            h_mu, h_var = chunked_marginals(
                 em, hb.reshape(b, r_max, t_hist), hm.reshape(b, r_max), hist_chunk
             )
             s_mu, s_var = em(sb.reshape(b, r_max, t_ssp), sm.reshape(b, r_max))
@@ -300,7 +267,7 @@ def run_all_ssps(
     crosses the blocked hybrid's gate, so they go through
     ops/linalg_blocked.py on the MXU — and the T = 1980 historical
     emulations are host-pipelined in ``hist_chunk``-model chunks when they
-    exceed HBM (see _chunked_marginals).  The weighting + barycentre tail
+    exceed HBM (see parallel/step.chunked_marginals).  The weighting + barycentre tail
     is the production ``multi_scenario_tail`` program.
 
     ``dedup=True`` (default) fits each UNIQUE model once instead of once

@@ -3,6 +3,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from bayesian_ensembling_tpu.ops import gp
 
@@ -149,6 +150,17 @@ def test_fit_gp_batch_chunked_matches_merged(rng):
                 np.asarray(mparams.variance),
                 rtol=1e-8,
             )
+
+
+def test_fit_gp_batch_chunked_rejects_nonpositive_chunk(rng):
+    """chunk_steps <= 0 must raise, not hang: min(0, remaining) = 0 would
+    leave the host loop's `done` counter stuck forever (a silent infinite
+    loop dispatching empty scans)."""
+    x, y, noise = make_problem(rng, t=8, d=2)
+    xb, yb, nb = (jnp.asarray(a[None]) for a in (x, y, noise))
+    for bad in (0, -5):
+        with pytest.raises(ValueError, match="chunk_steps"):
+            gp.fit_gp_batch_chunked(xb, yb, nb, n_optim_nits=5, chunk_steps=bad)
 
 
 def test_lbfgs_batch_matches_per_model_fits(rng):

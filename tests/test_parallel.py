@@ -294,7 +294,7 @@ def test_fused_loglik_no_underflow(rng):
 def test_fused_reciprocal_scorers_survive_exact_match(rng):
     """A model marginal EXACTLY equal to the obs mean (constant/synthetic
     data) must not NaN-poison the scenario: the reciprocal scorers floor
-    the score at the smallest normal float instead of producing inf."""
+    the score (at sqrt(tiny)) instead of producing inf."""
     from bayesian_ensembling_tpu.parallel.step import fused_raw_weights
 
     m, r, t, ro = 3, 2, 6, 4
@@ -313,6 +313,34 @@ def test_fused_reciprocal_scorers_survive_exact_match(rng):
     assert np.isfinite(np.asarray(w)).all()
     # The exact-match model dominates (its floored score is the smallest).
     assert np.all(np.asarray(w)[0] > 0.99)
+
+
+def test_fused_reciprocal_floor_many_floored_models_sum_to_one(rng):
+    """FOUR-plus models all floored at the same timestep: a tiny-valued
+    floor would make each raw weight 1/tiny = 8.5e37, the per-timestep SUM
+    overflow to inf in f32, and the normalisation silently zero EVERY
+    weight there.  The sqrt(tiny) floor keeps the sum finite and the
+    floored models split the weight equally."""
+    from bayesian_ensembling_tpu.parallel.step import fused_raw_weights
+
+    m, r, t, ro = 5, 2, 6, 4
+    obs = jnp.asarray(rng.normal(size=(ro, t)).astype(np.float32))
+    obs_mean = jnp.mean(obs, axis=0)
+    block = jnp.asarray(rng.normal(size=(m, r, t)).astype(np.float32))
+    for i in range(4):  # models 0..3 all match the obs mean exactly
+        block = block.at[i, 0].set(obs_mean)
+        block = block.at[i, 1].set(obs_mean)
+    mask = jnp.ones((m, r), bool)
+    raw = fused_raw_weights(
+        "inverse_square", block[:, 0], jnp.ones((m, t)), obs,
+        hist_block=block, hist_mask=mask,
+    )
+    assert np.isfinite(np.asarray(raw)).all()  # no inf in the raw weights
+    w = np.asarray(raw / jnp.sum(raw, axis=0, keepdims=True))
+    assert np.isfinite(w).all()
+    np.testing.assert_allclose(w.sum(axis=0), np.ones(t), rtol=1e-5)
+    np.testing.assert_allclose(w[:4], 0.25, rtol=1e-4)  # equal split
+    assert np.all(w[4] < 1e-6)  # the non-matching model is negligible
 
 
 def test_fused_loglik_padded_model_excluded_from_max_shift(rng):
@@ -391,21 +419,12 @@ def test_chunked_marginals_pipeline_matches_merged_step():
     merged batch in model chunks, then multi_scenario_tail) must equal the
     single merged ensemble_multi_scenario_step program — including a chunk
     size that does NOT divide the merged batch (pad-and-slice path)."""
-    import importlib.util
-    import os
-
     from bayesian_ensembling_tpu.parallel.step import (
+        chunked_marginals,
         emulate_marginals,
         ensemble_multi_scenario_step,
         multi_scenario_tail,
     )
-
-    spec = importlib.util.spec_from_file_location(
-        "monthly_bench",
-        os.path.join(os.path.dirname(__file__), "..", "benchmarks", "monthly_bench.py"),
-    )
-    mb = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mb)
 
     rng = np.random.default_rng(3)
     s, m, r, th, ts, ro = 2, 5, 3, 16, 9, 4
@@ -429,7 +448,7 @@ def test_chunked_marginals_pipeline_matches_merged_step():
     # 10 % 4 != 0 exercises the pad-and-slice path; 24 > 2*10 exercises the
     # tiled-filler branch (pad exceeds the real batch).
     for chunk in (4, 10, 24):
-        h_mu, h_var = mb._chunked_marginals(
+        h_mu, h_var = chunked_marginals(
             em, hb.reshape(b, r, th), hm.reshape(b, r), chunk
         )
         s_mu, s_var = em(sb.reshape(b, r, ts), sm_.reshape(b, r))
@@ -495,6 +514,7 @@ def test_all_ssps_dedup_matches_replicated():
             scenarios, obs, n_iters=3, dba_iters=2, hist_chunk=5, dedup=dedup
         )
         outs[dedup] = [np.asarray(a) for a in run_once()]
-    assert outs[True][0].shape == (2, 3, t_s)[:1] + outs[False][0].shape[1:]
+    assert outs[False][0].shape == (2, t_s)  # (S, T_ssp) barycentre means
+    assert outs[True][0].shape == outs[False][0].shape
     for got, want in zip(outs[True], outs[False]):
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
