@@ -82,7 +82,8 @@ def _posterior_with_noise(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "kernel_name", "n_optim_nits", "learning_rate", "dba_iterations", "optimizer"
+        "kernel_name", "n_optim_nits", "learning_rate", "dba_iterations",
+        "optimizer", "time_stride", "fine_steps",
     ),
 )
 def emulate_batch(
@@ -94,32 +95,83 @@ def emulate_batch(
     dba_iterations: int = 10,
     jitter: float = 1e-6,
     optimizer: str = "adam",
+    time_stride: int = 1,
+    fine_steps: tp.Optional[int] = None,
 ):
     """Fit every model's emulator in one compiled XLA program.
 
     Returns (mean (M,T), cov (M,T,T), nlml_trace (M, n_optim_nits)).
     The covariance already includes the heteroskedastic noise diagonal, i.e.
     it is the posterior over *observables*, matching models.py:220.
+
+    ``time_stride > 1`` runs the hyperparameter fit coarse-to-fine in time
+    (ops/gp.fit_gp_batch_warm_time): ``n_optim_nits`` coarse steps on every
+    ``time_stride``-th timestep, then ``fine_steps`` (required) warm-started
+    steps at full T — the measured-better configuration at monthly
+    resolution (benchmarks/monthly_warm_bench.py).
     """
     x, y_mean, y_var = _prepare_emulation(block, mask, dba_iterations=dba_iterations)
 
     # (d)+(e) hyperparameter optimisation on the exact NLML — one batched
     # scan through the Pallas cholesky/solve kernels (ops/linalg_pallas.py).
-    params, losses = gp_ops.fit_gp_batch(
-        x,
-        y_mean,
-        y_var,
+    params, losses = _fit_dispatch(
+        x, y_mean, y_var,
         kernel_name=kernel_name,
         n_optim_nits=n_optim_nits,
         learning_rate=learning_rate,
         jitter=jitter,
         optimizer=optimizer,
+        time_stride=time_stride,
+        fine_steps=fine_steps,
     )
 
     mean, cov = _posterior_with_noise(
         params, x, y_mean, y_var, kernel_name=kernel_name, jitter=jitter
     )
     return mean, cov, losses
+
+
+def _fit_dispatch(
+    x, y_mean, y_var, *, kernel_name, n_optim_nits, learning_rate, jitter,
+    optimizer, time_stride, fine_steps, chunk_steps=None,
+):
+    """Shared scratch-vs-warm-in-time (and merged-vs-chunked) fit dispatch
+    for the two ``emulate_batch`` variants."""
+    if time_stride > 1:
+        if fine_steps is None:
+            raise ValueError(
+                "time_stride > 1 requires fine_steps (the number of "
+                "full-resolution warm-started optimisation steps)"
+            )
+        return gp_ops.fit_gp_batch_warm_time(
+            x, y_mean, y_var,
+            kernel_name=kernel_name,
+            time_stride=time_stride,
+            coarse_steps=n_optim_nits,
+            fine_steps=fine_steps,
+            learning_rate=learning_rate,
+            jitter=jitter,
+            optimizer=optimizer,
+            chunk_steps=chunk_steps,
+        )
+    if chunk_steps:
+        return gp_ops.fit_gp_batch_chunked(
+            x, y_mean, y_var,
+            kernel_name=kernel_name,
+            n_optim_nits=n_optim_nits,
+            learning_rate=learning_rate,
+            jitter=jitter,
+            optimizer=optimizer,
+            chunk_steps=chunk_steps,
+        )
+    return gp_ops.fit_gp_batch(
+        x, y_mean, y_var,
+        kernel_name=kernel_name,
+        n_optim_nits=n_optim_nits,
+        learning_rate=learning_rate,
+        jitter=jitter,
+        optimizer=optimizer,
+    )
 
 
 def emulate_batch_chunked(
@@ -132,6 +184,8 @@ def emulate_batch_chunked(
     jitter: float = 1e-6,
     optimizer: str = "adam",
     fit_chunk_steps: int = 250,
+    time_stride: int = 1,
+    fine_steps: tp.Optional[int] = None,
 ):
     """:func:`emulate_batch` staged as prepare → host-chunked fit → posterior.
 
@@ -144,15 +198,15 @@ def emulate_batch_chunked(
     inter-stage HBM round-trips.
     """
     x, y_mean, y_var = _prepare_emulation(block, mask, dba_iterations=dba_iterations)
-    params, losses = gp_ops.fit_gp_batch_chunked(
-        x,
-        y_mean,
-        y_var,
+    params, losses = _fit_dispatch(
+        x, y_mean, y_var,
         kernel_name=kernel_name,
         n_optim_nits=n_optim_nits,
         learning_rate=learning_rate,
         jitter=jitter,
         optimizer=optimizer,
+        time_stride=time_stride,
+        fine_steps=fine_steps,
         chunk_steps=fit_chunk_steps,
     )
     mean, cov = _posterior_with_noise(
@@ -192,6 +246,8 @@ class GPDTW1D(AbstractEmulator):
         jitter: tp.Optional[float] = None,
         optimizer: str = "adam",
         fit_chunk_steps: tp.Optional[int] = None,
+        time_stride: int = 1,
+        fine_steps: tp.Optional[int] = None,
         **_: tp.Any,
     ) -> tp.List[Posterior]:
         cfg = self.config
@@ -218,6 +274,8 @@ class GPDTW1D(AbstractEmulator):
                 jitter=jitter,
                 optimizer=optimizer,
                 fit_chunk_steps=fit_chunk_steps,
+                time_stride=time_stride,
+                fine_steps=fine_steps,
             )
         else:
             mean, cov, _ = emulate_batch(
@@ -229,6 +287,8 @@ class GPDTW1D(AbstractEmulator):
                 dba_iterations=dba_iterations,
                 jitter=jitter,
                 optimizer=optimizer,
+                time_stride=time_stride,
+                fine_steps=fine_steps,
             )
         posts = []
         for i, pm in enumerate(collection):

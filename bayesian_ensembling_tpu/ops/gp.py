@@ -41,6 +41,7 @@ __all__ = [
     "fit_gp_batch",
     "fit_gp_batch_segment",
     "fit_gp_batch_chunked",
+    "fit_gp_batch_warm_time",
 ]
 
 _LOG_2PI = 1.8378770664093453
@@ -514,3 +515,85 @@ def fit_gp_batch_chunked(
         losses.append(seg_losses)
         done += k
     return params, jnp.concatenate(losses, axis=1)
+
+
+def fit_gp_batch_warm_time(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    noise_var: jnp.ndarray,
+    kernel_name: str = "matern32",
+    time_stride: int = 12,
+    coarse_steps: int = 500,
+    fine_steps: int = 100,
+    learning_rate: float = 0.01,
+    jitter: float = 1e-6,
+    optimizer: str = "adam",
+    init: tp.Optional[GPParams] = None,
+    chunk_steps: tp.Optional[int] = None,
+) -> tp.Tuple[GPParams, jnp.ndarray]:
+    """Coarse-to-fine IN TIME: warm-start a large-T fit from a strided fit.
+
+    The time-axis sibling of the gridded coarse-to-fine warm start
+    (parallel/gridded.coarse_warm_start, which is coarse-to-fine in SPACE):
+    fit the SAME series subsampled at every ``time_stride``-th step —
+    e.g. annual sampling of monthly anomalies, whose 2-scalar hyperparameter
+    optimum is close to the full-resolution one — then run only a short
+    fine pass at full T.  At monthly resolution the economics are extreme:
+    a coarse step at T = 165 runs through the batch-in-lanes Pallas kernels
+    in ~0.5 ms while a fine step at T = 1980 costs ~30 ms through the
+    blocked decompositions, so every fine step saved is the whole win.
+
+    Measured on the campaign's 20 unique historical models (B=20, T=1980,
+    benchmarks/monthly_warm_bench.py): stride-12 coarse(500) + fine(50) is
+    CLOSER to the 2000-step converged truth than the production scratch-500
+    (max |Δmean| 0.042 vs 0.090 °C) at 6x less monthly-T wall; fine(100)
+    reaches 0.022 °C at 3.6x less wall.
+
+    ``coarse_steps`` optimisation steps run on ``(x, y, noise_var)`` strided
+    along the time axis, then ``fine_steps`` run at full T warm-started from
+    the coarse optimum.  ``init`` seeds the coarse fit.  ``chunk_steps``
+    bounds each fine-pass device execution (fit_gp_batch_chunked); the
+    coarse pass is always merged (it is milliseconds).  Returns
+    ``(params, losses (M, coarse_steps + fine_steps))`` — note the two loss
+    segments are NLMLs of different-length series and are not comparable
+    across the boundary.
+    """
+    if time_stride < 1:
+        raise ValueError(f"time_stride must be >= 1, got {time_stride}")
+    if fine_steps <= 0:
+        raise ValueError(f"fine_steps must be positive, got {fine_steps}")
+    if time_stride == 1:
+        # Degenerate stride: coarse == fine resolution, just run the total.
+        fit = functools.partial(
+            fit_gp_batch_chunked, chunk_steps=chunk_steps
+        ) if chunk_steps else fit_gp_batch
+        return fit(
+            x, y, noise_var, kernel_name=kernel_name,
+            n_optim_nits=coarse_steps + fine_steps,
+            learning_rate=learning_rate, jitter=jitter,
+            optimizer=optimizer, init=init,
+        )
+    coarse_params, coarse_losses = fit_gp_batch(
+        x[:, ::time_stride, :],
+        y[:, ::time_stride],
+        noise_var[:, ::time_stride],
+        kernel_name=kernel_name,
+        n_optim_nits=coarse_steps,
+        learning_rate=learning_rate,
+        jitter=jitter,
+        optimizer=optimizer,
+        init=init,
+    )
+    fine = functools.partial(
+        fit_gp_batch_chunked, chunk_steps=chunk_steps
+    ) if chunk_steps else fit_gp_batch
+    params, fine_losses = fine(
+        x, y, noise_var,
+        kernel_name=kernel_name,
+        n_optim_nits=fine_steps,
+        learning_rate=learning_rate,
+        jitter=jitter,
+        optimizer=optimizer,
+        init=coarse_params,
+    )
+    return params, jnp.concatenate([coarse_losses, fine_losses], axis=1)

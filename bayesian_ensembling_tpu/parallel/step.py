@@ -196,6 +196,8 @@ def emulate_marginals(
     optimizer: str = "adam",
     gp_init=None,
     return_params: bool = False,
+    time_stride: int = 1,
+    fine_steps: tp.Optional[int] = None,
 ):
     """Batched GPDTW1D emulation returning posterior marginals (M, T) x2.
 
@@ -207,6 +209,14 @@ def emulate_marginals(
     a batched ``GPParams`` (the gridded coarse-to-fine path);
     ``return_params=True`` additionally returns the fitted ``GPParams``
     (for use as a later warm start).
+
+    ``time_stride > 1`` switches the hyperparameter fit to coarse-to-fine
+    IN TIME (ops/gp.fit_gp_batch_warm_time): ``n_optim_nits`` coarse steps
+    on every ``time_stride``-th timestep, then ``fine_steps`` (required)
+    warm-started steps at full T.  At monthly resolution this is both
+    faster AND closer to the converged optimum than the scratch fit
+    (measured, benchmarks/monthly_warm_bench.py).  The DBA target and the
+    posterior extraction always run at full resolution.
     """
     w = mask.astype(block.dtype)
     n = jnp.maximum(jnp.sum(w, axis=1), 1.0)
@@ -222,17 +232,37 @@ def emulate_marginals(
     y_var = jnp.maximum(y_var, 1e-8)
     x = jnp.swapaxes(block, 1, 2)
 
-    params, _ = gp_ops.fit_gp_batch(
-        x,
-        y_mean,
-        y_var,
-        kernel_name=kernel_name,
-        n_optim_nits=n_optim_nits,
-        learning_rate=learning_rate,
-        jitter=jitter,
-        optimizer=optimizer,
-        init=gp_init,
-    )
+    if time_stride > 1:
+        if fine_steps is None:
+            raise ValueError(
+                "time_stride > 1 requires fine_steps (the number of "
+                "full-resolution warm-started optimisation steps)"
+            )
+        params, _ = gp_ops.fit_gp_batch_warm_time(
+            x,
+            y_mean,
+            y_var,
+            kernel_name=kernel_name,
+            time_stride=time_stride,
+            coarse_steps=n_optim_nits,
+            fine_steps=fine_steps,
+            learning_rate=learning_rate,
+            jitter=jitter,
+            optimizer=optimizer,
+            init=gp_init,
+        )
+    else:
+        params, _ = gp_ops.fit_gp_batch(
+            x,
+            y_mean,
+            y_var,
+            kernel_name=kernel_name,
+            n_optim_nits=n_optim_nits,
+            learning_rate=learning_rate,
+            jitter=jitter,
+            optimizer=optimizer,
+            init=gp_init,
+        )
 
     mean, var = gp_ops.posterior_marginals_batch(
         params, x, y_mean, y_var, kernel_name=kernel_name, jitter=jitter

@@ -209,6 +209,8 @@ def run_scenario(
     dba_iterations: int = 10,
     sigma_mode: str = "w2",
     fit_chunk_steps: tp.Optional[int] = None,
+    time_stride: int = 1,
+    fine_steps: tp.Optional[int] = None,
 ) -> ScenarioResult:
     """Fit + weight + combine one scenario (script :87-143).
 
@@ -218,6 +220,9 @@ def run_scenario(
     ``fit_chunk_steps``: optional bounded-execution fit (GPDTW1D
     ``fit_chunk_steps``) — splits the optimisation into host-level chunks
     for environments that kill long single XLA executions.
+    ``time_stride``/``fine_steps``: coarse-to-fine-in-time fit for native
+    monthly resolution (ops/gp.fit_gp_batch_warm_time — measured faster AND
+    closer to the converged optimum than the scratch fit at monthly T).
     """
     weighter = weighter or CRPSWeight()
     emulator = emulator or GPDTW1D()
@@ -227,6 +232,8 @@ def run_scenario(
         n_optim_nits=n_optim_nits,
         dba_iterations=dba_iterations,
         fit_chunk_steps=fit_chunk_steps,
+        time_stride=time_stride,
+        fine_steps=fine_steps,
     )
     hist.fit(emulator, **fit_kw)
     ssp_collection.fit(emulator, **fit_kw)

@@ -14,6 +14,7 @@ HadCRUT5, W2 barycentre.  Prints one JSON line.
 
 Usage: python benchmarks/monthly_bench.py [ssp] [n_optim_nits] [dba_iters]
        python benchmarks/monthly_bench.py all [n_optim_nits] [dba_iters] [hist_chunk]
+           [time_stride] [fine_steps]    (stride > 1 = coarse-to-fine in time)
        python benchmarks/monthly_bench.py all-nodedup ...   (replicated layout)
 
 ``all`` runs the ENTIRE 7-SSP experiment at native monthly resolution,
@@ -55,7 +56,12 @@ def main():
     dba_iters = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     if ssp in ("all", "all-nodedup"):
         hist_chunk = int(sys.argv[4]) if len(sys.argv) > 4 else 28
-        return run_all_ssps(n_iters, dba_iters, hist_chunk, dedup=ssp == "all")
+        time_stride = int(sys.argv[5]) if len(sys.argv) > 5 else 1
+        fine_steps = int(sys.argv[6]) if len(sys.argv) > 6 else None
+        return run_all_ssps(
+            n_iters, dba_iters, hist_chunk, dedup=ssp == "all",
+            time_stride=time_stride, fine_steps=fine_steps,
+        )
 
     obs_pm = pipeline.load_observations(resample_freq=None)
     obs = jnp.asarray(obs_pm.data.values, dtype=jnp.float32)
@@ -116,7 +122,8 @@ def main():
 
 
 def build_all_ssps_runner(
-    scenarios, obs, n_iters: int, dba_iters: int, hist_chunk: int, dedup: bool
+    scenarios, obs, n_iters: int, dba_iters: int, hist_chunk: int, dedup: bool,
+    time_stride: int = 1, fine_steps=None,
 ):
     """Pack the scenario collections and build the campaign runner.
 
@@ -170,6 +177,8 @@ def build_all_ssps_runner(
             emulate_marginals,
             n_optim_nits=n_iters,
             dba_iterations=dba_iters,
+            time_stride=time_stride,
+            fine_steps=fine_steps,
         )
     )
     tail = jax.jit(multi_scenario_tail)
@@ -259,7 +268,8 @@ def build_all_ssps_runner(
 
 
 def run_all_ssps(
-    n_iters: int, dba_iters: int, hist_chunk: int = 28, dedup: bool = True
+    n_iters: int, dba_iters: int, hist_chunk: int = 28, dedup: bool = True,
+    time_stride: int = 1, fine_steps=None,
 ):
     """Full 7-SSP experiment at native monthly resolution.
 
@@ -295,7 +305,8 @@ def run_all_ssps(
         hist, ssp_mc = pipeline.load_scenario(ssp, resample_freq=None)
         scenarios.append((ssp, hist, ssp_mc))
     run_once, meta = build_all_ssps_runner(
-        scenarios, obs, n_iters, dba_iters, hist_chunk=hist_chunk, dedup=dedup
+        scenarios, obs, n_iters, dba_iters, hist_chunk=hist_chunk, dedup=dedup,
+        time_stride=time_stride, fine_steps=fine_steps,
     )
     print(
         f"devices: {jax.devices()}\nworkload: {meta['desc']}, "
@@ -319,9 +330,10 @@ def run_all_ssps(
             f"{bmean[i, -1] + 2 * bstd[i, -1]:.3f})",
             file=sys.stderr,
         )
+    warm_tag = f"_warm{time_stride}x{fine_steps}" if time_stride > 1 else ""
     print(json.dumps({
         "metric": f"monthly_all7ssp_{'dedup' if dedup else 'merged'}"
-                  f"{meta['n_fits']}fits_opt{n_iters}",
+                  f"{meta['n_fits']}fits_opt{n_iters}{warm_tag}",
         "value": round(elapsed, 3),
         "unit": "s",
     }))

@@ -48,8 +48,33 @@ def main():
         "sequence — for environments that kill long executions, e.g. "
         "native monthly T=1980 at 2000 iterations)",
     )
+    ap.add_argument(
+        "--time-stride",
+        type=int,
+        default=1,
+        help="coarse-to-fine-in-time fit: run --n-optim-nits coarse steps "
+        "on every Nth timestep, then --fine-steps warm-started steps at "
+        "full resolution (measured faster AND closer to the converged "
+        "optimum than the scratch fit at native monthly T — "
+        "benchmarks/monthly_warm_bench.py; requires --fine-steps)",
+    )
+    ap.add_argument(
+        "--fine-steps",
+        type=int,
+        default=None,
+        help="full-resolution warm-started steps for --time-stride > 1",
+    )
     ap.add_argument("--cpu", action="store_true", help="run the float64 CPU path")
     args = ap.parse_args()
+    if args.time_stride > 1 and args.fine_steps is None:
+        ap.error("--time-stride > 1 requires --fine-steps")
+    if args.time_stride > 1 and args.resample_freq.lower() != "none":
+        print(
+            "note: --time-stride targets the native monthly path; at "
+            "resampled resolution the scratch fit is already in the Pallas "
+            "fast regime",
+            file=sys.stderr,
+        )
 
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
@@ -87,6 +112,8 @@ def main():
             dba_iterations=args.dba_iterations,
             sigma_mode=args.sigma_mode,
             fit_chunk_steps=args.fit_chunk_steps,
+            time_stride=args.time_stride,
+            fine_steps=args.fine_steps,
         )
         results[ssp] = res
         summ = pipeline.warming_summary(res)

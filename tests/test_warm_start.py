@@ -107,6 +107,126 @@ def test_warm_start_shape_checks():
         coarse_warm_start(block, mask, 3, 4, 2, n_optim_nits=2)
 
 
+# ---------------------------------------------------------------------------
+# Coarse-to-fine IN TIME (ops/gp.fit_gp_batch_warm_time): the monthly-T
+# sibling of the spatial warm start above.  Measured adoption evidence in
+# benchmarks/monthly_warm_bench.py (stride-12 warm beats the scratch-500
+# production fit on BOTH closeness-to-converged-truth and wall clock).
+
+
+def _time_workload(rng, m=3, r=4, t=96):
+    signal = np.sin(np.linspace(0, 6, t))
+    block = (signal + 0.3 * rng.normal(size=(m, r, t))).astype(np.float32)
+    x = jnp.asarray(np.swapaxes(block, 1, 2))  # (M, T, R) features
+    y = jnp.asarray(block.mean(axis=1))
+    nv = jnp.asarray(np.maximum(block.var(axis=1), 1e-4))
+    return x, y, nv
+
+
+def test_warm_time_stride_one_equals_scratch(rng):
+    """time_stride=1 is the degenerate case: identical trajectory to a
+    scratch fit of coarse+fine total steps."""
+    x, y, nv = _time_workload(rng)
+    p_scratch, l_scratch = gp_ops.fit_gp_batch(x, y, nv, n_optim_nits=30)
+    p_warm, l_warm = gp_ops.fit_gp_batch_warm_time(
+        x, y, nv, time_stride=1, coarse_steps=20, fine_steps=10
+    )
+    for a, b in zip(jax.tree.leaves(p_scratch), jax.tree.leaves(p_warm)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=0)
+    np.testing.assert_allclose(
+        np.asarray(l_scratch), np.asarray(l_warm), rtol=0, atol=0
+    )
+
+
+def test_warm_time_validation(rng):
+    x, y, nv = _time_workload(rng, m=1, t=16)
+    with pytest.raises(ValueError, match="time_stride"):
+        gp_ops.fit_gp_batch_warm_time(x, y, nv, time_stride=0)
+    with pytest.raises(ValueError, match="fine_steps"):
+        gp_ops.fit_gp_batch_warm_time(x, y, nv, time_stride=4, fine_steps=0)
+
+
+def test_warm_time_beats_scratch_at_same_fine_budget(rng):
+    """The adoption contract: coarse(stride)+fine(k) lands closer to the
+    converged optimum than scratch(k) — the warm start is doing real work
+    at the full resolution the fine pass runs at."""
+    x, y, nv = _time_workload(rng, m=3, t=96)
+    fine = 40
+    p_truth, _ = gp_ops.fit_gp_batch(x, y, nv, n_optim_nits=3000)
+    m_truth = gp_ops.posterior_marginals_batch(p_truth, x, y, nv)
+    p_scratch, _ = gp_ops.fit_gp_batch(x, y, nv, n_optim_nits=fine)
+    p_warm, _ = gp_ops.fit_gp_batch_warm_time(
+        x, y, nv, time_stride=4, coarse_steps=300, fine_steps=fine
+    )
+
+    def dist(params):
+        m, v = gp_ops.posterior_marginals_batch(params, x, y, nv)
+        return max(
+            float(np.abs(np.asarray(m) - np.asarray(m_truth[0])).max()),
+            float(np.abs(np.asarray(v) - np.asarray(m_truth[1])).max()),
+        )
+
+    assert dist(p_warm) <= dist(p_scratch), (dist(p_warm), dist(p_scratch))
+
+
+def test_warm_time_chunked_fine_equals_merged(rng):
+    """chunk_steps bounds each fine-pass execution without changing the
+    result (the chunked fit is literally the merged scan's body)."""
+    x, y, nv = _time_workload(rng, m=2, t=48)
+    p_merged, l_merged = gp_ops.fit_gp_batch_warm_time(
+        x, y, nv, time_stride=4, coarse_steps=25, fine_steps=20
+    )
+    p_chunk, l_chunk = gp_ops.fit_gp_batch_warm_time(
+        x, y, nv, time_stride=4, coarse_steps=25, fine_steps=20, chunk_steps=7
+    )
+    for a, b in zip(jax.tree.leaves(p_merged), jax.tree.leaves(p_chunk)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(l_merged), np.asarray(l_chunk), rtol=0, atol=1e-5
+    )
+
+
+def test_emulate_marginals_warm_time_plumbing(rng):
+    """parallel/step.emulate_marginals: stride-1 path unchanged; stride>1
+    requires fine_steps and produces finite marginals."""
+    block = jnp.asarray(rng.normal(size=(2, 3, 40)).astype(np.float32))
+    mask = jnp.ones((2, 3), bool)
+    base = emulate_marginals(block, mask, n_optim_nits=15)
+    same = emulate_marginals(
+        block, mask, n_optim_nits=15, time_stride=1, fine_steps=None
+    )
+    np.testing.assert_allclose(np.asarray(base[0]), np.asarray(same[0]), atol=0)
+    with pytest.raises(ValueError, match="fine_steps"):
+        emulate_marginals(block, mask, n_optim_nits=15, time_stride=2)
+    mu, var = emulate_marginals(
+        block, mask, n_optim_nits=15, time_stride=2, fine_steps=5
+    )
+    assert np.isfinite(np.asarray(mu)).all()
+    assert (np.asarray(var) > 0).all()
+
+
+def test_gpdtw1d_fit_collection_warm_time(rng):
+    """Model-level surface: GPDTW1D.fit_collection(time_stride=, fine_steps=)
+    runs end-to-end and attaches finite posteriors."""
+    from bayesian_ensembling_tpu.coords import DimArray
+    from bayesian_ensembling_tpu.data import ModelCollection, ProcessModel
+    from bayesian_ensembling_tpu.models.gp_dtw import GPDTW1D
+
+    t = 36
+    time = np.arange(np.datetime64("2000-01"), np.datetime64("2003-01"))
+    pms = []
+    for i in range(2):
+        vals = (np.sin(np.linspace(0, 4, t)) +
+                0.2 * rng.normal(size=(3, t))).astype(np.float32)
+        da = DimArray(vals, dims=("realisation", "time"),
+                      coords={"realisation": np.arange(3), "time": time})
+        pms.append(ProcessModel(da, f"m{i}"))
+    mc = ModelCollection(pms)
+    mc.fit(GPDTW1D(), n_optim_nits=20, time_stride=3, fine_steps=8)
+    for pm in mc:
+        assert np.isfinite(np.asarray(pm.posterior.gaussian.mean)).all()
+
+
 def test_oracle_subset_coarse_params_identical(rng):
     """Fitting only the coarse cells a subset needs gives the SAME params as
     a full coarse pass (per-cell independence) — what lets the CPU oracle
