@@ -603,12 +603,17 @@ class PerfectModelTest:
         pseudo_future: ProcessModel,
         n_optim_nits: int = 1000,
         use_prefit_models: bool = False,
+        **fit_kwargs,
     ):
         if not use_prefit_models:
-            hindcast.fit(self.emulate_method(), n_optim_nits=n_optim_nits)
-            forecast.fit(self.emulate_method(), n_optim_nits=n_optim_nits)
+            hindcast.fit(
+                self.emulate_method(), n_optim_nits=n_optim_nits, **fit_kwargs
+            )
+            forecast.fit(
+                self.emulate_method(), n_optim_nits=n_optim_nits, **fit_kwargs
+            )
             pseudo_future.distribution = self.emulate_method().fit(
-                pseudo_future, n_optim_nits=n_optim_nits
+                pseudo_future, n_optim_nits=n_optim_nits, **fit_kwargs
             )
 
         weight_fn = self.weight_method()
@@ -654,9 +659,18 @@ class PerfectModelTest:
 
         return nll_b, rmse_b, w2_b, nll_m, rmse_m, w2_m
 
-    def run(self, n_optim_nits: int = 1000, use_prefit_models: bool = False):
+    def run(
+        self,
+        n_optim_nits: int = 1000,
+        use_prefit_models: bool = False,
+        **fit_kwargs,
+    ):
         """Leave-one-out over every model; returns a pandas DataFrame and
-        (when save_dir is set) writes the CSV (utils.py:184-225)."""
+        (when save_dir is set) writes the CSV (utils.py:184-225).
+
+        Extra ``fit_kwargs`` (e.g. ``fit_chunk_steps``, ``time_stride`` /
+        ``fine_steps`` for the coarse-to-fine-in-time monthly fit) are
+        forwarded to every per-fold emulator fit."""
         import pandas as pd
 
         wname = self.weight_method().name
@@ -674,6 +688,7 @@ class PerfectModelTest:
                 pseudo_future,
                 n_optim_nits=n_optim_nits,
                 use_prefit_models=use_prefit_models,
+                **fit_kwargs,
             )
             rows.append([pseudo_past.name, *out])
 

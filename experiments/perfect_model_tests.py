@@ -69,7 +69,23 @@ def main():
         "(M/Q/Y; 'none' = native monthly, the large-T path).  Ignored with "
         "--prefit-dir, whose checkpoints fix the resolution.",
     )
+    ap.add_argument(
+        "--time-stride",
+        type=int,
+        default=1,
+        help="coarse-to-fine-in-time per-fold fits (fresh-fit mode only): "
+        "--n-optim-nits coarse steps on every Nth timestep then "
+        "--fine-steps warm-started full-T steps (requires --fine-steps)",
+    )
+    ap.add_argument(
+        "--fine-steps",
+        type=int,
+        default=None,
+        help="full-resolution warm-started steps for --time-stride > 1",
+    )
     args = ap.parse_args()
+    if args.time_stride > 1 and args.fine_steps is None:
+        ap.error("--time-stride > 1 requires --fine-steps")
     if args.batched and not args.prefit_dir:
         # Fail at parse time, before loading/anomalising every scenario.
         raise SystemExit("--batched requires --prefit-dir")
@@ -137,7 +153,10 @@ def main():
                 df = pmt.run_batched(pad_shape=pad_shape, figures=args.figures)
             else:
                 df = pmt.run(
-                    n_optim_nits=args.n_optim_nits, use_prefit_models=use_prefit
+                    n_optim_nits=args.n_optim_nits,
+                    use_prefit_models=use_prefit,
+                    time_stride=args.time_stride,
+                    fine_steps=args.fine_steps,
                 )
             print(f"{ssp} / {wname}:\n{df.describe().loc[['mean']]}", flush=True)
 

@@ -46,7 +46,23 @@ def main():
         "execution — use when the environment kills long single "
         "executions, e.g. ~2500 steps at native monthly T=1980)",
     )
+    ap.add_argument(
+        "--time-stride",
+        type=int,
+        default=1,
+        help="coarse-to-fine-in-time fit: --n-optim-nits coarse steps on "
+        "every Nth timestep then --fine-steps warm-started full-T steps "
+        "(ops/gp.fit_gp_batch_warm_time; requires --fine-steps)",
+    )
+    ap.add_argument(
+        "--fine-steps",
+        type=int,
+        default=None,
+        help="full-resolution warm-started steps for --time-stride > 1",
+    )
     args = ap.parse_args()
+    if args.time_stride > 1 and args.fine_steps is None:
+        ap.error("--time-stride > 1 requires --fine-steps")
 
 
     from bayesian_ensembling_tpu import pipeline
@@ -59,16 +75,14 @@ def main():
     for ssp in args.ssps.split(","):
         hist, ssp_mc = pipeline.load_scenario(ssp, data_dir, resample_freq=freq)
         t0 = time.time()
-        hist.fit(
-            GPDTW1D(),
+        fit_kw = dict(
             n_optim_nits=args.n_optim_nits,
             fit_chunk_steps=args.fit_chunk_steps,
+            time_stride=args.time_stride,
+            fine_steps=args.fine_steps,
         )
-        ssp_mc.fit(
-            GPDTW1D(),
-            n_optim_nits=args.n_optim_nits,
-            fit_chunk_steps=args.fit_chunk_steps,
-        )
+        hist.fit(GPDTW1D(), **fit_kw)
+        ssp_mc.fit(GPDTW1D(), **fit_kw)
         print(f"{ssp}: fitted in {time.time() - t0:.1f}s", flush=True)
         hist.save(os.path.join(args.out_dir, f"hist_{ssp}.npz"))
         ssp_mc.save(os.path.join(args.out_dir, f"{ssp}.npz"))

@@ -227,6 +227,28 @@ def test_gpdtw1d_fit_collection_warm_time(rng):
         assert np.isfinite(np.asarray(pm.posterior.gaussian.mean)).all()
 
 
+def test_pmt_forwards_warm_time_fit_kwargs(rng):
+    """PerfectModelTest.run(**fit_kwargs) forwards time_stride/fine_steps
+    into every per-fold fit (the fresh-fit monthly PMT path)."""
+    import bayesian_ensembling_tpu as bet
+    from test_weights_extra import make_collection
+
+    hind = make_collection(rng, n_models=3, n_reals=(2,), n_months=14)
+    fore = make_collection(rng, n_models=3, n_reals=(2,), n_months=14)
+    pmt = bet.PerfectModelTest(
+        hindcast_models=hind,
+        forecast_models=fore,
+        emulate_method=bet.GPDTW1D,
+        weight_method=bet.CRPSWeight,
+        ensemble_method=bet.Barycentre,
+        ssp="warm",
+        save_dir=None,
+    )
+    df = pmt.run(n_optim_nits=5, time_stride=2, fine_steps=3)
+    assert len(df) == 3
+    assert np.isfinite(df.iloc[:, 1:].to_numpy(dtype=float)).all()
+
+
 def test_oracle_subset_coarse_params_identical(rng):
     """Fitting only the coarse cells a subset needs gives the SAME params as
     a full coarse pass (per-cell independence) — what lets the CPU oracle
