@@ -328,6 +328,8 @@ def ensemble_scenario_step(
     optimizer: str = "adam",
     model_axis: tp.Optional[str] = None,
     sigma_mode: str = "w2",
+    time_stride: int = 1,
+    fine_steps: tp.Optional[int] = None,
 ) -> tp.Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One full scenario: emulate hist+ssp, weight vs obs, W2 barycentre.
 
@@ -356,6 +358,8 @@ def ensemble_scenario_step(
         learning_rate=learning_rate,
         dba_iterations=dba_iterations,
         optimizer=optimizer,
+        time_stride=time_stride,
+        fine_steps=fine_steps,
     )
     hist_mean, hist_var = em(hist_block, hist_mask)
     ssp_mean, ssp_var = em(ssp_block, ssp_mask)
@@ -408,6 +412,8 @@ def ensemble_multi_scenario_step(
     optimizer: str = "adam",
     model_axis: tp.Optional[str] = None,
     sigma_mode: str = "w2",
+    time_stride: int = 1,
+    fine_steps: tp.Optional[int] = None,
 ):
     """All scenarios in ONE program by merging the (scenario, model) axes.
 
@@ -431,6 +437,8 @@ def ensemble_multi_scenario_step(
         learning_rate=learning_rate,
         dba_iterations=dba_iterations,
         optimizer=optimizer,
+        time_stride=time_stride,
+        fine_steps=fine_steps,
     )
     hist_mean, hist_var = em(
         hist_blocks.reshape(s * m, r, t_hist), hist_masks.reshape(s * m, r)
@@ -525,6 +533,8 @@ def make_sharded_multi_scenario_step(
     weight_kind: str = "crps",
     optimizer: str = "adam",
     sigma_mode: str = "w2",
+    time_stride: int = 1,
+    fine_steps: tp.Optional[int] = None,
 ):
     """The headline bench's multi-chip form: ALL scenarios in one program,
     scenario axis batched on every device, model axis sharded over ``mesh``.
@@ -549,6 +559,8 @@ def make_sharded_multi_scenario_step(
         optimizer=optimizer,
         model_axis=model_axis,
         sigma_mode=sigma_mode,
+        time_stride=time_stride,
+        fine_steps=fine_steps,
     )
     from jax import shard_map
 
@@ -575,6 +587,8 @@ def make_sharded_step(
     weight_kind: str = "crps",
     optimizer: str = "adam",
     sigma_mode: str = "w2",
+    time_stride: int = 1,
+    fine_steps: tp.Optional[int] = None,
 ):
     """One scenario step with the model axis sharded over ``mesh``.
 
@@ -602,6 +616,8 @@ def make_sharded_step(
         optimizer=optimizer,
         model_axis=model_axis,
         sigma_mode=sigma_mode,
+        time_stride=time_stride,
+        fine_steps=fine_steps,
     )
 
     from jax import shard_map
