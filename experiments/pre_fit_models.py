@@ -83,6 +83,15 @@ def main():
         )
         hist.fit(GPDTW1D(), **fit_kw)
         ssp_mc.fit(GPDTW1D(), **fit_kw)
+        # Posterior arrays are asynchronously dispatched device values; sync
+        # before reading the clock or the time lands in the save step (a
+        # compile-cache hit can print "0.0s" for a multi-second fit).
+        from bayesian_ensembling_tpu.utils.profiling import device_sync
+
+        for mc in (hist, ssp_mc):
+            for pm in mc:
+                if pm.posterior is not None:
+                    device_sync(pm.posterior.gaussian.mean)
         print(f"{ssp}: fitted in {time.time() - t0:.1f}s", flush=True)
         hist.save(os.path.join(args.out_dir, f"hist_{ssp}.npz"))
         ssp_mc.save(os.path.join(args.out_dir, f"{ssp}.npz"))
