@@ -100,7 +100,10 @@ def emulate_batch(
 ):
     """Fit every model's emulator in one compiled XLA program.
 
-    Returns (mean (M,T), cov (M,T,T), nlml_trace (M, n_optim_nits)).
+    Returns (mean (M,T), cov (M,T,T), nlml_trace) — the trace is
+    (M, n_optim_nits) for the scratch fit, (M, n_optim_nits + fine_steps)
+    for the warm-in-time fit (coarse NLMLs of the strided series followed
+    by full-T fine NLMLs; not comparable across the boundary).
     The covariance already includes the heteroskedastic noise diagonal, i.e.
     it is the posterior over *observables*, matching models.py:220.
 
@@ -114,7 +117,7 @@ def emulate_batch(
 
     # (d)+(e) hyperparameter optimisation on the exact NLML — one batched
     # scan through the Pallas cholesky/solve kernels (ops/linalg_pallas.py).
-    params, losses = _fit_dispatch(
+    params, losses = gp_ops.fit_gp_batch_dispatch(
         x, y_mean, y_var,
         kernel_name=kernel_name,
         n_optim_nits=n_optim_nits,
@@ -129,49 +132,6 @@ def emulate_batch(
         params, x, y_mean, y_var, kernel_name=kernel_name, jitter=jitter
     )
     return mean, cov, losses
-
-
-def _fit_dispatch(
-    x, y_mean, y_var, *, kernel_name, n_optim_nits, learning_rate, jitter,
-    optimizer, time_stride, fine_steps, chunk_steps=None,
-):
-    """Shared scratch-vs-warm-in-time (and merged-vs-chunked) fit dispatch
-    for the two ``emulate_batch`` variants."""
-    if time_stride > 1:
-        if fine_steps is None:
-            raise ValueError(
-                "time_stride > 1 requires fine_steps (the number of "
-                "full-resolution warm-started optimisation steps)"
-            )
-        return gp_ops.fit_gp_batch_warm_time(
-            x, y_mean, y_var,
-            kernel_name=kernel_name,
-            time_stride=time_stride,
-            coarse_steps=n_optim_nits,
-            fine_steps=fine_steps,
-            learning_rate=learning_rate,
-            jitter=jitter,
-            optimizer=optimizer,
-            chunk_steps=chunk_steps,
-        )
-    if chunk_steps:
-        return gp_ops.fit_gp_batch_chunked(
-            x, y_mean, y_var,
-            kernel_name=kernel_name,
-            n_optim_nits=n_optim_nits,
-            learning_rate=learning_rate,
-            jitter=jitter,
-            optimizer=optimizer,
-            chunk_steps=chunk_steps,
-        )
-    return gp_ops.fit_gp_batch(
-        x, y_mean, y_var,
-        kernel_name=kernel_name,
-        n_optim_nits=n_optim_nits,
-        learning_rate=learning_rate,
-        jitter=jitter,
-        optimizer=optimizer,
-    )
 
 
 def emulate_batch_chunked(
@@ -198,7 +158,7 @@ def emulate_batch_chunked(
     inter-stage HBM round-trips.
     """
     x, y_mean, y_var = _prepare_emulation(block, mask, dba_iterations=dba_iterations)
-    params, losses = _fit_dispatch(
+    params, losses = gp_ops.fit_gp_batch_dispatch(
         x, y_mean, y_var,
         kernel_name=kernel_name,
         n_optim_nits=n_optim_nits,
@@ -261,7 +221,9 @@ class GPDTW1D(AbstractEmulator):
                 "for gridded fields (reference guard models.py:171-174)"
             )
         block, mask = collection.padded_stack(dtype=np.dtype(self.dtype))
-        if fit_chunk_steps:
+        # `is not None` so fit_chunk_steps=0 reaches the chunked fit's loud
+        # ValueError instead of silently running the unbounded merged fit.
+        if fit_chunk_steps is not None:
             # Bounded-execution fit: host loop of fit_chunk_steps-long
             # segments instead of one merged program (same step sequence).
             mean, cov, _ = emulate_batch_chunked(

@@ -42,6 +42,7 @@ __all__ = [
     "fit_gp_batch_segment",
     "fit_gp_batch_chunked",
     "fit_gp_batch_warm_time",
+    "fit_gp_batch_dispatch",
 ]
 
 _LOG_2PI = 1.8378770664093453
@@ -562,11 +563,15 @@ def fit_gp_batch_warm_time(
         raise ValueError(f"time_stride must be >= 1, got {time_stride}")
     if fine_steps <= 0:
         raise ValueError(f"fine_steps must be positive, got {fine_steps}")
+    # chunk_steps=0 must reach fit_gp_batch_chunked's loud ValueError, not
+    # silently fall through to the unbounded merged fit.
+    fit = (
+        functools.partial(fit_gp_batch_chunked, chunk_steps=chunk_steps)
+        if chunk_steps is not None
+        else fit_gp_batch
+    )
     if time_stride == 1:
         # Degenerate stride: coarse == fine resolution, just run the total.
-        fit = functools.partial(
-            fit_gp_batch_chunked, chunk_steps=chunk_steps
-        ) if chunk_steps else fit_gp_batch
         return fit(
             x, y, noise_var, kernel_name=kernel_name,
             n_optim_nits=coarse_steps + fine_steps,
@@ -584,10 +589,7 @@ def fit_gp_batch_warm_time(
         optimizer=optimizer,
         init=init,
     )
-    fine = functools.partial(
-        fit_gp_batch_chunked, chunk_steps=chunk_steps
-    ) if chunk_steps else fit_gp_batch
-    params, fine_losses = fine(
+    params, fine_losses = fit(
         x, y, noise_var,
         kernel_name=kernel_name,
         n_optim_nits=fine_steps,
@@ -597,3 +599,80 @@ def fit_gp_batch_warm_time(
         init=coarse_params,
     )
     return params, jnp.concatenate([coarse_losses, fine_losses], axis=1)
+
+
+def fit_gp_batch_dispatch(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    noise_var: jnp.ndarray,
+    kernel_name: str = "matern32",
+    n_optim_nits: int = 500,
+    learning_rate: float = 0.01,
+    jitter: float = 1e-6,
+    optimizer: str = "adam",
+    init: tp.Optional[GPParams] = None,
+    time_stride: int = 1,
+    fine_steps: tp.Optional[int] = None,
+    chunk_steps: tp.Optional[int] = None,
+) -> tp.Tuple[GPParams, jnp.ndarray]:
+    """The ONE owner of the scratch / warm-in-time / chunked fit routing.
+
+    Every high-level emulation surface (parallel/step.emulate_marginals,
+    models/gp_dtw.emulate_batch[_chunked]) funnels through here, so the
+    option contract lives in one place:
+
+    - ``time_stride == 1`` (default): scratch fit of ``n_optim_nits`` steps
+      (``fine_steps`` must be None — it only means something with a
+      stride); merged, or host-chunked when ``chunk_steps`` is given.
+    - ``time_stride > 1``: coarse-to-fine in time — ``n_optim_nits`` coarse
+      steps on every ``time_stride``-th timestep, then ``fine_steps``
+      (required) warm-started steps at full T
+      (:func:`fit_gp_batch_warm_time`).
+    - ``time_stride < 1`` raises (a mistyped stride must not silently fall
+      back to scratch hyperparameters).
+    """
+    if time_stride < 1:
+        raise ValueError(f"time_stride must be >= 1, got {time_stride}")
+    if time_stride > 1:
+        if fine_steps is None:
+            raise ValueError(
+                "time_stride > 1 requires fine_steps (the number of "
+                "full-resolution warm-started optimisation steps)"
+            )
+        return fit_gp_batch_warm_time(
+            x, y, noise_var,
+            kernel_name=kernel_name,
+            time_stride=time_stride,
+            coarse_steps=n_optim_nits,
+            fine_steps=fine_steps,
+            learning_rate=learning_rate,
+            jitter=jitter,
+            optimizer=optimizer,
+            init=init,
+            chunk_steps=chunk_steps,
+        )
+    if fine_steps is not None:
+        raise ValueError(
+            "fine_steps was given without time_stride > 1 — it only "
+            "applies to the coarse-to-fine-in-time fit"
+        )
+    if chunk_steps is not None:
+        return fit_gp_batch_chunked(
+            x, y, noise_var,
+            kernel_name=kernel_name,
+            n_optim_nits=n_optim_nits,
+            learning_rate=learning_rate,
+            jitter=jitter,
+            optimizer=optimizer,
+            init=init,
+            chunk_steps=chunk_steps,
+        )
+    return fit_gp_batch(
+        x, y, noise_var,
+        kernel_name=kernel_name,
+        n_optim_nits=n_optim_nits,
+        learning_rate=learning_rate,
+        jitter=jitter,
+        optimizer=optimizer,
+        init=init,
+    )

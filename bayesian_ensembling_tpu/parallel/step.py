@@ -232,37 +232,19 @@ def emulate_marginals(
     y_var = jnp.maximum(y_var, 1e-8)
     x = jnp.swapaxes(block, 1, 2)
 
-    if time_stride > 1:
-        if fine_steps is None:
-            raise ValueError(
-                "time_stride > 1 requires fine_steps (the number of "
-                "full-resolution warm-started optimisation steps)"
-            )
-        params, _ = gp_ops.fit_gp_batch_warm_time(
-            x,
-            y_mean,
-            y_var,
-            kernel_name=kernel_name,
-            time_stride=time_stride,
-            coarse_steps=n_optim_nits,
-            fine_steps=fine_steps,
-            learning_rate=learning_rate,
-            jitter=jitter,
-            optimizer=optimizer,
-            init=gp_init,
-        )
-    else:
-        params, _ = gp_ops.fit_gp_batch(
-            x,
-            y_mean,
-            y_var,
-            kernel_name=kernel_name,
-            n_optim_nits=n_optim_nits,
-            learning_rate=learning_rate,
-            jitter=jitter,
-            optimizer=optimizer,
-            init=gp_init,
-        )
+    params, _ = gp_ops.fit_gp_batch_dispatch(
+        x,
+        y_mean,
+        y_var,
+        kernel_name=kernel_name,
+        n_optim_nits=n_optim_nits,
+        learning_rate=learning_rate,
+        jitter=jitter,
+        optimizer=optimizer,
+        init=gp_init,
+        time_stride=time_stride,
+        fine_steps=fine_steps,
+    )
 
     mean, var = gp_ops.posterior_marginals_batch(
         params, x, y_mean, y_var, kernel_name=kernel_name, jitter=jitter

@@ -21,6 +21,7 @@ from __future__ import annotations
 import json
 import os
 import statistics
+import sys
 import typing as tp
 
 import numpy as np
@@ -169,6 +170,7 @@ def build_artifacts(
     resample_freq: tp.Optional[str] = "Y",
     time_stride: int = 1,
     fine_steps: tp.Optional[int] = None,
+    fit_chunk_steps: tp.Optional[int] = None,
 ) -> "ProjectionService":
     """Run the full experiment and save serving artifacts (one fit, then
     serve forever).  ``sigma_mode`` selects the combined-sigma convention
@@ -176,7 +178,8 @@ def build_artifacts(
     builds native-monthly projections (the large-T path), where
     ``time_stride``/``fine_steps`` select the coarse-to-fine-in-time fit
     (ops/gp.fit_gp_batch_warm_time — measured faster AND closer to the
-    converged optimum than the scratch fit)."""
+    converged optimum than the scratch fit) and ``fit_chunk_steps`` bounds
+    each fit execution (for environments that kill long XLA executions)."""
     from bayesian_ensembling_tpu import pipeline
 
     ssps = list(ssps or pipeline.ALL_SSPS)
@@ -189,7 +192,7 @@ def build_artifacts(
         results[ssp] = pipeline.run_scenario(
             hist, ssp_mc, obs, ssp, n_optim_nits=n_optim_nits,
             sigma_mode=sigma_mode, time_stride=time_stride,
-            fine_steps=fine_steps,
+            fine_steps=fine_steps, fit_chunk_steps=fit_chunk_steps,
         )
     svc = ProjectionService.from_results(results)
     svc.save(out_dir)
@@ -218,6 +221,12 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None):
         "(requires --fine-steps)",
     )
     b.add_argument("--fine-steps", type=int, default=None)
+    b.add_argument(
+        "--fit-chunk-steps", type=int, default=None,
+        help="bound each fit execution at this many optimisation steps "
+        "(host-chunked; for environments that kill long XLA executions — "
+        "the default native-monthly 2000-step merged fit is one such)",
+    )
     s = sub.add_parser("serve")
     s.add_argument("--artifacts", required=True)
     s.add_argument("--host", default="127.0.0.1")
@@ -230,12 +239,22 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None):
         enable_persistent_cache()
         if args.time_stride > 1 and args.fine_steps is None:
             ap.error("--time-stride > 1 requires --fine-steps")
+        if args.time_stride < 1:
+            ap.error(f"--time-stride must be >= 1, got {args.time_stride}")
         ssps = args.ssps.split(",") if args.ssps else None
         freq = None if args.resample_freq.lower() == "none" else args.resample_freq
+        if args.time_stride > 1 and freq is not None:
+            print(
+                "note: --time-stride targets native monthly builds "
+                "(--resample-freq none); at resampled resolution the "
+                "scratch fit is already in the Pallas fast regime",
+                file=sys.stderr,
+            )
         svc = build_artifacts(
             args.out, ssps, args.data_dir, args.n_optim_nits,
             sigma_mode=args.sigma_mode, resample_freq=freq,
             time_stride=args.time_stride, fine_steps=args.fine_steps,
+            fit_chunk_steps=args.fit_chunk_steps,
         )
         print(f"saved artifacts for {svc.scenarios()} to {args.out}")
     else:

@@ -48,6 +48,7 @@ def unique_hist_models():
     distinct model name (anomalies are scenario-independent — the same
     invariant run_all_ssps(dedup=True) asserts at pack time)."""
     from bayesian_ensembling_tpu import pipeline
+    from bayesian_ensembling_tpu.data import ModelCollection
 
     uniq = {}
     for ssp in pipeline.ALL_SSPS:
@@ -55,16 +56,9 @@ def unique_hist_models():
         for pm in hist:
             if pm.name not in uniq:
                 uniq[pm.name] = pm
-    models = list(uniq.values())
-    r_max = max(pm.data.values.shape[0] for pm in models)
-    t = models[0].data.values.shape[1]
-    block = np.zeros((len(models), r_max, t), np.float32)
-    mask = np.zeros((len(models), r_max), bool)
-    for i, pm in enumerate(models):
-        vals = pm.data.values.astype(np.float32)
-        block[i, : vals.shape[0]] = vals
-        mask[i, : vals.shape[0]] = True
-    return block, mask
+    return ModelCollection(list(uniq.values())).padded_stack(
+        dtype=np.dtype(np.float32)
+    )
 
 
 def main():

@@ -66,6 +66,8 @@ def main():
     )
     ap.add_argument("--cpu", action="store_true", help="run the float64 CPU path")
     args = ap.parse_args()
+    if args.time_stride < 1:
+        ap.error(f"--time-stride must be >= 1, got {args.time_stride}")
     if args.time_stride > 1 and args.fine_steps is None:
         ap.error("--time-stride > 1 requires --fine-steps")
     if args.time_stride > 1 and args.resample_freq.lower() != "none":

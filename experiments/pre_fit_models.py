@@ -61,6 +61,8 @@ def main():
         help="full-resolution warm-started steps for --time-stride > 1",
     )
     args = ap.parse_args()
+    if args.time_stride < 1:
+        ap.error(f"--time-stride must be >= 1, got {args.time_stride}")
     if args.time_stride > 1 and args.fine_steps is None:
         ap.error("--time-stride > 1 requires --fine-steps")
 
