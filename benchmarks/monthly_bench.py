@@ -13,6 +13,7 @@ heteroskedastic GP per member at monthly resolution, CRPS weights vs monthly
 HadCRUT5, W2 barycentre.  Prints one JSON line.
 
 Usage: python benchmarks/monthly_bench.py [ssp] [n_optim_nits] [dba_iters]
+           [time_stride] [fine_steps]
        python benchmarks/monthly_bench.py all [n_optim_nits] [dba_iters] [hist_chunk]
            [time_stride] [fine_steps]    (stride > 1 = coarse-to-fine in time)
        python benchmarks/monthly_bench.py all-nodedup ...   (replicated layout)
@@ -54,6 +55,9 @@ def main():
     ssp = sys.argv[1] if len(sys.argv) > 1 else "ssp585"
     n_iters = int(sys.argv[2]) if len(sys.argv) > 2 else 500
     dba_iters = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    if ssp not in ("all", "all-nodedup"):
+        s_stride = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+        s_fine = int(sys.argv[5]) if len(sys.argv) > 5 else None
     if ssp in ("all", "all-nodedup"):
         hist_chunk = int(sys.argv[4]) if len(sys.argv) > 4 else 28
         time_stride = int(sys.argv[5]) if len(sys.argv) > 5 else 1
@@ -83,6 +87,8 @@ def main():
             ensemble_scenario_step,
             n_optim_nits=n_iters,
             dba_iterations=dba_iters,
+            time_stride=s_stride,
+            fine_steps=s_fine,
         )
     )
     args = (
@@ -113,8 +119,9 @@ def main():
         f"{bary_mean[-1] + 2 * bary_std[-1]:.3f})",
         file=sys.stderr,
     )
+    warm_tag = f"_warm{s_stride}x{s_fine}" if s_stride > 1 else ""
     print(json.dumps({
-        "metric": f"monthly_{ssp}_M{m}_Th{t_hist}_fit{n_iters}",
+        "metric": f"monthly_{ssp}_M{m}_Th{t_hist}_fit{n_iters}{warm_tag}",
         "value": round(elapsed, 3),
         "unit": "s",
     }))
