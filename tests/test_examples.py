@@ -14,6 +14,17 @@ def test_quickstart_runs(capsys):
     assert "NLL vs obs" in out
 
 
+def test_monthly_warm_runs(capsys):
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "examples", "monthly_warm.py"
+    )
+    sys.argv = ["monthly_warm"]
+    runpy.run_path(path, run_name="__main__")
+    out = capsys.readouterr().out
+    assert "monthly ensemble mean at final month" in out
+    assert "NLL vs obs" in out
+
+
 def test_gridded_quickstart_runs(capsys):
     path = os.path.join(
         os.path.dirname(__file__), "..", "examples", "gridded_quickstart.py"

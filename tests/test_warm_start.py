@@ -146,6 +146,38 @@ def test_warm_time_validation(rng):
         gp_ops.fit_gp_batch_warm_time(x, y, nv, time_stride=4, fine_steps=0)
 
 
+def test_fit_dispatch_contract(rng):
+    """fit_gp_batch_dispatch is the one owner of the option contract: every
+    invalid combination raises loudly instead of silently running scratch
+    (or the unbounded merged fit)."""
+    x, y, nv = _time_workload(rng, m=1, t=16)
+    with pytest.raises(ValueError, match="time_stride"):
+        gp_ops.fit_gp_batch_dispatch(x, y, nv, time_stride=0)
+    with pytest.raises(ValueError, match="fine_steps"):
+        gp_ops.fit_gp_batch_dispatch(x, y, nv, time_stride=2)
+    with pytest.raises(ValueError, match="fine_steps"):
+        # fine_steps without a stride must not be silently ignored
+        gp_ops.fit_gp_batch_dispatch(x, y, nv, fine_steps=5)
+    with pytest.raises(ValueError, match="chunk_steps"):
+        # chunk_steps=0 must reach the chunked fit's loud error, not fall
+        # through to the unbounded merged fit
+        gp_ops.fit_gp_batch_dispatch(x, y, nv, n_optim_nits=3, chunk_steps=0)
+    # the valid scratch route is exactly fit_gp_batch
+    p_d, l_d = gp_ops.fit_gp_batch_dispatch(x, y, nv, n_optim_nits=5)
+    p_s, l_s = gp_ops.fit_gp_batch(x, y, nv, n_optim_nits=5)
+    for a, b in zip(jax.tree.leaves(p_d), jax.tree.leaves(p_s)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+
+def test_emulate_batch_chunked_zero_chunk_raises(rng):
+    from bayesian_ensembling_tpu.models.gp_dtw import emulate_batch_chunked
+
+    block = jnp.asarray(rng.normal(size=(1, 2, 12)).astype(np.float32))
+    mask = jnp.ones((1, 2), bool)
+    with pytest.raises(ValueError, match="chunk_steps"):
+        emulate_batch_chunked(block, mask, n_optim_nits=3, fit_chunk_steps=0)
+
+
 def test_warm_time_beats_scratch_at_same_fine_budget(rng):
     """The adoption contract: coarse(stride)+fine(k) lands closer to the
     converged optimum than scratch(k) — the warm start is doing real work
