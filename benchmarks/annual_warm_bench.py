@@ -1,0 +1,133 @@
+"""Warm-in-time on the ANNUAL headline workload: equal-quality in ~0.3 s.
+
+The headline bench (bench.py) is workload-faithful: 2000 scratch Adam
+iterations per emulator, the reference's own configuration
+(/root/reference/experiments/full_experiment_script.py:87), with pointwise
+parity gated against a float64 CPU oracle running the identical algorithm.
+This bench asks the *other* question: how fast can the SAME experiment
+reach the SAME (or better) closeness to the converged hyperparameter
+optimum, using the coarse-to-fine-in-time fit (ops/gp.fit_gp_batch_warm_time)?
+
+At annual resolution the stride-12 coarse series has T = 14, where the
+batch-in-lanes kernels price a step at a small fraction of the T = 165
+cost — so a long coarse pass is nearly free and the full-T fine pass can
+be short.  Measured (v5e single chip, min over fresh-buffer reps; closeness
+= max |Δ| of the final barycentre moments vs a 10,000-step converged truth):
+
+    scratch-2000 (headline)    1.201 s   dmean 0.0191  dstd 0.0091
+    warm s12 c1000 f250        0.296 s   dmean 0.0183  dstd 0.0097
+    warm s12 c2000 f500        0.439 s   dmean 0.0148  dstd 0.0054
+
+i.e. the warm fit matches the reference-workload convergence at 4.1x less
+wall, and strictly beats it on both moments at 2.7x less.  (Side
+measurement: the reference's own 2000-iteration convention sits ~0.02 degC
+from its converged optimum — the same order as its warming-trend signal's
+last-digit precision.)
+
+The headline bench keeps the faithful scratch configuration because its
+parity gate is an algorithm-identity check against the CPU oracle; this
+bench's gate is closeness-to-convergence, the right gate for a schedule
+that deliberately differs.
+
+Usage: python benchmarks/annual_warm_bench.py [truth_steps]
+"""
+
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bayesian_ensembling_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from bayesian_ensembling_tpu import pipeline
+    from bayesian_ensembling_tpu.parallel.step import (
+        ensemble_multi_scenario_step,
+        pad_models,
+    )
+    from bayesian_ensembling_tpu.utils.profiling import device_sync as sync
+
+    truth_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 10000
+
+    obs = jnp.asarray(
+        pipeline.load_observations().data.values, dtype=jnp.float32
+    )
+    scenarios = []
+    for ssp in pipeline.ALL_SSPS:
+        h, s = pipeline.load_scenario(ssp)
+        scenarios.append((ssp, h, s))
+    m_max = max(len(h) for _, h, _ in scenarios)
+    r_max = max(
+        max(h.max_realisations, s.max_realisations) for _, h, s in scenarios
+    )
+    packed = []
+    for _, hist, ssp_mc in scenarios:
+        hb, hm = hist.padded_stack(r_target=r_max)
+        sb, sm = ssp_mc.padded_stack(r_target=r_max)
+        hb, hm, mmask = pad_models(hb, hm, m_max)
+        sb, sm, _ = pad_models(sb, sm, m_max)
+        packed.append((hb, hm, sb, sm, mmask))
+    hb, hm, sb, sm, mmask = (
+        jnp.asarray(np.stack([p[i] for p in packed])) for i in range(5)
+    )
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+
+    def run(**kw):
+        step = jax.jit(
+            functools.partial(
+                ensemble_multi_scenario_step, dba_iterations=10, **kw
+            )
+        )
+        sync(step(hb, hm, sb, sm, obs, mmask))  # compile + warm
+        best, out = float("inf"), None
+        for _ in range(3):
+            hbc = hb + 0.0  # fresh buffers: the tunnel dedups identical inputs
+            sync(hbc)
+            t0 = time.perf_counter()
+            out = step(hbc, hm, sb, sm, obs, mmask)
+            sync(out)
+            best = min(best, time.perf_counter() - t0)
+        return out, best
+
+    truth, _ = run(n_optim_nits=truth_steps)
+    tm, ts = np.asarray(truth[0]), np.asarray(truth[1])
+
+    rows = []
+    for name, kw in [
+        ("scratch2000", dict(n_optim_nits=2000)),
+        ("warm_s12_c1000_f250",
+         dict(n_optim_nits=1000, time_stride=12, fine_steps=250)),
+        ("warm_s12_c2000_f500",
+         dict(n_optim_nits=2000, time_stride=12, fine_steps=500)),
+    ]:
+        out, wall = run(**kw)
+        dm = float(np.abs(np.asarray(out[0]) - tm).max())
+        ds = float(np.abs(np.asarray(out[1]) - ts).max())
+        rows.append((name, wall, dm, ds))
+        print(f"{name:22s} wall {wall:6.3f}s  dmean {dm:.4f}  dstd {ds:.4f}",
+              file=sys.stderr)
+
+    scratch = rows[0]
+    best = min(rows[1:], key=lambda r: r[2])
+    print(json.dumps({
+        "metric": "annual_warm_vs_scratch2000",
+        "scratch": {"wall_s": round(scratch[1], 3),
+                    "dmean": scratch[2], "dstd": scratch[3]},
+        "best_warm": {"name": best[0], "wall_s": round(best[1], 3),
+                      "dmean": best[2], "dstd": best[3]},
+    }))
+
+
+if __name__ == "__main__":
+    main()
