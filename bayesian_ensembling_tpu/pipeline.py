@@ -35,6 +35,7 @@ __all__ = [
     "ScenarioResult",
     "load_observations",
     "load_scenario",
+    "load_packed_scenarios",
     "run_scenario",
     "run_gridded_scenario",
     "warming_summary",
@@ -187,6 +188,45 @@ def load_scenario(
         ssp_models.append(ssp_anom)
 
     return ModelCollection(hist_models), ModelCollection(ssp_models)
+
+
+def load_packed_scenarios(
+    data_dir: tp.Optional[str] = None,
+    resample_freq: tp.Optional[str] = "Y",
+    ssps: tp.Optional[tp.Sequence[str]] = None,
+):
+    """Load EVERY scenario and pack them into one merged device-ready batch.
+
+    The shared preamble of the fused whole-experiment programs (bench.py,
+    benchmarks/annual_warm_bench.py): all scenarios padded to a common
+    ``(S, M, R, T)`` layout for ``parallel.step.ensemble_multi_scenario_step``.
+
+    Returns ``(hb, hm, sb, sm, model_masks, names)`` — numpy arrays stacked
+    over the scenario axis plus the scenario name tuple.  ``hb/sb`` are the
+    zero-padded realisation blocks, ``hm/sm`` the realisation masks, and
+    ``model_masks`` zeroes the padded model slots (see
+    ``parallel.step.pad_models``).
+    """
+    from bayesian_ensembling_tpu.parallel.step import pad_models
+
+    names = tuple(ssps) if ssps else ALL_SSPS
+    scenarios = [
+        load_scenario(ssp, data_dir, resample_freq=resample_freq)
+        for ssp in names
+    ]
+    m_max = max(len(h) for h, _ in scenarios)
+    r_max = max(
+        max(h.max_realisations, s.max_realisations) for h, s in scenarios
+    )
+    packed = []
+    for hist, ssp_mc in scenarios:
+        hb, hm = hist.padded_stack(r_target=r_max)
+        sb, sm = ssp_mc.padded_stack(r_target=r_max)
+        hb, hm, mmask = pad_models(hb, hm, m_max)
+        sb, sm, _ = pad_models(sb, sm, m_max)
+        packed.append((hb, hm, sb, sm, mmask))
+    stacked = tuple(np.stack([p[i] for p in packed]) for i in range(5))
+    return stacked + (names,)
 
 
 @dataclasses.dataclass

@@ -71,7 +71,7 @@ import jax
 import jax.numpy as jnp
 
 from bayesian_ensembling_tpu import pipeline
-from bayesian_ensembling_tpu.parallel.step import ensemble_multi_scenario_step, pad_models
+from bayesian_ensembling_tpu.parallel.step import ensemble_multi_scenario_step
 
 N_ITERS = int(os.environ.get("BENCH_N_ITERS", "2000"))
 DBA_ITERS = int(os.environ.get("BENCH_DBA_ITERS", "10"))
@@ -86,26 +86,11 @@ def main():
     obs_pm = pipeline.load_observations()
     obs = jnp.asarray(obs_pm.data.values, dtype=jnp.float32)
 
-    scenarios = []
-    for ssp in pipeline.ALL_SSPS:
-        hist, ssp_mc = pipeline.load_scenario(ssp)
-        scenarios.append((ssp, hist, ssp_mc))
-
-    m_max = max(len(h) for _, h, _ in scenarios)
-    r_max = max(max(h.max_realisations, s.max_realisations) for _, h, s in scenarios)
-    log(f"padding all scenarios to M={m_max}, R={r_max}")
-
-    packed = []
-    for ssp, hist, ssp_mc in scenarios:
-        hb, hm = hist.padded_stack(r_target=r_max)
-        sb, sm = ssp_mc.padded_stack(r_target=r_max)
-        hb, hm, mmask = pad_models(hb, hm, m_max)
-        sb, sm, _ = pad_models(sb, sm, m_max)
-        packed.append((hb, hm, sb, sm, mmask))
     # Merge the scenario axis into the batch: all 7 scenarios' emulations run
     # in ONE fused program through the Pallas batched-cholesky NLML path.
-    stacked = [jnp.asarray(np.stack([p[i] for p in packed])) for i in range(5)]
-    hb, hm, sb, sm, mmask = stacked
+    *stacked, ssp_names = pipeline.load_packed_scenarios()
+    hb, hm, sb, sm, mmask = (jnp.asarray(a) for a in stacked)
+    log(f"padding all scenarios to M={hb.shape[1]}, R={hb.shape[2]}")
 
     step = jax.jit(
         functools.partial(
@@ -145,7 +130,7 @@ def main():
         elapsed = min(elapsed, rep_s)
 
     bmean, bstd, _ = out
-    for i, (ssp, hist, _) in enumerate(scenarios):
+    for i, ssp in enumerate(ssp_names):
         m = np.asarray(bmean[i])
         s = np.asarray(bstd[i])
         log(f"{ssp}: 2100 warming {m[-1]:.3f} (+-2sd {m[-1]-2*s[-1]:.3f}..{m[-1]+2*s[-1]:.3f})")
@@ -173,7 +158,7 @@ def main():
         ):
             vs = cpu["total_seconds"] / elapsed
             mdiffs, sdiffs = [], []
-            for i, (ssp, _, _) in enumerate(scenarios):
+            for i, ssp in enumerate(ssp_names):
                 rec = cpu["scenarios"].get(ssp)
                 if not rec or "bary_mean" not in rec:
                     continue

@@ -55,9 +55,6 @@ def main():
     ssp = sys.argv[1] if len(sys.argv) > 1 else "ssp585"
     n_iters = int(sys.argv[2]) if len(sys.argv) > 2 else 500
     dba_iters = int(sys.argv[3]) if len(sys.argv) > 3 else 10
-    if ssp not in ("all", "all-nodedup"):
-        s_stride = int(sys.argv[4]) if len(sys.argv) > 4 else 1
-        s_fine = int(sys.argv[5]) if len(sys.argv) > 5 else None
     if ssp in ("all", "all-nodedup"):
         hist_chunk = int(sys.argv[4]) if len(sys.argv) > 4 else 28
         time_stride = int(sys.argv[5]) if len(sys.argv) > 5 else 1
@@ -66,6 +63,8 @@ def main():
             n_iters, dba_iters, hist_chunk, dedup=ssp == "all",
             time_stride=time_stride, fine_steps=fine_steps,
         )
+    s_stride = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+    s_fine = int(sys.argv[5]) if len(sys.argv) > 5 else None
 
     obs_pm = pipeline.load_observations(resample_freq=None)
     obs = jnp.asarray(obs_pm.data.values, dtype=jnp.float32)

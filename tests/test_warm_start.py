@@ -162,11 +162,13 @@ def test_fit_dispatch_contract(rng):
         # chunk_steps=0 must reach the chunked fit's loud error, not fall
         # through to the unbounded merged fit
         gp_ops.fit_gp_batch_dispatch(x, y, nv, n_optim_nits=3, chunk_steps=0)
-    # the valid scratch route is exactly fit_gp_batch
+    # the valid scratch route is exactly fit_gp_batch — same params AND the
+    # same step sequence (loss traces bitwise equal)
     p_d, l_d = gp_ops.fit_gp_batch_dispatch(x, y, nv, n_optim_nits=5)
     p_s, l_s = gp_ops.fit_gp_batch(x, y, nv, n_optim_nits=5)
     for a, b in zip(jax.tree.leaves(p_d), jax.tree.leaves(p_s)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+    np.testing.assert_array_equal(np.asarray(l_d), np.asarray(l_s))
 
 
 def test_emulate_batch_chunked_zero_chunk_raises(rng):
