@@ -47,6 +47,41 @@ enable_persistent_cache()
 import numpy as np
 
 
+def _warm_parity(out, names, kw):
+    """Pointwise algorithm-identity parity of the warm TPU-f32 run against
+    the f64 CPU anchor running the IDENTICAL warm schedule
+    (benchmarks/cpu_baseline.py [nits] [stride] [fine] →
+    cpu_baseline_warm.json) — the same gate bench.py applies to the scratch
+    headline.  Returns (max dmean, max dstd) or None when no matching
+    anchor is committed."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "cpu_baseline_warm.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        cpu = json.load(f)
+    if (cpu.get("n_optim_nits") != kw.get("n_optim_nits")
+            or cpu.get("time_stride") != kw.get("time_stride")
+            or cpu.get("fine_steps") != kw.get("fine_steps")):
+        print("warm parity anchor config mismatch — skipping gate",
+              file=sys.stderr)
+        return None
+    mdiffs, sdiffs = [], []
+    for i, ssp in enumerate(names):
+        rec = cpu["scenarios"].get(ssp)
+        if not rec:
+            continue
+        mdiffs.append(np.abs(np.asarray(out[0][i], np.float64)
+                             - np.asarray(rec["bary_mean"])).max())
+        sdiffs.append(np.abs(np.asarray(out[1][i], np.float64)
+                             - np.asarray(rec["bary_std"])).max())
+    pm, ps = float(max(mdiffs)), float(max(sdiffs))
+    print(f"warm parity vs f64 CPU warm anchor: max |dmean| {pm:.5f} degC, "
+          f"max |dstd| {ps:.5f} degC", file=sys.stderr)
+    assert pm < 0.01 and ps < 0.01, (pm, ps)
+    return pm, ps
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -93,6 +128,7 @@ def main():
     tm, ts = np.asarray(truth[0]), np.asarray(truth[1])
 
     rows = []
+    parity = None
     for name, kw in [
         ("scratch2000", dict(n_optim_nits=2000)),
         ("warm_s12_c1000_f250",
@@ -106,6 +142,8 @@ def main():
         rows.append((name, wall, dm, ds))
         print(f"{name:22s} wall {wall:6.3f}s  dmean {dm:.4f}  dstd {ds:.4f}",
               file=sys.stderr)
+        if name == "warm_s12_c1000_f250":
+            parity = _warm_parity(out, _names, kw)
 
     scratch = rows[0]
     best = min(rows[1:], key=lambda r: r[2])
@@ -115,6 +153,9 @@ def main():
                     "dmean": scratch[2], "dstd": scratch[3]},
         "best_warm": {"name": best[0], "wall_s": round(best[1], 3),
                       "dmean": best[2], "dstd": best[3]},
+        "warm_parity_vs_f64_anchor": (
+            [round(p, 6) for p in parity] if parity else None
+        ),
     }))
 
 

@@ -4,6 +4,12 @@ This records the self-measured baseline demanded by BASELINE.md (the
 reference publishes no numbers): the float64 CPU path of this framework,
 run with the reference experiment's settings (GPDTW1D, 2000 optimisation
 iterations, CRPS weights, barycentre; full_experiment_script.py:87-143).
+
+Usage: python benchmarks/cpu_baseline.py [n_optim_nits] [time_stride] [fine_steps]
+
+With a time_stride > 1 the anchor runs the coarse-to-fine-in-time schedule
+instead (ops/gp.fit_gp_batch_warm_time) and writes cpu_baseline_warm.json —
+the algorithm-identity parity anchor for benchmarks/annual_warm_bench.py.
 """
 
 import json
@@ -24,6 +30,8 @@ from bayesian_ensembling_tpu import pipeline
 from bayesian_ensembling_tpu.models.gp_dtw import GPDTW1D
 
 N_ITERS = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
+TIME_STRIDE = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+FINE_STEPS = int(sys.argv[3]) if len(sys.argv) > 3 else None
 
 obs = pipeline.load_observations()
 results = {}
@@ -35,6 +43,8 @@ for ssp in pipeline.ALL_SSPS:
         hist, ssp_mc, obs, ssp,
         emulator=GPDTW1D(dtype=np.float64),
         n_optim_nits=N_ITERS,
+        time_stride=TIME_STRIDE,
+        fine_steps=FINE_STEPS,
     )
     dt = time.time() - t0
     summ = pipeline.warming_summary(res)
@@ -54,6 +64,11 @@ for ssp in pipeline.ALL_SSPS:
 
 total = time.time() - t_all
 out = {"n_optim_nits": N_ITERS, "dba_iterations": 10, "total_seconds": total, "scenarios": results}
-with open(os.path.join(os.path.dirname(__file__), "cpu_baseline.json"), "w") as f:
+name = "cpu_baseline.json"
+if TIME_STRIDE > 1:
+    out["time_stride"] = TIME_STRIDE
+    out["fine_steps"] = FINE_STEPS
+    name = "cpu_baseline_warm.json"
+with open(os.path.join(os.path.dirname(__file__), name), "w") as f:
     json.dump(out, f, indent=1)
 print(json.dumps({"total_seconds": total}))
