@@ -29,42 +29,16 @@ import numpy as np
 
 from bayesian_ensembling_tpu.data import ModelCollection, Posterior, ProcessModel
 from bayesian_ensembling_tpu.models.base import AbstractEmulator
-from bayesian_ensembling_tpu.ops import dtw as dtw_ops
 from bayesian_ensembling_tpu.ops import gp as gp_ops
 from bayesian_ensembling_tpu.ops.distributions import FullCovGaussian
 
 __all__ = ["GPDTW1D", "emulate_batch", "emulate_batch_chunked"]
 
 
-@functools.partial(jax.jit, static_argnames=("dba_iterations",))
-def _prepare_emulation(
-    block: jnp.ndarray,  # (M, R, T) zero-padded realisations
-    mask: jnp.ndarray,  # (M, R) validity
-    dba_iterations: int = 10,
-):
-    """Stages (a)-(c): DBA target mean, known noise, feature matrix."""
-    w = mask.astype(block.dtype)  # (M, R)
-    n = jnp.maximum(jnp.sum(w, axis=1), 1.0)  # (M,)
-
-    # (a) DBA barycentre per model (reference uses tslearn subgradient DBA,
-    # models.py:176-178; semantics here follow the repo's own dtwa.py).  On
-    # TPU each iteration is one fused Pallas program over all M*R problems.
-    y_mean = dtw_ops.dba_batch(
-        block, mask, n_iterations=dba_iterations, init="mean"
-    )
-
-    # (b) across-realisation variance as known noise (models.py:179).
-    mu_r = jnp.einsum("mrt,mr->mt", block, w) / n[:, None]
-    y_var = (
-        jnp.einsum("mrt,mr->mt", jnp.square(block - mu_r[:, None, :]), w)
-        / n[:, None]
-    )
-    y_var = jnp.maximum(y_var, 1e-8)  # guard single-realisation models
-
-    # (c) features = realisation matrix transposed; padded rows became zero
-    # feature columns, which are distance-neutral (models.py:182).
-    x = jnp.swapaxes(block, 1, 2)  # (M, T, R)
-    return x, y_mean, y_var
+# Stages (a)-(c): DBA target mean, known noise, feature matrix — the shared
+# preamble lives in ops/gp.prepare_gp_inputs (one owner for this module,
+# parallel/step.emulate_marginals, and the warm-start benches).
+_prepare_emulation = gp_ops.prepare_gp_inputs
 
 
 @functools.partial(jax.jit, static_argnames=("kernel_name",))

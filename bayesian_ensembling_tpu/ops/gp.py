@@ -43,6 +43,7 @@ __all__ = [
     "fit_gp_batch_chunked",
     "fit_gp_batch_warm_time",
     "fit_gp_batch_dispatch",
+    "prepare_gp_inputs",
 ]
 
 _LOG_2PI = 1.8378770664093453
@@ -599,6 +600,39 @@ def fit_gp_batch_warm_time(
         init=coarse_params,
     )
     return params, jnp.concatenate([coarse_losses, fine_losses], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("dba_iterations",))
+def prepare_gp_inputs(
+    block: jnp.ndarray,  # (M, R, T) zero-padded realisations
+    mask: jnp.ndarray,  # (M, R) validity
+    dba_iterations: int = 10,
+):
+    """GPDTW stages (a)-(c): DBA target mean, known noise, feature matrix.
+
+    The ONE owner of the emulation preamble (reference models.py:176-182):
+    (a) masked DBA barycentre per model → target ``y_mean``; (b) masked
+    across-realisation variance (floored at 1e-8 for single-realisation
+    members) → known noise ``y_var``; (c) the realisation matrix transposed
+    time-major → features ``x``.  Shared by models/gp_dtw.emulate_batch,
+    parallel/step.emulate_marginals, and the warm-start benches so they
+    provably run the identical preamble.
+    """
+    from bayesian_ensembling_tpu.ops import dtw as dtw_ops
+
+    w = mask.astype(block.dtype)  # (M, R)
+    n = jnp.maximum(jnp.sum(w, axis=1), 1.0)  # (M,)
+    y_mean = dtw_ops.dba_batch(
+        block, mask, n_iterations=dba_iterations, init="mean"
+    )
+    mu_r = jnp.einsum("mrt,mr->mt", block, w) / n[:, None]
+    y_var = (
+        jnp.einsum("mrt,mr->mt", jnp.square(block - mu_r[:, None, :]), w)
+        / n[:, None]
+    )
+    y_var = jnp.maximum(y_var, 1e-8)
+    x = jnp.swapaxes(block, 1, 2)  # (M, T, R)
+    return x, y_mean, y_var
 
 
 def fit_gp_batch_dispatch(

@@ -27,7 +27,6 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from bayesian_ensembling_tpu.ops import dtw as dtw_ops
 from bayesian_ensembling_tpu.ops import gp as gp_ops
 from bayesian_ensembling_tpu.ops import scoring
 
@@ -218,19 +217,9 @@ def emulate_marginals(
     (measured, benchmarks/monthly_warm_bench.py).  The DBA target and the
     posterior extraction always run at full resolution.
     """
-    w = mask.astype(block.dtype)
-    n = jnp.maximum(jnp.sum(w, axis=1), 1.0)
-
-    y_mean = dtw_ops.dba_batch(
-        block, mask, n_iterations=dba_iterations, init="mean"
+    x, y_mean, y_var = gp_ops.prepare_gp_inputs(
+        block, mask, dba_iterations=dba_iterations
     )
-    mu_r = jnp.einsum("mrt,mr->mt", block, w) / n[:, None]
-    y_var = (
-        jnp.einsum("mrt,mr->mt", jnp.square(block - mu_r[:, None, :]), w)
-        / n[:, None]
-    )
-    y_var = jnp.maximum(y_var, 1e-8)
-    x = jnp.swapaxes(block, 1, 2)
 
     params, _ = gp_ops.fit_gp_batch_dispatch(
         x,

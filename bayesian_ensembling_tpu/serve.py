@@ -82,7 +82,15 @@ class ProjectionService:
     def project(
         self, scenario: str, year: int, interval: float = 0.95
     ) -> tp.Dict[str, float]:
-        """Warming mean + central credible interval at the nearest year."""
+        """Warming mean + central credible interval at the nearest year.
+
+        Artifacts built at native monthly resolution carry 12 timesteps per
+        year; the yearly projection averages ALL of that year's steps —
+        mean of the monthly means (the annual-mean anomaly, seasonal cycle
+        averaged out) and mean of the monthly stds (the annual mean's
+        spread under the high month-to-month posterior correlation of the
+        smooth GP trend; with a single step per year — annual artifacts —
+        both reduce to the old nearest-step lookup exactly)."""
         if scenario not in self._art:
             raise KeyError(
                 f"unknown scenario {scenario!r}; have {self.scenarios()}"
@@ -90,13 +98,14 @@ class ProjectionService:
         if not 0.0 < interval < 1.0:
             raise ValueError("interval must be in (0, 1)")
         a = self._art[scenario]
-        idx = int(np.argmin(np.abs(a["years"] - int(year))))
+        nearest = int(a["years"][np.argmin(np.abs(a["years"] - int(year)))])
+        sel = a["years"] == nearest
         z = _zvalue(interval)
-        mean = float(a["mean"][idx])
-        std = float(a["std"][idx])
+        mean = float(a["mean"][sel].mean())
+        std = float(a["std"][sel].mean())
         return {
             "scenario": scenario,
-            "year": int(a["years"][idx]),
+            "year": nearest,
             "mean": mean,
             "lo": mean - z * std,
             "hi": mean + z * std,
@@ -110,8 +119,19 @@ class ProjectionService:
                 f"unknown scenario {scenario!r}; have {self.scenarios()}"
             )
         a = self._art[scenario]
+        years = a["years"].astype(np.float64)
+        if len(years) != len(np.unique(years)):
+            # Sub-annual artifacts (native monthly builds): label the steps
+            # within each year fractionally (2100.04, 2100.13, ...) instead
+            # of returning 12 indistinguishable copies of the integer year.
+            frac = np.zeros_like(years)
+            for y in np.unique(years):
+                sel = a["years"] == y
+                n = int(sel.sum())
+                frac[sel] = (np.arange(n) + 0.5) / n
+            years = years + frac
         return {
-            "years": a["years"].tolist(),
+            "years": years.tolist(),
             "mean": a["mean"].tolist(),
             "std": a["std"].tolist(),
         }
@@ -215,12 +235,12 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None):
         default="Y",
         help="calendar resample frequency (M/Q/Y; 'none' = native monthly)",
     )
-    b.add_argument(
-        "--time-stride", type=int, default=1,
-        help="coarse-to-fine-in-time fit for native monthly builds "
-        "(requires --fine-steps)",
+    from bayesian_ensembling_tpu.utils.cli import (
+        add_warm_time_args,
+        validate_warm_time_args,
     )
-    b.add_argument("--fine-steps", type=int, default=None)
+
+    add_warm_time_args(b)
     b.add_argument(
         "--fit-chunk-steps", type=int, default=None,
         help="bound each fit execution at this many optimisation steps "
@@ -237,19 +257,9 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None):
         from bayesian_ensembling_tpu.utils.compile_cache import enable_persistent_cache
 
         enable_persistent_cache()
-        if args.time_stride > 1 and args.fine_steps is None:
-            ap.error("--time-stride > 1 requires --fine-steps")
-        if args.time_stride < 1:
-            ap.error(f"--time-stride must be >= 1, got {args.time_stride}")
+        validate_warm_time_args(ap, args, resample_freq=args.resample_freq)
         ssps = args.ssps.split(",") if args.ssps else None
         freq = None if args.resample_freq.lower() == "none" else args.resample_freq
-        if args.time_stride > 1 and freq is not None:
-            print(
-                "note: --time-stride targets native monthly builds "
-                "(--resample-freq none); at resampled resolution the "
-                "scratch fit is already in the Pallas fast regime",
-                file=sys.stderr,
-            )
         svc = build_artifacts(
             args.out, ssps, args.data_dir, args.n_optim_nits,
             sigma_mode=args.sigma_mode, resample_freq=freq,

@@ -1,0 +1,76 @@
+"""Shared CLI plumbing for the experiment/serve entry points.
+
+One owner for the coarse-to-fine-in-time options' argparse surface so the
+four CLIs (full_experiment, pre_fit_models, perfect_model_tests, serve
+build) stay consistent with each other and with the library contract in
+``ops/gp.fit_gp_batch_dispatch``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import typing as tp
+
+__all__ = ["add_warm_time_args", "validate_warm_time_args"]
+
+
+def add_warm_time_args(ap: argparse.ArgumentParser) -> None:
+    """Add ``--time-stride`` / ``--fine-steps`` with the shared help text."""
+    ap.add_argument(
+        "--time-stride",
+        type=int,
+        default=1,
+        help="coarse-to-fine-in-time fit: run the coarse step count on "
+        "every Nth timestep, then --fine-steps warm-started steps at full "
+        "resolution (ops/gp.fit_gp_batch_warm_time — measured faster AND "
+        "closer to the converged optimum than the scratch fit at native "
+        "monthly T, benchmarks/monthly_warm_bench.py; requires "
+        "--fine-steps)",
+    )
+    ap.add_argument(
+        "--fine-steps",
+        type=int,
+        default=None,
+        help="full-resolution warm-started steps for --time-stride > 1",
+    )
+
+
+def validate_warm_time_args(
+    ap: argparse.ArgumentParser,
+    args: argparse.Namespace,
+    resample_freq: tp.Optional[str] = None,
+    prefit_dir: tp.Optional[str] = None,
+) -> None:
+    """Parse-time enforcement of the warm-time option contract.
+
+    Mirrors ``ops/gp.fit_gp_batch_dispatch``'s runtime checks so mistyped
+    options fail before any data loads.  ``resample_freq`` (the CLI's
+    resolved frequency string, ``None``/'none' = native monthly) triggers
+    the at-resampled-resolution note; ``prefit_dir`` rejects the stride
+    outright — prefit checkpoints fix the fit, so the option would be
+    silently ignored.
+    """
+    if args.time_stride < 1:
+        ap.error(f"--time-stride must be >= 1, got {args.time_stride}")
+    if args.time_stride > 1 and args.fine_steps is None:
+        ap.error("--time-stride > 1 requires --fine-steps")
+    if args.fine_steps is not None and args.time_stride == 1:
+        ap.error("--fine-steps only applies with --time-stride > 1")
+    if args.time_stride > 1 and prefit_dir:
+        ap.error(
+            "--time-stride applies to fresh fits only; --prefit-dir "
+            "checkpoints fix the fit, so the option would be silently "
+            "ignored"
+        )
+    if (
+        args.time_stride > 1
+        and resample_freq is not None
+        and str(resample_freq).lower() != "none"
+    ):
+        print(
+            "note: --time-stride targets the native monthly path; at "
+            "resampled resolution the scratch fit is already in the Pallas "
+            "fast regime",
+            file=sys.stderr,
+        )

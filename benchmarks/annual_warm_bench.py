@@ -69,12 +69,16 @@ def _warm_parity(out, names, kw):
     mdiffs, sdiffs = [], []
     for i, ssp in enumerate(names):
         rec = cpu["scenarios"].get(ssp)
-        if not rec:
+        if not rec or "bary_mean" not in rec:
             continue
         mdiffs.append(np.abs(np.asarray(out[0][i], np.float64)
                              - np.asarray(rec["bary_mean"])).max())
         sdiffs.append(np.abs(np.asarray(out[1][i], np.float64)
                              - np.asarray(rec["bary_std"])).max())
+    if not mdiffs:
+        print("warm parity anchor has no overlapping scenarios — "
+              "skipping gate", file=sys.stderr)
+        return None
     pm, ps = float(max(mdiffs)), float(max(sdiffs))
     print(f"warm parity vs f64 CPU warm anchor: max |dmean| {pm:.5f} degC, "
           f"max |dstd| {ps:.5f} degC", file=sys.stderr)

@@ -56,6 +56,12 @@ def unique_hist_models():
         for pm in hist:
             if pm.name not in uniq:
                 uniq[pm.name] = pm
+            else:
+                # The invariant dedup rests on, asserted like
+                # monthly_bench.build_all_ssps_runner does at pack time.
+                assert np.array_equal(
+                    uniq[pm.name].data.values, pm.data.values
+                ), f"historical anomalies for {pm.name} differ between scenarios"
     return ModelCollection(list(uniq.values())).padded_stack(
         dtype=np.dtype(np.float32)
     )
@@ -65,7 +71,6 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from bayesian_ensembling_tpu.ops import dtw as dtw_ops
     from bayesian_ensembling_tpu.ops import gp
     from bayesian_ensembling_tpu.utils.profiling import device_sync as sync
 
@@ -80,19 +85,10 @@ def main():
     block = jnp.asarray(block_np)
     mask = jnp.asarray(mask_np)
 
-    # GP inputs — identical preamble to parallel/step.emulate_marginals
-    # (DBA mean target, across-realisation variance as the heteroskedastic
-    # noise, realisation matrix as time-major features).
-    w = mask.astype(block.dtype)
-    n = jnp.maximum(jnp.sum(w, axis=1), 1.0)
-    y_mean = dtw_ops.dba_batch(block, mask, n_iterations=10, init="mean")
-    mu_r = jnp.einsum("mrt,mr->mt", block, w) / n[:, None]
-    y_var = jnp.maximum(
-        jnp.einsum("mrt,mr->mt", jnp.square(block - mu_r[:, None, :]), w)
-        / n[:, None],
-        1e-8,
-    )
-    x = jnp.swapaxes(block, 1, 2)
+    # GP inputs — the production preamble itself (ops/gp.prepare_gp_inputs,
+    # the one owner shared with emulate_marginals and emulate_batch), so
+    # the bench provably measures the path it claims to.
+    x, y_mean, y_var = gp.prepare_gp_inputs(block, mask, dba_iterations=10)
     sync((y_mean, y_var))
 
     def marginals(params):

@@ -48,35 +48,15 @@ def main():
         "sequence — for environments that kill long executions, e.g. "
         "native monthly T=1980 at 2000 iterations)",
     )
-    ap.add_argument(
-        "--time-stride",
-        type=int,
-        default=1,
-        help="coarse-to-fine-in-time fit: run --n-optim-nits coarse steps "
-        "on every Nth timestep, then --fine-steps warm-started steps at "
-        "full resolution (measured faster AND closer to the converged "
-        "optimum than the scratch fit at native monthly T — "
-        "benchmarks/monthly_warm_bench.py; requires --fine-steps)",
+    from bayesian_ensembling_tpu.utils.cli import (
+        add_warm_time_args,
+        validate_warm_time_args,
     )
-    ap.add_argument(
-        "--fine-steps",
-        type=int,
-        default=None,
-        help="full-resolution warm-started steps for --time-stride > 1",
-    )
+
+    add_warm_time_args(ap)
     ap.add_argument("--cpu", action="store_true", help="run the float64 CPU path")
     args = ap.parse_args()
-    if args.time_stride < 1:
-        ap.error(f"--time-stride must be >= 1, got {args.time_stride}")
-    if args.time_stride > 1 and args.fine_steps is None:
-        ap.error("--time-stride > 1 requires --fine-steps")
-    if args.time_stride > 1 and args.resample_freq.lower() != "none":
-        print(
-            "note: --time-stride targets the native monthly path; at "
-            "resampled resolution the scratch fit is already in the Pallas "
-            "fast regime",
-            file=sys.stderr,
-        )
+    validate_warm_time_args(ap, args, resample_freq=args.resample_freq)
 
     if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"

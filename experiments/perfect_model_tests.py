@@ -69,25 +69,16 @@ def main():
         "(M/Q/Y; 'none' = native monthly, the large-T path).  Ignored with "
         "--prefit-dir, whose checkpoints fix the resolution.",
     )
-    ap.add_argument(
-        "--time-stride",
-        type=int,
-        default=1,
-        help="coarse-to-fine-in-time per-fold fits (fresh-fit mode only): "
-        "--n-optim-nits coarse steps on every Nth timestep then "
-        "--fine-steps warm-started full-T steps (requires --fine-steps)",
+    from bayesian_ensembling_tpu.utils.cli import (
+        add_warm_time_args,
+        validate_warm_time_args,
     )
-    ap.add_argument(
-        "--fine-steps",
-        type=int,
-        default=None,
-        help="full-resolution warm-started steps for --time-stride > 1",
-    )
+
+    add_warm_time_args(ap)
     args = ap.parse_args()
-    if args.time_stride < 1:
-        ap.error(f"--time-stride must be >= 1, got {args.time_stride}")
-    if args.time_stride > 1 and args.fine_steps is None:
-        ap.error("--time-stride > 1 requires --fine-steps")
+    validate_warm_time_args(
+        ap, args, resample_freq=args.resample_freq, prefit_dir=args.prefit_dir
+    )
     if args.batched and not args.prefit_dir:
         # Fail at parse time, before loading/anomalising every scenario.
         raise SystemExit("--batched requires --prefit-dir")

@@ -46,25 +46,14 @@ def main():
         "execution — use when the environment kills long single "
         "executions, e.g. ~2500 steps at native monthly T=1980)",
     )
-    ap.add_argument(
-        "--time-stride",
-        type=int,
-        default=1,
-        help="coarse-to-fine-in-time fit: --n-optim-nits coarse steps on "
-        "every Nth timestep then --fine-steps warm-started full-T steps "
-        "(ops/gp.fit_gp_batch_warm_time; requires --fine-steps)",
+    from bayesian_ensembling_tpu.utils.cli import (
+        add_warm_time_args,
+        validate_warm_time_args,
     )
-    ap.add_argument(
-        "--fine-steps",
-        type=int,
-        default=None,
-        help="full-resolution warm-started steps for --time-stride > 1",
-    )
+
+    add_warm_time_args(ap)
     args = ap.parse_args()
-    if args.time_stride < 1:
-        ap.error(f"--time-stride must be >= 1, got {args.time_stride}")
-    if args.time_stride > 1 and args.fine_steps is None:
-        ap.error("--time-stride > 1 requires --fine-steps")
+    validate_warm_time_args(ap, args, resample_freq=args.resample_freq)
 
 
     from bayesian_ensembling_tpu import pipeline

@@ -117,3 +117,29 @@ def test_from_results_pipeline_types(rng):
     out = svc.project("sspX", 2024)
     assert out["year"] == 2024
     np.testing.assert_allclose(out["mean"], 1.0)
+
+
+def test_monthly_artifacts_year_aggregation():
+    """Native-monthly artifacts (12 steps per year): project() averages the
+    year's steps (seasonal cycle averaged out of the mean) instead of
+    returning January's monthly anomaly, and trajectory() labels steps with
+    unique fractional years."""
+    years = np.repeat(np.arange(2015, 2018), 12).astype(np.int64)
+    # mean = year index + seasonal cycle; std constant per year
+    seasonal = np.tile(np.sin(2 * np.pi * np.arange(12) / 12), 3)
+    mean = np.repeat([1.0, 2.0, 3.0], 12) + seasonal
+    std = np.repeat([0.1, 0.2, 0.3], 12)
+    svc = ProjectionService({"sspM": {"years": years, "mean": mean, "std": std}})
+    out = svc.project("sspM", 2016)
+    assert out["year"] == 2016
+    np.testing.assert_allclose(out["mean"], 2.0, atol=1e-12)  # cycle removed
+    np.testing.assert_allclose(out["hi"] - out["mean"], 1.959964 * 0.2, rtol=1e-4)
+    traj = svc.trajectory("sspM")
+    assert len(set(traj["years"])) == len(traj["years"])  # unique labels
+    assert traj["years"][0] == 2015 + 0.5 / 12
+    # annual artifacts keep the exact nearest-step behaviour
+    svc_a = ProjectionService({"sspA": {
+        "years": np.arange(2015, 2018), "mean": np.array([1.0, 2.0, 3.0]),
+        "std": np.array([0.1, 0.2, 0.3])}})
+    assert svc_a.trajectory("sspA")["years"] == [2015.0, 2016.0, 2017.0]
+    np.testing.assert_allclose(svc_a.project("sspA", 2016)["mean"], 2.0)
