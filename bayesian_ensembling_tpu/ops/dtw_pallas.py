@@ -104,13 +104,20 @@ def _lanes_for(
 # phases each hold roughly half the working set.
 _DBA_BYTES_PER_ELEM = 76
 _DBA_SPLIT_BYTES_PER_ELEM = 44  # max over the fwd / bwd phase kernels
-# Cost-only wavefront kernel: ~5 f32 buffers + loop carries per element.
-_DTW_COST_BYTES_PER_ELEM = 24
+# Cost-only wavefront kernel.  The static buffers are 6 f32 per (row, lane)
+# element — the two VMEM inputs are DOUBLE-BUFFERED by Pallas's grid
+# pipelining whenever the batch spans more than one lane chunk (2 x 2) plus
+# the two loop-carry scratch diagonals — and Mosaic's stack allocation for
+# the roll/select temporaries adds ~2.5 f32 more: measured 34.0 B/elem at
+# T=1980 with a 2-chunk grid (a 24 B/elem model admitted 256-lane chunks
+# there that exceeded the scoped limit by 480 KB).  36 B = 9 f32 keeps a
+# margin over the measurement.
+_DTW_COST_BYTES_PER_ELEM = 36
 
 
 def dtw_cost_fits(t: int) -> bool:
     """Whether ``squared_dtw_cost_batch`` fits scoped VMEM at T (at the
-    minimum 128-lane chunk) — T up to ~5300 on v5e; beyond it callers must
+    minimum 128-lane chunk) — T up to ~3500 on v5e; beyond it callers must
     use the lax.scan wavefront path (ops/dtw.py)."""
     t_pad = -(-t // 8) * 8
     return _vmem.fits_min_chunk(t_pad * _DTW_COST_BYTES_PER_ELEM, _SCOPED_VMEM_BUDGET)

@@ -54,6 +54,24 @@ def test_dtw_cost_gate_implies_chunk_fits(t):
         assert lanes * t_pad * dp._DTW_COST_BYTES_PER_ELEM <= vmem.SCOPED_VMEM_BUDGET
 
 
+# Mosaic's measured scoped allocation for the cost kernel at T=1980 with a
+# 2-chunk grid: 16.47 MiB at 256 lanes = 34.0 B per (row, lane) element.
+# With grid > 1 Pallas double-buffers the VMEM input blocks, so the model
+# constant must cover 2x2 input buffers + 2 scratch carries + Mosaic's
+# stack temporaries — a 24 B model (statics only, no double-buffering)
+# admitted that exact 256-lane chunk and overflowed the 16 MiB limit by
+# 480 KB (round-3 regression, caught on real hardware).
+_MEASURED_COST_BYTES_MULTICHUNK = 34
+
+
+def test_dtw_cost_model_covers_double_buffering():
+    assert dp._DTW_COST_BYTES_PER_ELEM >= _MEASURED_COST_BYTES_MULTICHUNK
+    # The exact configuration that OOM'd: T=1980, N=384, default request.
+    t_pad = -(-1980 // 8) * 8
+    lanes = dp._lanes_for(t_pad, dp._DTW_COST_BYTES_PER_ELEM, 2048, 384)
+    assert lanes * t_pad * _MEASURED_COST_BYTES_MULTICHUNK <= vmem.SCOPED_VMEM_LIMIT
+
+
 @pytest.mark.parametrize("t", list(range(2, 260)))
 def test_linalg_gate_implies_chunk_fits(t):
     """linalg_path('tpu') admitting T means _max_lanes(T)'s buffer fits the
