@@ -24,7 +24,7 @@ from bayesian_ensembling_tpu.ops.wasserstein import (
     gaussian_w2_distance_diag,
 )
 
-__all__ = ["nll", "rmse", "w2_between_posteriors"]
+__all__ = ["nll", "rmse", "w2_between_posteriors", "crps"]
 
 
 def nll(post: Posterior, obs_values: np.ndarray) -> float:
@@ -43,6 +43,25 @@ def rmse(post: Posterior, obs_values: np.ndarray) -> float:
     flat = obs_values.reshape(obs_values.shape[0], -1)
     mean = np.asarray(post.gaussian.mean)
     return float(np.mean(np.sqrt(np.mean((mean - flat) ** 2, axis=0))))
+
+
+def crps(post: Posterior, obs_values: np.ndarray) -> float:
+    """Mean continuous ranked probability score of the posterior marginals
+    against observation realisations (closed-form Gaussian CRPS,
+    ops/scoring.py).
+
+    An addition over the reference's NLL/RMSE/W2 trio (utils.py:139-155):
+    CRPS is a strictly proper scoring rule for the full predictive
+    distribution against held-out *trajectories*, so it adjudicates the
+    calibration question (sharp-but-overconfident vs wide-but-calibrated)
+    that NLL raises and W2-to-the-pseudo-posterior cannot answer.
+    """
+    from bayesian_ensembling_tpu.ops.scoring import mean_gaussian_crps
+
+    flat = jnp.asarray(obs_values.reshape(obs_values.shape[0], -1))
+    mean = jnp.asarray(post.gaussian.mean)
+    sigma = jnp.sqrt(jnp.asarray(post.gaussian.variance))
+    return float(jnp.mean(mean_gaussian_crps(mean, sigma, flat)))
 
 
 def w2_between_posteriors(a: Posterior, b: Posterior) -> float:

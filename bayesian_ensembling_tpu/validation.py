@@ -215,8 +215,17 @@ def _pmt_program():
                     )
                 )
 
+            def crps_of(mu, sigma):
+                # metrics.crps semantics: mean over valid realisations per
+                # point (masked), then mean over time.
+                c = scoring.gaussian_crps(truth, mu[None, :], sigma[None, :])
+                return jnp.sum(c * tw[:, None]) / (
+                    jnp.maximum(jnp.sum(tw), 1.0) * t_s
+                )
+
             nll_b = nll_of(bary_mu, jnp.square(bary_sigma))
             rmse_b = rmse_of(bary_mu)
+            crps_b = crps_of(bary_mu, bary_sigma)
             if w2_diag:
                 # All forecast posteriors are diagonal: the closed-form diag
                 # W2 equals the dense-embedded full-matrix W2 (tested in
@@ -245,6 +254,7 @@ def _pmt_program():
             mmm_var = jnp.maximum(mmm_var, 1e-12)
             nll_m = nll_of(mmm_mu, mmm_var)
             rmse_m = rmse_of(mmm_mu)
+            crps_m = crps_of(mmm_mu, jnp.sqrt(mmm_var))
             if w2_diag:
                 w2_m = gaussian_w2_distance_diag(
                     mmm_mu, mmm_var, fore_mean[i], fore_cov[i]
@@ -253,7 +263,9 @@ def _pmt_program():
                 w2_m = gaussian_w2_distance(
                     mmm_mu, jnp.diag(mmm_var), fore_mean[i], fore_cov[i]
                 )
-            metrics = jnp.stack([nll_b, rmse_b, w2_b, nll_m, rmse_m, w2_m])
+            metrics = jnp.stack(
+                [nll_b, rmse_b, w2_b, crps_b, nll_m, rmse_m, w2_m, crps_m]
+            )
             # The per-fold combination products ride along for free (already
             # computed for the metrics) so the caller can draw the
             # reference's weight/projection figures without a second pass.
@@ -314,8 +326,9 @@ def batched_pmt(
         the reference's per-fold figures (utils.py:121-179).
 
     Returns:
-      ``(n_models, 6)`` float array, columns
-      ``[nll_bary, rmse_bary, w2_bary, nll_mmm, rmse_mmm, w2_mmm]`` in
+      ``(n_models, 8)`` float array, columns
+      ``[nll_bary, rmse_bary, w2_bary, crps_bary, nll_mmm, rmse_mmm,
+      w2_mmm, crps_mmm]`` in
       leave-one-out order (fold i = model i as pseudo truth); with
       ``return_details`` a ``(metrics, details)`` tuple.
     """
@@ -647,17 +660,19 @@ class PerfectModelTest:
         nll_b = metrics.nll(bary, obs_vals)
         rmse_b = metrics.rmse(bary, obs_vals)
         w2_b = metrics.w2_between_posteriors(bary, pseudo_future.distribution)
+        crps_b = metrics.crps(bary, obs_vals)
 
         # Multi-model-mean baseline (utils.py:148-155).
         mmm = MultiModelMean()(forecast)
         nll_m = metrics.nll(mmm, obs_vals)
         rmse_m = metrics.rmse(mmm, obs_vals)
         w2_m = metrics.w2_between_posteriors(mmm, pseudo_future.distribution)
+        crps_m = metrics.crps(mmm, obs_vals)
 
         if self.save_dir:
             self._plot_projection(bary, mmm, pseudo_future, weight_fn.name)
 
-        return nll_b, rmse_b, w2_b, nll_m, rmse_m, w2_m
+        return nll_b, rmse_b, w2_b, crps_b, nll_m, rmse_m, w2_m, crps_m
 
     def run(
         self,
@@ -699,9 +714,11 @@ class PerfectModelTest:
                 f"nll_bary_{wname}",
                 f"rmse_bary_{wname}",
                 f"w2_bary_{wname}",
+                f"crps_bary_{wname}",
                 "nll_mmm",
                 "rmse_mmm",
                 "w2_mmm",
+                "crps_mmm",
             ],
         )
         if self.save_dir:
@@ -795,9 +812,11 @@ class PerfectModelTest:
                 f"nll_bary_{wname}",
                 f"rmse_bary_{wname}",
                 f"w2_bary_{wname}",
+                f"crps_bary_{wname}",
                 "nll_mmm",
                 "rmse_mmm",
                 "w2_mmm",
+                "crps_mmm",
             ],
         )
         df.insert(0, "model as pseudo obs", list(self.hindcast_models.model_names))

@@ -37,8 +37,13 @@ def summarise(campaign_dir: str) -> pd.DataFrame:
         # include-sim runs suffix the FILE name with _plus_sim but keep the
         # plain weighter name in the metric columns (validation.py).
         col_name = wname.removesuffix("_plus_sim")
+        # CRPS is a round-3 addition; campaigns written before it lack the
+        # columns, so include it only when present.
+        metric_names = ("nll", "rmse", "w2") + (
+            ("crps",) if f"crps_bary_{col_name}" in df.columns else ()
+        )
         bary_cols = {
-            metric: f"{metric}_bary_{col_name}" for metric in ("nll", "rmse", "w2")
+            metric: f"{metric}_bary_{col_name}" for metric in metric_names
         }
         row = {"ssp": ssp, "weighter": wname, "n_folds": len(df)}
         for metric, col in bary_cols.items():
@@ -69,9 +74,13 @@ def main():
               f"{df['weighter'].nunique()} weighters) ==")
         with pd.option_context("display.width", 200, "display.precision", 3):
             print(df.to_string(index=False))
-        for metric in ("w2", "rmse", "nll"):
-            wins = int(df[f"{metric}_bary_wins"].sum())
-            print(f"barycentre beats MMM on {metric.upper()}: {wins}/{len(df)}")
+        for metric in ("w2", "rmse", "nll", "crps"):
+            col = f"{metric}_bary_wins"
+            if col not in df.columns or df[col].isna().all():
+                continue
+            wins = int(df[col].fillna(False).sum())
+            n = int(df[col].notna().sum())
+            print(f"barycentre beats MMM on {metric.upper()}: {wins}/{n}")
 
 
 if __name__ == "__main__":

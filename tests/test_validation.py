@@ -33,6 +33,40 @@ def test_nll_matches_scipy(rng):
     np.testing.assert_allclose(got, want, rtol=1e-6)
 
 
+def test_crps_matches_quadrature(rng):
+    """metrics.crps == the defining integral CRPS = ∫ (F(x) - 1{x>=y})^2 dx,
+    evaluated by scipy quadrature per (realisation, point)."""
+    import scipy.integrate
+
+    n = 4
+    mean = rng.normal(size=n)
+    var = rng.uniform(0.5, 1.5, n)
+    obs = rng.normal(size=(3, n))
+    tmpl_pm = ProcessModel(make_da(rng, n_reals=2, n_months=n), "t")
+    post = Posterior(
+        gaussian=DiagGaussian(mean=jnp.asarray(mean), var=jnp.asarray(var)),
+        template=tmpl_pm.blank_template(),
+    )
+    got = metrics.crps(post, obs)
+
+    def crps_1d(y, mu, sd):
+        f = lambda x: (scipy.stats.norm.cdf(x, mu, sd) - (x >= y)) ** 2
+        lo, hi = mu - 12 * sd, mu + 12 * sd
+        return (
+            scipy.integrate.quad(f, lo, y, limit=200)[0]
+            + scipy.integrate.quad(f, y, hi, limit=200)[0]
+        )
+
+    want = np.mean(
+        [
+            crps_1d(obs[r, i], mean[i], np.sqrt(var[i]))
+            for r in range(obs.shape[0])
+            for i in range(n)
+        ]
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
 def test_rmse_zero_for_perfect_mean(rng):
     n = 8
     obs = np.tile(rng.normal(size=n), (3, 1))
