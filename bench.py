@@ -140,6 +140,73 @@ def main():
         s = np.asarray(bstd[i])
         log(f"{ssp}: 2100 warming {m[-1]:.3f} (+-2sd {m[-1]-2*s[-1]:.3f}..{m[-1]+2*s[-1]:.3f})")
 
+    # Second headline figure: the coarse-to-fine-in-time schedule
+    # (ops/gp.fit_gp_batch_warm_time) runs the SAME experiment to
+    # equal-or-better closeness to the converged optimum in ~0.3 s
+    # (benchmarks/annual_warm_bench.py measured the quality claim against a
+    # 10,000-step truth).  Gated here by algorithm-identity parity against a
+    # float64 CPU anchor running the IDENTICAL warm schedule
+    # (benchmarks/cpu_baseline_warm.json).  Opt out with BENCH_WARM=0.
+    warm_s = None
+    warm_parity_mean = None
+    warm_cfg = {"n_optim_nits": 1000, "time_stride": 12, "fine_steps": 250}
+    warm_anchor_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "benchmarks", "cpu_baseline_warm.json",
+    )
+    run_warm = (
+        os.environ.get("BENCH_WARM", "1") != "0"
+        and N_ITERS == 2000  # only meaningful next to the faithful workload
+        and os.path.exists(warm_anchor_path)
+    )
+    if run_warm:
+        with open(warm_anchor_path) as f:
+            warm_cpu = json.load(f)
+        if all(warm_cpu.get(k) == v for k, v in warm_cfg.items()) and (
+            warm_cpu.get("dba_iterations", 10) == DBA_ITERS
+        ):
+            warm_step = jax.jit(
+                functools.partial(
+                    ensemble_multi_scenario_step,
+                    dba_iterations=DBA_ITERS,
+                    **warm_cfg,
+                )
+            )
+            sync(warm_step(hb, hm, sb, sm, obs, mmask))  # compile + warm
+            warm_s = float("inf")
+            for rep in range(reps):
+                hb_rep = hb + 0.0
+                sync(hb_rep)
+                t0 = time.perf_counter()
+                wout = warm_step(hb_rep, hm, sb, sm, obs, mmask)
+                sync(wout)
+                rep_s = time.perf_counter() - t0
+                log(f"warm rep {rep}: {rep_s:.3f}s")
+                warm_s = min(warm_s, rep_s)
+            wdiffs_m, wdiffs_s = [], []
+            for i, ssp in enumerate(ssp_names):
+                rec = warm_cpu["scenarios"].get(ssp)
+                if not rec or "bary_mean" not in rec:
+                    continue
+                wdiffs_m.append(np.abs(
+                    np.asarray(wout[0][i], np.float64)
+                    - np.asarray(rec["bary_mean"])).max())
+                wdiffs_s.append(np.abs(
+                    np.asarray(wout[1][i], np.float64)
+                    - np.asarray(rec["bary_std"])).max())
+            if wdiffs_m:
+                warm_parity_mean = float(max(wdiffs_m))
+                warm_parity_std = float(max(wdiffs_s))
+                log(
+                    f"warm parity vs f64 CPU warm anchor: max |dmean| "
+                    f"{warm_parity_mean:.5f} degC, max |dstd| "
+                    f"{warm_parity_std:.5f} degC"
+                )
+                assert warm_parity_mean < 0.01 and warm_parity_std < 0.01, (
+                    warm_parity_mean, warm_parity_std)
+        else:
+            log("warm anchor config mismatch — skipping warm figure")
+
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "benchmarks", "cpu_baseline.json")
     vs = None
@@ -197,6 +264,23 @@ def main():
         "compile_cache": bool(_CACHE_DIR),
         "parity_pointwise_mean_degC": round(parity_mean, 6) if parity_mean is not None else None,
         "parity_pointwise_std_degC": round(parity_std, 6) if parity_std is not None else None,
+        # Warm-in-time schedule (same experiment, equal-or-better
+        # convergence — BASELINE.md "Warm-in-time at ANNUAL resolution"):
+        # wall seconds, speedup vs the f64 CPU anchor running the IDENTICAL
+        # warm schedule (75.3 s), and vs the scratch-2000 CPU anchor (the
+        # reference workload's configuration, 387.9 s).
+        "warm_s": round(warm_s, 3) if warm_s is not None else None,
+        "warm_vs_cpu_warm_anchor": (
+            round(warm_cpu["total_seconds"] / warm_s, 2)
+            if warm_s is not None else None
+        ),
+        "warm_vs_scratch_anchor": (
+            round(cpu["total_seconds"] / warm_s, 2)
+            if warm_s is not None and vs is not None else None
+        ),
+        "warm_parity_pointwise_mean_degC": (
+            round(warm_parity_mean, 6) if warm_parity_mean is not None else None
+        ),
     }))
 
 
