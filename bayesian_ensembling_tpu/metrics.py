@@ -18,7 +18,7 @@ import numpy as np
 
 from bayesian_ensembling_tpu.data import Posterior
 from bayesian_ensembling_tpu.ops.distributions import FullCovGaussian
-from bayesian_ensembling_tpu.ops.scoring import diag_log_likelihood
+from bayesian_ensembling_tpu.ops.scoring import diag_log_likelihood, mean_gaussian_crps
 from bayesian_ensembling_tpu.ops.wasserstein import (
     gaussian_w2_distance,
     gaussian_w2_distance_diag,
@@ -56,8 +56,6 @@ def crps(post: Posterior, obs_values: np.ndarray) -> float:
     calibration question (sharp-but-overconfident vs wide-but-calibrated)
     that NLL raises and W2-to-the-pseudo-posterior cannot answer.
     """
-    from bayesian_ensembling_tpu.ops.scoring import mean_gaussian_crps
-
     flat = jnp.asarray(obs_values.reshape(obs_values.shape[0], -1))
     mean = jnp.asarray(post.gaussian.mean)
     sigma = jnp.sqrt(jnp.asarray(post.gaussian.variance))

@@ -132,10 +132,11 @@ def dtw_pairwise_sq(series: jnp.ndarray, mask: tp.Optional[jnp.ndarray] = None) 
         squared_dtw_cost_batch,
     )
 
-    # Kernel only when the problem fits its scoped-VMEM ceiling (~T 5300);
-    # beyond that the vmapped lax.scan wavefront below IS the dispatch the
-    # kernel's own ValueError points to.
-    if jax.default_backend() == "tpu" and dtw_cost_fits(t):
+    # Kernel only when the problem fits its scoped-VMEM ceiling (~T 2500 at
+    # the 128-lane multi-chunk model, ~T 3000 when the R(R-1)/2 batch fits a
+    # single chunk); beyond that the vmapped lax.scan wavefront below IS the
+    # dispatch the kernel's own ValueError points to.
+    if jax.default_backend() == "tpu" and dtw_cost_fits(t, n=r * (r - 1) // 2):
         # Squared-DTW is symmetric with a zero diagonal (the DP recurrence
         # mirrors under i<->j), so only the R(R-1)/2 upper-triangle problems
         # run through the kernel — half the wavefront work of all R^2 pairs.

@@ -108,19 +108,54 @@ _DBA_SPLIT_BYTES_PER_ELEM = 44  # max over the fwd / bwd phase kernels
 # element — the two VMEM inputs are DOUBLE-BUFFERED by Pallas's grid
 # pipelining whenever the batch spans more than one lane chunk (2 x 2) plus
 # the two loop-carry scratch diagonals — and Mosaic's stack allocation for
-# the roll/select temporaries adds ~2.5 f32 more: measured 34.0 B/elem at
-# T=1980 with a 2-chunk grid (a 24 B/elem model admitted 256-lane chunks
-# there that exceeded the scoped limit by 480 KB).  36 B = 9 f32 keeps a
-# margin over the measurement.
-_DTW_COST_BYTES_PER_ELEM = 36
+# the roll/select temporaries adds more.  The stack term is NOT a constant:
+# measured 34.0 B/elem total at T=1980 (~2.5 f32 stack; a 24 B/elem model
+# admitted 256-lane chunks there that exceeded the scoped limit by 480 KB),
+# but 49.1 B/elem at T=3000 AND T=3500 (~6.3 f32 stack — a 36 B model
+# admitted 128-lane chunks at those T that OOM'd by 2.0-4.9 MB; round-3
+# hardware boundary sweep, recorded in tests/test_vmem_budget.py).  Two measured
+# regimes with margin; the boundary is placed at the largest measured
+# low-regime t_pad (1984) so nothing between the measurements is trusted
+# to the cheaper model.
+_DTW_COST_BYTES_PER_ELEM = 36         # t_pad <= _DTW_STACK_REGIME_T
+_DTW_COST_BYTES_PER_ELEM_LARGE = 50   # t_pad >  _DTW_STACK_REGIME_T
+_DTW_STACK_REGIME_T = 1984
+# Single-chunk (grid == 1) cost: no grid pipelining means the two inputs are
+# not double-buffered — measured 41.4 B/elem at T=4528 (the same large-T
+# stack regime minus one 2x2 f32 input copy).  42 B covers it; only
+# consulted above the regime boundary (the multi-chunk gate cannot fail
+# below it), raising the ceiling for batches that fit ONE chunk
+# (N <= 128 at T up to ~3000 on v5e vs ~2500 multi-chunk).
+_DTW_COST_BYTES_PER_ELEM_SINGLE = 42
 
 
-def dtw_cost_fits(t: int) -> bool:
-    """Whether ``squared_dtw_cost_batch`` fits scoped VMEM at T (at the
-    minimum 128-lane chunk) — T up to ~3500 on v5e; beyond it callers must
-    use the lax.scan wavefront path (ops/dtw.py)."""
+def _dtw_cost_bytes_per_elem(t_pad: int) -> int:
+    return (_DTW_COST_BYTES_PER_ELEM if t_pad <= _DTW_STACK_REGIME_T
+            else _DTW_COST_BYTES_PER_ELEM_LARGE)
+
+
+def dtw_cost_fits(t: int, n: tp.Optional[int] = None) -> bool:
+    """Whether ``squared_dtw_cost_batch`` fits scoped VMEM at T — at the
+    minimum 128-lane chunk (T up to ~2500 on v5e), or, when the batch size
+    ``n`` is given and fits a SINGLE chunk, at the cheaper grid-1 cost model
+    (no double-buffered inputs; T up to ~3000 at n <= 128).  Beyond both,
+    callers must use the lax.scan wavefront path (ops/dtw.py)."""
     t_pad = -(-t // 8) * 8
-    return _vmem.fits_min_chunk(t_pad * _DTW_COST_BYTES_PER_ELEM, _SCOPED_VMEM_BUDGET)
+    if _vmem.fits_min_chunk(
+        t_pad * _dtw_cost_bytes_per_elem(t_pad), _SCOPED_VMEM_BUDGET
+    ):
+        return True
+    return n is not None and _single_chunk_lanes(t_pad, n) is not None
+
+
+def _single_chunk_lanes(t_pad: int, n: int) -> tp.Optional[int]:
+    """Lane width for a grid-1 rescue dispatch (whole batch in one chunk at
+    the un-double-buffered cost model), or None if that does not fit."""
+    q = _vmem.LANE_QUANTUM
+    n_pad = max(-(-n // q) * q, q)
+    if n_pad * t_pad * _DTW_COST_BYTES_PER_ELEM_SINGLE <= _SCOPED_VMEM_BUDGET:
+        return n_pad
+    return None
 
 
 def fused_dba_fits(t: int) -> bool:
@@ -146,21 +181,32 @@ def squared_dtw_cost_batch(centers: jnp.ndarray, series: jnp.ndarray, lanes: int
 
     Args:
       centers, series: ``(N, T)`` problem pairs.
-      lanes: problems per grid chunk (VMEM: ~5 (T, lanes) f32 buffers).
+      lanes: problems per grid chunk (VMEM: ``_dtw_cost_bytes_per_elem``
+        bytes per (T, lane) element — measured with grid double-buffering
+        in two T regimes; see the constants' comment).
 
     Returns:
       ``(N,)`` alignment costs, identical to ``ops.dtw.squared_dtw`` per pair.
     """
     n, t = centers.shape
     t_pad = -(-t // 8) * 8  # dynamic_rotate needs 8-aligned sublanes
-    if not dtw_cost_fits(t):
-        raise ValueError(
-            f"T={t} exceeds the DTW cost kernel's scoped-VMEM ceiling even at "
-            "the minimum 128-lane chunk; use the lax.scan wavefront path "
-            "(ops.dtw.squared_dtw / dtw_pairwise_sq dispatch there "
-            "automatically for such T)"
-        )
-    lanes = _lanes_for(t_pad, _DTW_COST_BYTES_PER_ELEM, lanes, n)
+    bpe = _dtw_cost_bytes_per_elem(t_pad)
+    if _vmem.fits_min_chunk(t_pad * bpe, _SCOPED_VMEM_BUDGET):
+        lanes = _lanes_for(t_pad, bpe, lanes, n)
+    else:
+        # Grid-1 rescue: past the multi-chunk ceiling a batch that fits ONE
+        # chunk still runs (no grid pipelining => no input double-buffering,
+        # the cheaper _SINGLE cost model).  Overrides the ``lanes``
+        # preference — a single wide chunk is the only admissible layout.
+        single = _single_chunk_lanes(t_pad, n)
+        if single is None:
+            raise ValueError(
+                f"T={t} (batch {n}) exceeds the DTW cost kernel's scoped-VMEM "
+                "ceiling at every admissible chunk layout; use the lax.scan "
+                "wavefront path (ops.dtw.squared_dtw / dtw_pairwise_sq "
+                "dispatch there automatically for such T)"
+            )
+        lanes = single
     n_pad = -(-n // lanes) * lanes
     c = jnp.pad(centers, ((0, n_pad - n), (0, t_pad - t))).T  # (Tp, N_pad)
     s_rev = jnp.pad(series[:, ::-1], ((0, n_pad - n), (0, t_pad - t))).T

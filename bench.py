@@ -81,6 +81,55 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _min_over_reps(step_fn, reps, hb, hm, sb, sm, obs, mmask, sync, label=""):
+    """Min wall-clock over ``reps`` fresh-buffer executions; returns
+    ``(seconds, last_output)``.
+
+    Fresh input buffers each rep: the tunnelled chip can dedup an execution
+    on byte-identical buffers to ~0.1 ms (BASELINE.md quirks), which
+    min-over-reps would then publish as the headline.  The minimum is the
+    honest steady-state figure for a deterministic program on a link whose
+    throughput fluctuates >2x between measurement windows (BASELINE.md).
+    """
+    best = float("inf")
+    out = None
+    for rep in range(reps):
+        hb_rep = hb + 0.0
+        sync(hb_rep)
+        t0 = time.perf_counter()
+        out = step_fn(hb_rep, hm, sb, sm, obs, mmask)
+        sync(out)
+        rep_s = time.perf_counter() - t0
+        log(f"{label}rep {rep}: {rep_s:.3f}s")
+        best = min(best, rep_s)
+    return best, out
+
+
+def _parity_vs_anchor(anchor, ssp_names, means, stds, anchor_path):
+    """Max pointwise |dmean| / |dstd| vs the anchor's posterior records.
+
+    An anchor file without per-scenario ``bary_mean`` records cannot gate
+    anything — that is a broken artifact, not a pass, so it fails loudly
+    instead of letting a "parity-gated" figure publish ungated.
+    """
+    mdiffs, sdiffs = [], []
+    for i, ssp in enumerate(ssp_names):
+        rec = anchor["scenarios"].get(ssp)
+        if not rec or "bary_mean" not in rec:
+            continue
+        mdiffs.append(np.abs(np.asarray(means[i], np.float64)
+                             - np.asarray(rec["bary_mean"])).max())
+        sdiffs.append(np.abs(np.asarray(stds[i], np.float64)
+                             - np.asarray(rec["bary_std"])).max())
+    if not mdiffs:
+        raise SystemExit(
+            f"bench: anchor {anchor_path} carries no posterior records "
+            "(bary_mean/bary_std per scenario) — regenerate it with "
+            "posteriors; refusing to publish an ungated speedup"
+        )
+    return float(max(mdiffs)), float(max(sdiffs))
+
+
 def main():
     log("devices:", jax.devices())
     obs_pm = pipeline.load_observations()
@@ -116,23 +165,8 @@ def main():
             sync(step(hb, hm, sb, sm, obs, mmask))
         log(f"profiler trace written to {d}")
 
-    # Min over a few steady-state reps: the tunnelled link's throughput
-    # fluctuates >2x between measurement windows (BASELINE.md), and the
-    # minimum is the honest steady-state figure for a deterministic program.
     reps = max(int(os.environ.get("BENCH_REPS", "3")), 1)
-    elapsed = float("inf")
-    for rep in range(reps):
-        # Fresh input buffers each rep: the tunnelled chip can dedup an
-        # execution on byte-identical buffers to ~0.1 ms (BASELINE.md
-        # quirks), which min-over-reps would then publish as the headline.
-        hb_rep = hb + 0.0
-        sync(hb_rep)
-        t0 = time.perf_counter()
-        out = step(hb_rep, hm, sb, sm, obs, mmask)
-        sync(out)
-        rep_s = time.perf_counter() - t0
-        log(f"rep {rep}: {rep_s:.3f}s")
-        elapsed = min(elapsed, rep_s)
+    elapsed, out = _min_over_reps(step, reps, hb, hm, sb, sm, obs, mmask, sync)
 
     bmean, bstd, _ = out
     for i, ssp in enumerate(ssp_names):
@@ -173,37 +207,19 @@ def main():
                 )
             )
             sync(warm_step(hb, hm, sb, sm, obs, mmask))  # compile + warm
-            warm_s = float("inf")
-            for rep in range(reps):
-                hb_rep = hb + 0.0
-                sync(hb_rep)
-                t0 = time.perf_counter()
-                wout = warm_step(hb_rep, hm, sb, sm, obs, mmask)
-                sync(wout)
-                rep_s = time.perf_counter() - t0
-                log(f"warm rep {rep}: {rep_s:.3f}s")
-                warm_s = min(warm_s, rep_s)
-            wdiffs_m, wdiffs_s = [], []
-            for i, ssp in enumerate(ssp_names):
-                rec = warm_cpu["scenarios"].get(ssp)
-                if not rec or "bary_mean" not in rec:
-                    continue
-                wdiffs_m.append(np.abs(
-                    np.asarray(wout[0][i], np.float64)
-                    - np.asarray(rec["bary_mean"])).max())
-                wdiffs_s.append(np.abs(
-                    np.asarray(wout[1][i], np.float64)
-                    - np.asarray(rec["bary_std"])).max())
-            if wdiffs_m:
-                warm_parity_mean = float(max(wdiffs_m))
-                warm_parity_std = float(max(wdiffs_s))
-                log(
-                    f"warm parity vs f64 CPU warm anchor: max |dmean| "
-                    f"{warm_parity_mean:.5f} degC, max |dstd| "
-                    f"{warm_parity_std:.5f} degC"
-                )
-                assert warm_parity_mean < 0.01 and warm_parity_std < 0.01, (
-                    warm_parity_mean, warm_parity_std)
+            warm_s, wout = _min_over_reps(
+                warm_step, reps, hb, hm, sb, sm, obs, mmask, sync, label="warm "
+            )
+            warm_parity_mean, warm_parity_std = _parity_vs_anchor(
+                warm_cpu, ssp_names, wout[0], wout[1], warm_anchor_path
+            )
+            log(
+                f"warm parity vs f64 CPU warm anchor: max |dmean| "
+                f"{warm_parity_mean:.5f} degC, max |dstd| "
+                f"{warm_parity_std:.5f} degC"
+            )
+            assert warm_parity_mean < 0.01 and warm_parity_std < 0.01, (
+                warm_parity_mean, warm_parity_std)
         else:
             log("warm anchor config mismatch — skipping warm figure")
 
@@ -229,30 +245,19 @@ def main():
             and cpu.get("dba_iterations", 10) == DBA_ITERS
         ):
             vs = cpu["total_seconds"] / elapsed
-            mdiffs, sdiffs = [], []
-            for i, ssp in enumerate(ssp_names):
-                rec = cpu["scenarios"].get(ssp)
-                if not rec or "bary_mean" not in rec:
-                    continue
-                got_m = np.asarray(bmean[i], dtype=np.float64)
-                got_s = np.asarray(bstd[i], dtype=np.float64)
-                want_m = np.asarray(rec["bary_mean"])
-                want_s = np.asarray(rec["bary_std"])
-                mdiffs.append(np.abs(got_m - want_m).max())
-                sdiffs.append(np.abs(got_s - want_s).max())
-            if mdiffs:
-                parity_mean = float(max(mdiffs))
-                parity_std = float(max(sdiffs))
-                log(
-                    f"parity vs CPU float64 anchor (pointwise, all scenarios): "
-                    f"max |dmean| {parity_mean:.5f} degC, max |dstd| {parity_std:.5f} degC"
-                )
-                assert parity_mean < MEAN_TOL, (
-                    f"posterior mean divergence {parity_mean:.5f} degC >= {MEAN_TOL}"
-                )
-                assert parity_std < STD_TOL, (
-                    f"posterior std divergence {parity_std:.5f} degC >= {STD_TOL}"
-                )
+            parity_mean, parity_std = _parity_vs_anchor(
+                cpu, ssp_names, bmean, bstd, baseline_path
+            )
+            log(
+                f"parity vs CPU float64 anchor (pointwise, all scenarios): "
+                f"max |dmean| {parity_mean:.5f} degC, max |dstd| {parity_std:.5f} degC"
+            )
+            assert parity_mean < MEAN_TOL, (
+                f"posterior mean divergence {parity_mean:.5f} degC >= {MEAN_TOL}"
+            )
+            assert parity_std < STD_TOL, (
+                f"posterior std divergence {parity_std:.5f} degC >= {STD_TOL}"
+            )
 
     print(json.dumps({
         "metric": "gmst_full_experiment_7ssp_fit2000_weight_barycentre",

@@ -49,9 +49,10 @@ def test_dtw_cost_gate_implies_chunk_fits(t):
     t_pad = -(-t // 8) * 8
     if not dp.dtw_cost_fits(t):
         return
+    bpe = dp._dtw_cost_bytes_per_elem(t_pad)
     for requested in (128, 2048):
-        lanes = dp._lanes_for(t_pad, dp._DTW_COST_BYTES_PER_ELEM, requested, 10_000)
-        assert lanes * t_pad * dp._DTW_COST_BYTES_PER_ELEM <= vmem.SCOPED_VMEM_BUDGET
+        lanes = dp._lanes_for(t_pad, bpe, requested, 10_000)
+        assert lanes * t_pad * bpe <= vmem.SCOPED_VMEM_BUDGET
 
 
 # Mosaic's measured scoped allocation for the cost kernel at T=1980 with a
@@ -61,7 +62,59 @@ def test_dtw_cost_gate_implies_chunk_fits(t):
 # stack temporaries — a 24 B model (statics only, no double-buffering)
 # admitted that exact 256-lane chunk and overflowed the 16 MiB limit by
 # 480 KB (round-3 regression, caught on real hardware).
-_MEASURED_COST_BYTES_MULTICHUNK = 34
+#
+# The stack term GROWS with T (second round-3 hardware sweep): 49.1 B/elem
+# measured at T=3000 AND T=3500 with 128-lane 2-chunk grids (the 36 B model
+# admitted both; they OOM'd at 17.98 / 20.90 MiB), and 41.4 B/elem at
+# T=4528 grid=1 (no input double-buffering).  Hence the two-regime model
+# in dtw_pallas with the boundary at the largest measured low-regime t_pad.
+_MEASURED_COST_BYTES_MULTICHUNK = 34          # T=1980 (low regime)
+_MEASURED_COST_BYTES_MULTICHUNK_LARGE = 49.1  # T=3000/3500 (high regime)
+_MEASURED_COST_BYTES_GRID1_LARGE = 41.4       # T=4528 (high regime, grid=1)
+
+
+def test_dtw_cost_model_covers_measured_high_regime():
+    assert dp._DTW_COST_BYTES_PER_ELEM_LARGE >= _MEASURED_COST_BYTES_MULTICHUNK_LARGE
+    assert dp._DTW_COST_BYTES_PER_ELEM_SINGLE >= _MEASURED_COST_BYTES_GRID1_LARGE
+    # The regime boundary must not trust any T past the last low-regime
+    # measurement (T=1980 -> t_pad 1984) to the cheaper constant.
+    assert dp._DTW_STACK_REGIME_T <= 1984
+    # The exact configs that OOM'd under the 36 B model are now rejected.
+    assert not dp.dtw_cost_fits(3000)
+    assert not dp.dtw_cost_fits(3500)
+    # Hardware-verified boundary decisions stay pinned: T=2536/n=256
+    # (multi-chunk ceiling) and T=3016/n=128 (grid-1 ceiling) compiled, ran,
+    # and matched the scan oracle; the next multiples of 8 are rejected.
+    assert dp.dtw_cost_fits(2536)
+    assert not dp.dtw_cost_fits(2544) and not dp.dtw_cost_fits(2544, n=256)
+    assert dp.dtw_cost_fits(3016, n=128)
+    assert not dp.dtw_cost_fits(3024, n=128)
+
+
+@pytest.mark.parametrize("t", list(range(2200, 3400, 11)) + [2536, 2544, 3016, 3024])
+def test_dtw_cost_grid1_rescue_fits(t):
+    """Past the multi-chunk ceiling, batches that fit ONE chunk are still
+    admitted — at a lane width whose un-double-buffered working set fits the
+    budget — and larger batches are rejected consistently."""
+    t_pad = -(-t // 8) * 8
+    multi = vmem.fits_min_chunk(
+        t_pad * dp._dtw_cost_bytes_per_elem(t_pad), vmem.SCOPED_VMEM_BUDGET
+    )
+    for n in (1, 64, 128, 129, 400):
+        admitted = dp.dtw_cost_fits(t, n=n)
+        lanes = dp._single_chunk_lanes(t_pad, n)
+        if multi:
+            assert admitted
+            continue
+        assert admitted == (lanes is not None)
+        if lanes is not None:
+            n_pad = max(-(-n // vmem.LANE_QUANTUM) * vmem.LANE_QUANTUM,
+                        vmem.LANE_QUANTUM)
+            assert lanes == n_pad  # grid == 1: the whole batch in one chunk
+            assert (lanes * t_pad * dp._DTW_COST_BYTES_PER_ELEM_SINGLE
+                    <= vmem.SCOPED_VMEM_BUDGET)
+    # n unknown -> the conservative multi-chunk answer only.
+    assert dp.dtw_cost_fits(t) == multi
 
 
 def test_dtw_cost_model_covers_double_buffering():
