@@ -300,6 +300,7 @@ def dba_batch(
 
     from bayesian_ensembling_tpu.ops.dtw_pallas import (
         dba_update_batch,
+        dtw_cost_fits,
         split_dba_fits,
         squared_dtw_cost_batch,
     )
@@ -328,7 +329,15 @@ def dba_batch(
             iu, ju = jnp.triu_indices(r, k=1)
             ci = series[:, iu].reshape(b * iu.size, t)
             sj = series[:, ju].reshape(b * ju.size, t)
-            d_half = squared_dtw_cost_batch(ci, sj).reshape(b, iu.size)
+            # The cost kernel's VMEM ceiling (~T 2500 multi-chunk) sits
+            # BELOW the split-DBA gate that admitted this T (~2880), so the
+            # medoid costs need their own dispatch: scan wavefront when the
+            # kernel cannot take the batch.
+            if dtw_cost_fits(t, n=b * iu.size):
+                d_half = squared_dtw_cost_batch(ci, sj)
+            else:
+                d_half = jax.vmap(squared_dtw)(ci, sj)
+            d_half = d_half.reshape(b, iu.size)
             d = jnp.zeros((b, r, r), d_half.dtype).at[:, iu, ju].set(d_half)
             d = d + jnp.swapaxes(d, 1, 2)
         valid = mask[:, :, None] & mask[:, None, :]

@@ -147,6 +147,15 @@ def test_linalg_gate_implies_chunk_fits(t):
         assert admitted
 
 
+def test_medoid_cost_dispatch_window_exists():
+    """The split-DBA gate admits T the cost kernel cannot take (the cost
+    ceiling ~2500 sits below split's ~2880), so dba_batch's medoid init
+    carries its own cost dispatch (ops/dtw.py) — hardware-verified at
+    T=2600 (b=1, r=17: scan-path medoid costs + Pallas split update)."""
+    assert dp.split_dba_fits(2600)
+    assert not dp.dtw_cost_fits(2600, n=17 * 16 // 2)
+
+
 def test_annual_config_unchanged():
     """The headline configs keep their historical dispatch decisions."""
     assert dp.fused_dba_fits(165) and dp.fused_dba_fits(1032)
