@@ -5,6 +5,8 @@ The config contract mirrors the reference's surviving test surface
 learning_rate is a positive float, counts are positive ints.
 """
 
+import types
+
 import numpy as np
 import pytest
 
@@ -102,6 +104,75 @@ def test_plot_posterior_spatial(rng):
         lon = post.mean.get_coord("longitude")
         ext = np.asarray(fig.axes[0].images[0].get_extent(), float)
         assert np.allclose(ext, [lon.min(), lon.max(), lat.min(), lat.max()])
+    plt.close(fig)
+
+
+def test_plot_posterior_spatial_cartopy_branch():
+    """Exercise the map-projection branch (reference data.py:100-131
+    presentation) without real cartopy: a stub module implementing the
+    matplotlib projection protocol stands in, so the Robinson/PlateCarree
+    code path — add_subplot(projection=...), pcolormesh(transform=...),
+    coastlines() — actually runs in environments where cartopy is absent."""
+    import sys
+
+    import matplotlib.axes
+    import matplotlib.pyplot as plt
+
+    from bayesian_ensembling_tpu import plotters
+    from bayesian_ensembling_tpu.coords import DimArray
+    from bayesian_ensembling_tpu.data import Posterior
+    from bayesian_ensembling_tpu.ops.distributions import DiagGaussian
+
+    class StubGeoAxes(matplotlib.axes.Axes):
+        name = "stub-geo"
+
+        def coastlines(self):
+            self._coastlines_drawn = True
+
+        def pcolormesh(self, *args, transform=None, **kwargs):
+            self._transform_seen = transform
+            return super().pcolormesh(*args, **kwargs)
+
+    class _StubProjection:
+        def _as_mpl_axes(self):
+            return StubGeoAxes, {}
+
+    class Robinson(_StubProjection):
+        pass
+
+    class PlateCarree(_StubProjection):
+        pass
+
+    stub_crs = types.ModuleType("cartopy.crs")
+    stub_crs.Robinson = Robinson
+    stub_crs.PlateCarree = PlateCarree
+    stub_pkg = types.ModuleType("cartopy")
+    stub_pkg.crs = stub_crs
+
+    lon = np.array([0.0, 10.0, 20.0])
+    lat = np.array([-30.0, 0.0, 30.0, 60.0])
+    vals = lat[:, None] + lon[None, :]
+    template = DimArray(
+        vals, ("latitude", "longitude"), {"latitude": lat, "longitude": lon}
+    )
+    post = Posterior(DiagGaussian(vals.ravel(), np.ones(vals.size)), template)
+
+    saved = {k: sys.modules.get(k) for k in ("cartopy", "cartopy.crs")}
+    sys.modules["cartopy"] = stub_pkg
+    sys.modules["cartopy.crs"] = stub_crs
+    try:
+        fig = plotters.plot_posterior_spatial(post)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+    geo_axes = [ax for ax in fig.axes if isinstance(ax, StubGeoAxes)]
+    assert len(geo_axes) == 2  # mean + stddev panels (colorbars excluded)
+    for ax in geo_axes:
+        assert getattr(ax, "_coastlines_drawn", False)
+        assert isinstance(ax._transform_seen, PlateCarree)
     plt.close(fig)
 
 
