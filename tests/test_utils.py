@@ -261,3 +261,76 @@ def test_config_kernel_drives_gpdtw3d():
     em2 = GPDTW3D(kernel="matern32", config=GPRParameters(kernel="rbf"))
     assert em2.kernel == "matern32"
     assert GPDTW3D().kernel == "matern32"
+
+
+def _reset_cache_module(monkeypatch):
+    from bayesian_ensembling_tpu.utils import compile_cache
+
+    monkeypatch.setattr(compile_cache, "_enabled_dir", None)
+    return compile_cache
+
+
+def test_compile_cache_disabled_by_env(monkeypatch, tmp_path):
+    cc = _reset_cache_module(monkeypatch)
+    for spelling in ("0", "off", "none", "FALSE"):
+        monkeypatch.setattr(cc, "_enabled_dir", None)
+        monkeypatch.setenv("BET_COMPILE_CACHE", spelling)
+        assert cc.enable_persistent_cache(str(tmp_path / "cache")) is None
+        assert not (tmp_path / "cache").exists()
+
+
+def test_compile_cache_env_path_beats_argument(monkeypatch, tmp_path):
+    """The operator's BET_COMPILE_CACHE path overrides the caller's explicit
+    cache_dir (the documented both-directions override contract)."""
+    import jax
+
+    cc = _reset_cache_module(monkeypatch)
+    env_dir = tmp_path / "from_env"
+    arg_dir = tmp_path / "from_arg"
+    monkeypatch.setenv("BET_COMPILE_CACHE", str(env_dir))
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        assert cc.enable_persistent_cache(str(arg_dir)) == str(env_dir)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
+    assert env_dir.is_dir() and not arg_dir.exists()
+
+
+def test_compile_cache_idempotent_and_unwritable(monkeypatch, tmp_path):
+    import jax
+
+    cc = _reset_cache_module(monkeypatch)
+    monkeypatch.delenv("BET_COMPILE_CACHE", raising=False)
+    first = tmp_path / "a"
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        assert cc.enable_persistent_cache(str(first)) == str(first)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
+    # Second call is a no-op returning the dir already in use, even with a
+    # different argument (the jax config is process-global).
+    assert cc.enable_persistent_cache(str(tmp_path / "b")) == str(first)
+    assert not (tmp_path / "b").exists()
+    # Unwritable target degrades to None, never raises.  (chmod can't make
+    # a dir unwritable for root, which CI containers run as — inject the
+    # OSError at the makedirs seam instead.)
+    monkeypatch.setattr(cc, "_enabled_dir", None)
+
+    def deny(*a, **k):
+        raise OSError("read-only filesystem")
+
+    monkeypatch.setattr(cc.os, "makedirs", deny)
+    assert cc.enable_persistent_cache(str(tmp_path / "blocked")) is None
+
+
+def test_logging_helpers(capsys):
+    import logging
+
+    from bayesian_ensembling_tpu.utils.logging import get_logger, log_metrics
+
+    logger = get_logger("bet-test-logger", level=logging.INFO)
+    assert get_logger("bet-test-logger") is logger
+    assert len(logger.handlers) == 1  # no handler stacking on re-get
+    log_metrics({"nll": 1.23456789, "rmse": 0.5}, prefix="fold0", logger=logger)
+    err = capsys.readouterr().err
+    assert "fold0" in err and "nll=1.23457" in err and "rmse=0.5" in err
