@@ -13,12 +13,26 @@ Usage: python benchmarks/pmt_summary.py [campaign_dir ...]
 """
 
 import glob
+import math
 import os
 import re
 import sys
 
 import numpy as np
 import pandas as pd
+
+
+def sign_test_p(wins: int, n: int) -> float:
+    """Exact two-sided binomial sign-test p-value (H0: win prob = 0.5).
+
+    Minlike definition: sum the probabilities of all outcomes no more
+    likely than the observed one.  Ties must be excluded by the caller
+    (standard paired sign test).  Pure stdlib — no scipy dependency."""
+    if n == 0:
+        return float("nan")
+    probs = [math.comb(n, k) * 0.5**n for k in range(n + 1)]
+    observed = probs[wins]
+    return float(min(1.0, sum(p for p in probs if p <= observed * (1 + 1e-12))))
 
 
 def summarise(campaign_dir: str) -> pd.DataFrame:
@@ -52,6 +66,16 @@ def summarise(campaign_dir: str) -> pd.DataFrame:
             row[f"{metric}_bary"] = b
             row[f"{metric}_mmm"] = mm
             row[f"{metric}_bary_wins"] = bool(b < mm)
+            # Paired per-fold comparison: the fold (one pseudo-truth model)
+            # is the exchangeable unit, so the sign test runs on fold wins,
+            # not on the fold-MEAN comparison above (which one outlier fold
+            # can decide — the ssp434/460 MMM-NLL blowups in BASELINE.md).
+            diffs = df[col].values - df[f"{metric}_mmm"].values
+            fw = int(np.sum(diffs < 0))
+            fn = int(np.sum(diffs != 0))
+            row[f"{metric}_fold_wins"] = f"{fw}/{fn}"
+            row[f"_{metric}_fw"] = fw
+            row[f"_{metric}_fn"] = fn
         rows.append(row)
     return pd.DataFrame(rows)
 
@@ -72,15 +96,34 @@ def main():
             continue
         print(f"\n== {os.path.basename(d)} ({df['ssp'].nunique()} SSPs x "
               f"{df['weighter'].nunique()} weighters) ==")
-        with pd.option_context("display.width", 200, "display.precision", 3):
-            print(df.to_string(index=False))
+        shown = df[[c for c in df.columns if not c.startswith("_")]]
+        with pd.option_context("display.width", 250, "display.precision", 3):
+            print(shown.to_string(index=False))
         for metric in ("w2", "rmse", "nll", "crps"):
             col = f"{metric}_bary_wins"
             if col not in df.columns or df[col].isna().all():
                 continue
             wins = int(df[col].fillna(False).sum())
             n = int(df[col].notna().sum())
-            print(f"barycentre beats MMM on {metric.upper()}: {wins}/{n}")
+            # Pooled fold-level paired sign test.  Caveat stated in the
+            # output: folds are shared across the weighter cells of one
+            # scenario (same leave-one-out splits), so the pooled count
+            # overstates independence ACROSS weighters; the per-weighter
+            # pools below are the defensible units.
+            fw = int(df[f"_{metric}_fw"].sum())
+            fn = int(df[f"_{metric}_fn"].sum())
+            print(
+                f"barycentre beats MMM on {metric.upper()}: {wins}/{n} cells; "
+                f"folds {fw}/{fn} (pooled sign test p={sign_test_p(fw, fn):.2g}; "
+                f"folds shared across weighters)"
+            )
+            for wname, sub in df.groupby("weighter"):
+                fw_w = int(sub[f"_{metric}_fw"].sum())
+                fn_w = int(sub[f"_{metric}_fn"].sum())
+                print(
+                    f"  {wname}: folds {fw_w}/{fn_w} "
+                    f"(sign test p={sign_test_p(fw_w, fn_w):.2g})"
+                )
 
 
 if __name__ == "__main__":

@@ -56,3 +56,39 @@ def test_summary_plus_sim_naming(tmp_path):
     df = summarise(str(tmp_path))
     assert len(df) == 1 and df.iloc[0]["weighter"] == "UniformWeight_plus_sim"
     assert bool(df.iloc[0]["nll_bary_wins"]) is True
+
+
+def test_sign_test_p_exact():
+    """Exact two-sided binomial sign test: hand values + scipy oracle when
+    available, symmetry, edge cases."""
+    from pmt_summary import sign_test_p
+
+    assert np.isnan(sign_test_p(0, 0))
+    assert sign_test_p(1, 1) == pytest.approx(1.0)
+    assert sign_test_p(5, 10) == pytest.approx(1.0)
+    # P(X=0) + P(X=10) for n=10: 2 * 2^-10
+    assert sign_test_p(10, 10) == pytest.approx(2 * 0.5**10)
+    assert sign_test_p(7, 10) == pytest.approx(0.34375)  # minlike two-sided
+    assert sign_test_p(3, 10) == pytest.approx(sign_test_p(7, 10))
+    scipy_stats = pytest.importorskip("scipy.stats")
+    for n in (5, 13, 65, 325):
+        for wins in (0, 1, n // 3, n // 2, n - 1, n):
+            assert sign_test_p(wins, n) == pytest.approx(
+                scipy_stats.binomtest(wins, n).pvalue, rel=1e-10
+            ), (wins, n)
+
+
+def test_summary_fold_level_columns(tmp_path):
+    """Fold-level win counts count strict per-fold wins, excluding ties —
+    the unit the sign test runs on (one outlier fold can flip the
+    fold-MEAN cell verdict; the fold counts are the robust view)."""
+    from pmt_summary import summarise
+
+    # Fold 1: bary wins (1 < 2); fold 2: tie (2 == 2).  Fold-mean says
+    # bary wins (1.5 < 2.0); fold level says 1 win of 1 comparable.
+    _write_campaign(tmp_path, "UniformWeight", "ssp119", [1.0, 2.0], [2.0, 2.0])
+    df = summarise(str(tmp_path))
+    row = df.iloc[0]
+    assert row["nll_fold_wins"] == "1/1"
+    assert bool(row["nll_bary_wins"]) is True
+    assert row["rmse_fold_wins"] == "2/2"  # 0.5<0.7, 0.6<0.7
