@@ -296,6 +296,29 @@ def fit_gp(
     return params, losses
 
 
+class _BatchBFGS:
+    """State factory for the per-model damped quasi-Newton optimiser
+    (``optimizer="bfgs"``; the step logic lives in :func:`_build_batch_step`).
+
+    Each model owns its full 2-parameter optimiser: a 2x2 BFGS Hessian
+    approximation, a Levenberg-style damping scalar, and the delayed
+    curvature pair from its last accepted step.  Nothing couples the batch
+    — this is the decoupled counterpart of the measured-and-rejected optax
+    L-BFGS, whose ONE zoom-linesearch step size was shared across all
+    models' summed objective (BASELINE.md "Fewer-steps route")."""
+
+    def init(self, params: "GPParams"):
+        m = jnp.shape(params.raw_lengthscale)[0]
+        dt = params.raw_lengthscale.dtype
+        return (
+            jnp.broadcast_to(jnp.eye(2, dtype=dt), (m, 2, 2)),  # B ≈ Hessian
+            jnp.ones((m,), dt),  # damping λ
+            jnp.zeros((m, 2), dt),  # pending accepted step s
+            jnp.zeros((m, 2), dt),  # gradient at the previous iterate
+            jnp.zeros((m,), bool),  # pending curvature pair valid?
+        )
+
+
 def _make_batch_opt(optimizer: str, learning_rate: float):
     """The optimiser used by every batched-fit entry point (one place so the
     merged single-program fit and the host-chunked segments can never drift)."""
@@ -303,6 +326,8 @@ def _make_batch_opt(optimizer: str, learning_rate: float):
         return optax.adam(learning_rate)
     if optimizer == "lbfgs":
         return optax.lbfgs()
+    if optimizer == "bfgs":
+        return _BatchBFGS()
     raise ValueError(f"unknown optimizer {optimizer!r}")
 
 
@@ -366,6 +391,78 @@ def _build_batch_step(opt, x, y, noise_var, kernel_name, jitter, optimizer):
             )
             params = optax.apply_updates(params, updates)
             return (params, opt_state), nlml_vec(params)
+
+    elif optimizer == "bfgs":
+        # Per-model damped quasi-Newton in the 2 raw hyperparameters.
+        # One value_and_grad at the iterate + one value-only proposal check
+        # per step (~1.5x an Adam step); each model solves its own damped
+        # 2x2 system and accepts/rejects independently, so — unlike the
+        # rejected shared-linesearch L-BFGS — a hard model cannot stall an
+        # easy one.  The BFGS curvature update is DELAYED one iteration:
+        # the pair (s, y) needs the gradient at the accepted proposal,
+        # which is exactly the next iteration's value_and_grad.
+
+        def pack(p):
+            return jnp.stack([p.raw_lengthscale, p.raw_variance], axis=-1)
+
+        def unpack(v):
+            return GPParams(raw_lengthscale=v[..., 0], raw_variance=v[..., 1])
+
+        def step(carry, _):
+            params, (hess, lam, s_pend, g_prev, pend_ok) = carry
+            (_, per_model), grads = jax.value_and_grad(total, has_aux=True)(params)
+            g = pack(grads)
+            # Delayed BFGS update from the last ACCEPTED step; the
+            # curvature condition sᵀy > 0 keeps B positive definite.
+            yv = g - g_prev
+            sy = jnp.sum(s_pend * yv, axis=-1)
+            ok = pend_ok & (sy > 1e-12)
+            bs = jnp.einsum("mij,mj->mi", hess, s_pend)
+            sbs = jnp.maximum(jnp.sum(s_pend * bs, axis=-1), 1e-30)
+            upd = (
+                hess
+                - bs[:, :, None] * bs[:, None, :] / sbs[:, None, None]
+                + yv[:, :, None] * yv[:, None, :]
+                / jnp.maximum(sy, 1e-30)[:, None, None]
+            )
+            hess = jnp.where(ok[:, None, None], upd, hess)
+            # Damped closed-form 2x2 solve: (B + λI) δ = -g.
+            a = hess[:, 0, 0] + lam
+            b = hess[:, 0, 1]
+            c = hess[:, 1, 0]
+            d = hess[:, 1, 1] + lam
+            det = a * d - b * c
+            delta = jnp.stack(
+                [(-g[:, 0] * d + g[:, 1] * b) / det,
+                 (g[:, 0] * c - g[:, 1] * a) / det],
+                axis=-1,
+            )
+            prop = unpack(pack(params) + delta)
+            f_prop = nlml_vec(prop)
+            accept = jnp.isfinite(f_prop) & (f_prop < per_model)
+            new_v = jnp.where(accept[:, None], pack(prop), pack(params))
+            # NaN rescue: a lane whose CURRENT objective is non-finite can
+            # never be improved upon (every comparison against NaN is
+            # False), so it would stay stuck forever — reachable when a
+            # warm start lands on degenerate hyperparameters (e.g. a
+            # too-short coarse series drove the lengthscale unboundedly
+            # large and the full-T Cholesky NaNs there).  Reset such lanes
+            # to the scratch init with a fresh optimiser state.
+            stuck = ~jnp.isfinite(per_model)
+            i0 = init_params(dtype=new_v.dtype)
+            init_v = jnp.stack([i0.raw_lengthscale, i0.raw_variance])
+            new_v = jnp.where(stuck[:, None], init_v[None, :], new_v)
+            params = unpack(new_v)
+            eye2 = jnp.eye(2, dtype=new_v.dtype)
+            hess = jnp.where(stuck[:, None, None], eye2[None], hess)
+            lam = jnp.clip(
+                jnp.where(accept, lam * 0.5, lam * 4.0), 1e-8, 1e10
+            )
+            lam = jnp.where(stuck, 1.0, lam)
+            accept = accept & ~stuck
+            s_pend = jnp.where(accept[:, None], delta, 0.0)
+            state = (hess, lam, s_pend, g, accept)
+            return (params, state), per_model
 
     else:
         raise ValueError(f"unknown optimizer {optimizer!r}")

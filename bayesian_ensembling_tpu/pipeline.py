@@ -251,6 +251,7 @@ def run_scenario(
     fit_chunk_steps: tp.Optional[int] = None,
     time_stride: int = 1,
     fine_steps: tp.Optional[int] = None,
+    optimizer: str = "adam",
 ) -> ScenarioResult:
     """Fit + weight + combine one scenario (script :87-143).
 
@@ -263,6 +264,8 @@ def run_scenario(
     ``time_stride``/``fine_steps``: coarse-to-fine-in-time fit for native
     monthly resolution (ops/gp.fit_gp_batch_warm_time — measured faster AND
     closer to the converged optimum than the scratch fit at monthly T).
+    ``optimizer``: "adam" (reference-faithful default) | "lbfgs" |
+    "bfgs" (per-model damped quasi-Newton; use with n_optim_nits ~ 30-60).
     """
     weighter = weighter or CRPSWeight()
     emulator = emulator or GPDTW1D()
@@ -274,6 +277,7 @@ def run_scenario(
         fit_chunk_steps=fit_chunk_steps,
         time_stride=time_stride,
         fine_steps=fine_steps,
+        optimizer=optimizer,
     )
     hist.fit(emulator, **fit_kw)
     ssp_collection.fit(emulator, **fit_kw)

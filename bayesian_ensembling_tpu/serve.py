@@ -191,6 +191,7 @@ def build_artifacts(
     time_stride: int = 1,
     fine_steps: tp.Optional[int] = None,
     fit_chunk_steps: tp.Optional[int] = None,
+    optimizer: str = "adam",
 ) -> "ProjectionService":
     """Run the full experiment and save serving artifacts (one fit, then
     serve forever).  ``sigma_mode`` selects the combined-sigma convention
@@ -213,6 +214,7 @@ def build_artifacts(
             hist, ssp_mc, obs, ssp, n_optim_nits=n_optim_nits,
             sigma_mode=sigma_mode, time_stride=time_stride,
             fine_steps=fine_steps, fit_chunk_steps=fit_chunk_steps,
+            optimizer=optimizer,
         )
     svc = ProjectionService.from_results(results)
     svc.save(out_dir)
@@ -236,10 +238,12 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None):
         help="calendar resample frequency (M/Q/Y; 'none' = native monthly)",
     )
     from bayesian_ensembling_tpu.utils.cli import (
+        add_optimizer_arg,
         add_warm_time_args,
         validate_warm_time_args,
     )
 
+    add_optimizer_arg(b)
     add_warm_time_args(b)
     b.add_argument(
         "--fit-chunk-steps", type=int, default=None,
@@ -264,7 +268,7 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None):
             args.out, ssps, args.data_dir, args.n_optim_nits,
             sigma_mode=args.sigma_mode, resample_freq=freq,
             time_stride=args.time_stride, fine_steps=args.fine_steps,
-            fit_chunk_steps=args.fit_chunk_steps,
+            fit_chunk_steps=args.fit_chunk_steps, optimizer=args.optimizer,
         )
         print(f"saved artifacts for {svc.scenarios()} to {args.out}")
     else:

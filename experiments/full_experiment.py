@@ -49,10 +49,12 @@ def main():
         "native monthly T=1980 at 2000 iterations)",
     )
     from bayesian_ensembling_tpu.utils.cli import (
+        add_optimizer_arg,
         add_warm_time_args,
         validate_warm_time_args,
     )
 
+    add_optimizer_arg(ap)
     add_warm_time_args(ap)
     ap.add_argument("--cpu", action="store_true", help="run the float64 CPU path")
     args = ap.parse_args()
@@ -96,6 +98,7 @@ def main():
             fit_chunk_steps=args.fit_chunk_steps,
             time_stride=args.time_stride,
             fine_steps=args.fine_steps,
+            optimizer=args.optimizer,
         )
         results[ssp] = res
         summ = pipeline.warming_summary(res)

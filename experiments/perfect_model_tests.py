@@ -70,10 +70,12 @@ def main():
         "--prefit-dir, whose checkpoints fix the resolution.",
     )
     from bayesian_ensembling_tpu.utils.cli import (
+        add_optimizer_arg,
         add_warm_time_args,
         validate_warm_time_args,
     )
 
+    add_optimizer_arg(ap)
     add_warm_time_args(ap)
     args = ap.parse_args()
     validate_warm_time_args(
@@ -150,6 +152,7 @@ def main():
                     use_prefit_models=use_prefit,
                     time_stride=args.time_stride,
                     fine_steps=args.fine_steps,
+                    optimizer=args.optimizer,
                 )
             print(f"{ssp} / {wname}:\n{df.describe().loc[['mean']]}", flush=True)
 

@@ -47,10 +47,12 @@ def main():
         "executions, e.g. ~2500 steps at native monthly T=1980)",
     )
     from bayesian_ensembling_tpu.utils.cli import (
+        add_optimizer_arg,
         add_warm_time_args,
         validate_warm_time_args,
     )
 
+    add_optimizer_arg(ap)
     add_warm_time_args(ap)
     args = ap.parse_args()
     validate_warm_time_args(ap, args, resample_freq=args.resample_freq)
@@ -71,6 +73,7 @@ def main():
             fit_chunk_steps=args.fit_chunk_steps,
             time_stride=args.time_stride,
             fine_steps=args.fine_steps,
+            optimizer=args.optimizer,
         )
         hist.fit(GPDTW1D(), **fit_kw)
         ssp_mc.fit(GPDTW1D(), **fit_kw)

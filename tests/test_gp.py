@@ -191,3 +191,74 @@ def test_lbfgs_batch_matches_per_model_fits(rng):
     # Converged objective values agree per model (optima are identical;
     # trajectories need not be).
     np.testing.assert_allclose(batch_final, solo_final, rtol=1e-4, atol=1e-3)
+
+
+def test_fit_gp_batch_bfgs_matches_adam_quality(rng):
+    """The per-model damped quasi-Newton (optimizer="bfgs") reaches
+    Adam-2000's NLML (or better) in ~30 steps on every model — the
+    decoupled counterpart of the rejected shared-linesearch L-BFGS
+    (BASELINE.md "Fewer-steps route")."""
+    xs, ys, noises = [], [], []
+    for _ in range(5):
+        x, y, noise = make_problem(rng, t=24, d=3)
+        xs.append(x), ys.append(y), noises.append(noise)
+    xb = jnp.asarray(np.stack(xs))
+    yb = jnp.asarray(np.stack(ys))
+    nb = jnp.asarray(np.stack(noises))
+    _, adam_losses = gp.fit_gp_batch(xb, yb, nb, n_optim_nits=2000)
+    _, bfgs_losses = gp.fit_gp_batch(xb, yb, nb, n_optim_nits=30, optimizer="bfgs")
+    adam_final = np.asarray(adam_losses)[:, -1]
+    bfgs_final = np.asarray(bfgs_losses)[:, -1]
+    assert np.isfinite(bfgs_final).all()
+    assert (bfgs_final <= adam_final + 0.05).all(), (bfgs_final, adam_final)
+
+
+def test_fit_gp_batch_bfgs_chunked_matches_merged(rng):
+    """The BFGS optimiser state (Hessian approx, damping, pending pair)
+    carries exactly across host-chunk boundaries."""
+    xs, ys, noises = [], [], []
+    for _ in range(3):
+        x, y, noise = make_problem(rng, t=16, d=2)
+        xs.append(x), ys.append(y), noises.append(noise)
+    xb = jnp.asarray(np.stack(xs))
+    yb = jnp.asarray(np.stack(ys))
+    nb = jnp.asarray(np.stack(noises))
+    mparams, mlosses = gp.fit_gp_batch(xb, yb, nb, n_optim_nits=20, optimizer="bfgs")
+    cparams, closses = gp.fit_gp_batch_chunked(
+        xb, yb, nb, n_optim_nits=20, optimizer="bfgs", chunk_steps=7
+    )
+    np.testing.assert_array_equal(np.asarray(mlosses), np.asarray(closses))
+    np.testing.assert_array_equal(
+        np.asarray(mparams.raw_lengthscale), np.asarray(cparams.raw_lengthscale)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(mparams.raw_variance), np.asarray(cparams.raw_variance)
+    )
+
+
+def test_fit_gp_batch_bfgs_nan_rescue(rng):
+    """A lane whose starting NLML is non-finite (degenerate warm start:
+    huge lengthscale + near-zero noise makes the Gram rank-1 and the
+    Cholesky NaN) is reset to the scratch init and then optimised, instead
+    of staying stuck forever (every comparison against NaN is False)."""
+    xs, ys, noises = [], [], []
+    for _ in range(2):
+        x, y, noise = make_problem(rng, t=30, d=2)
+        xs.append(x), ys.append(y), noises.append(noise)
+    xb = jnp.asarray(np.stack(xs))
+    yb = jnp.asarray(np.stack(ys))
+    nb = jnp.asarray(np.stack(noises))
+    # Lane 0's warm start is NaN (the end state of an overflowed/degenerate
+    # coarse fit — at f32 on TPU a too-short coarse series reaches this via
+    # an unboundedly large lengthscale whose full-T Cholesky NaNs; NaN
+    # params are the dtype-independent way to pin the stuck state).
+    bad = gp.GPParams(
+        raw_lengthscale=jnp.asarray([np.nan, 0.54]),
+        raw_variance=jnp.asarray([np.nan, 0.54]),
+    )
+    params, losses = gp.fit_gp_batch(
+        xb, yb, nb, n_optim_nits=25, optimizer="bfgs", init=bad
+    )
+    final = np.asarray(losses)[:, -1]
+    assert np.isfinite(final).all(), final
+    assert np.isfinite(np.asarray(params.raw_lengthscale)).all()
