@@ -5,11 +5,14 @@ reference publishes no numbers): the float64 CPU path of this framework,
 run with the reference experiment's settings (GPDTW1D, 2000 optimisation
 iterations, CRPS weights, barycentre; full_experiment_script.py:87-143).
 
-Usage: python benchmarks/cpu_baseline.py [n_optim_nits] [time_stride] [fine_steps]
+Usage: python benchmarks/cpu_baseline.py [n_optim_nits] [time_stride] [fine_steps] [optimizer]
 
 With a time_stride > 1 the anchor runs the coarse-to-fine-in-time schedule
 instead (ops/gp.fit_gp_batch_warm_time) and writes cpu_baseline_warm.json —
 the algorithm-identity parity anchor for benchmarks/annual_warm_bench.py.
+With optimizer="bfgs" (pass fine_steps as 0/none when unused) it runs the
+per-model damped quasi-Newton fit and writes cpu_baseline_bfgs.json — the
+parity anchor for that bench's bfgs rows.
 """
 
 import json
@@ -31,7 +34,12 @@ from bayesian_ensembling_tpu.models.gp_dtw import GPDTW1D
 
 N_ITERS = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
 TIME_STRIDE = int(sys.argv[2]) if len(sys.argv) > 2 else 1
-FINE_STEPS = int(sys.argv[3]) if len(sys.argv) > 3 else None
+FINE_STEPS = (
+    int(sys.argv[3])
+    if len(sys.argv) > 3 and sys.argv[3] not in ("0", "none")
+    else None
+)
+OPTIMIZER = sys.argv[4] if len(sys.argv) > 4 else "adam"
 
 obs = pipeline.load_observations()
 results = {}
@@ -45,6 +53,7 @@ for ssp in pipeline.ALL_SSPS:
         n_optim_nits=N_ITERS,
         time_stride=TIME_STRIDE,
         fine_steps=FINE_STEPS,
+        optimizer=OPTIMIZER,
     )
     dt = time.time() - t0
     summ = pipeline.warming_summary(res)
@@ -69,6 +78,9 @@ if TIME_STRIDE > 1:
     out["time_stride"] = TIME_STRIDE
     out["fine_steps"] = FINE_STEPS
     name = "cpu_baseline_warm.json"
+if OPTIMIZER != "adam":
+    out["optimizer"] = OPTIMIZER
+    name = "cpu_baseline_bfgs.json"
 with open(os.path.join(os.path.dirname(__file__), name), "w") as f:
     json.dump(out, f, indent=1)
 print(json.dumps({"total_seconds": total}))

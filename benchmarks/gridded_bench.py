@@ -51,12 +51,14 @@ MEAN_TOL = float(os.environ.get("BENCH_PARITY_MEAN_TOL", "1e-3"))
 STD_TOL = float(os.environ.get("BENCH_PARITY_STD_TOL", "1e-3"))
 
 
-def select_oracle_entry(loaded, *, n_iters, n_cells, warm_stride, fine_nits, lat, lon):
+def select_oracle_entry(loaded, *, n_iters, n_cells, warm_stride, fine_nits, lat, lon,
+                        optimizer="adam"):
     """Pick the oracle entry matching this run's configuration, or None.
 
     The warm oracle file holds one entry per configuration (``{"entries":
     [...]}``, one per fine step count etc.); the non-warm file and legacy
-    warm files are a single bare entry.
+    warm files are a single bare entry.  Entries written before the
+    ``--optimizer`` flag existed are Adam runs (the only optimizer then).
     """
     entries = loaded["entries"] if "entries" in loaded else [loaded]
     return next(
@@ -66,6 +68,7 @@ def select_oracle_entry(loaded, *, n_iters, n_cells, warm_stride, fine_nits, lat
             if o.get("n_optim_nits") == n_iters
             and o["n_cells"] <= n_cells
             and o.get("warm_stride", 0) == warm_stride
+            and o.get("optimizer", "adam") == optimizer
             and (not warm_stride or o.get("fine_nits") == fine_nits)
             and (not warm_stride or (o.get("lat"), o.get("lon")) == (lat, lon))
         ),
@@ -95,6 +98,11 @@ def main():
                     help="timed repetitions; report the minimum (the "
                     "tunnelled link's throughput fluctuates and the slab "
                     "mode is transfer-bound at the margins)")
+    ap.add_argument("--optimizer", default="adam",
+                    choices=("adam", "bfgs", "lbfgs"),
+                    help="hyperparameter optimiser (ops/gp.fit_gp_batch); "
+                    "'bfgs' = per-model damped quasi-Newton, which reaches "
+                    "adam-500 quality in ~30 steps (annual_warm_bench.py)")
     args = ap.parse_args()
     n_iters, la, lo, slab = args.n_iters, args.lat, args.lon, args.slab
     warm_stride = args.warm_stride
@@ -112,14 +120,19 @@ def main():
 
     from bayesian_ensembling_tpu.utils.profiling import device_sync as sync
 
+    opt = args.optimizer
     if warm_stride:
         run_nits = fine_nits
         step = jax.jit(
-            lambda b, o, gi: gc.gridded_experiment(b, o, run_nits, gp_init=gi)
+            lambda b, o, gi: gc.gridded_experiment(
+                b, o, run_nits, gp_init=gi, optimizer=opt
+            )
         )
     else:
         run_nits = n_iters
-        step = jax.jit(lambda b, o: gc.gridded_experiment(b, o, run_nits))
+        step = jax.jit(
+            lambda b, o: gc.gridded_experiment(b, o, run_nits, optimizer=opt)
+        )
 
     # Whole-grid mode: the inputs fit HBM, so transfer ONCE outside the
     # timed runs (the slab mode streams transfers by design and pipelines
@@ -133,7 +146,8 @@ def main():
         # at the full step count are what buy the fine pass its short one.
         gp_init = (
             gc.coarse_params_for(
-                np.arange(c), la, lo, warm_stride, n_iters, np.float32
+                np.arange(c), la, lo, warm_stride, n_iters, np.float32,
+                optimizer=opt,
             )
             if warm_stride
             else None
@@ -219,7 +233,7 @@ def main():
             loaded = json.load(f)
         oracle = select_oracle_entry(
             loaded, n_iters=n_iters, n_cells=c, warm_stride=warm_stride,
-            fine_nits=fine_nits, lat=la, lon=lo,
+            fine_nits=fine_nits, lat=la, lon=lo, optimizer=opt,
         )
         if oracle is not None:
             nc = oracle["n_cells"]
@@ -236,6 +250,8 @@ def main():
             assert parity_std < STD_TOL, f"gridded std divergence {parity_std}"
 
     warm_tag = f"_warm{warm_stride}x{fine_nits}" if warm_stride else ""
+    if opt != "adam":
+        warm_tag += f"_{opt}"
     print(json.dumps({
         "metric": f"gridded_fit_ensemble_{m}x{c}cells_{n_iters}iters{warm_tag}",
         "value": round(elapsed, 3),

@@ -37,7 +37,8 @@ def make_workload(n_cells: int, dtype=np.float32):
     return make_workload_cells(np.arange(n_cells), dtype)
 
 
-def coarse_params_for(cell_indices, lat, lon, stride, n_iters, dtype=np.float32):
+def coarse_params_for(cell_indices, lat, lon, stride, n_iters, dtype=np.float32,
+                      optimizer="adam"):
     """Warm-start ``GPParams`` for ``cell_indices`` via the coarse-grid fit.
 
     Fits ONLY the coarse cells that serve the requested fine cells (each
@@ -65,6 +66,7 @@ def coarse_params_for(cell_indices, lat, lon, stride, n_iters, dtype=np.float32)
         jnp.asarray(cblock.reshape(m * nc, r, t)),
         jnp.ones((m * nc, r), bool),
         n_optim_nits=n_iters,
+        optimizer=optimizer,
     )
     params = jax.tree.map(lambda p: np.asarray(p).reshape(m, nc), params)
     pos = {int(v): i for i, v in enumerate(need)}
@@ -72,7 +74,8 @@ def coarse_params_for(cell_indices, lat, lon, stride, n_iters, dtype=np.float32)
     return jax.tree.map(lambda p: p[:, sel], params)
 
 
-def gridded_experiment(blocks, obs, n_iters: int, gp_init=None):
+def gridded_experiment(blocks, obs, n_iters: int, gp_init=None,
+                       optimizer: str = "adam"):
     """(M,C,R,T) blocks + (C,R_obs,T) obs -> per-cell barycentre moments.
 
     Thin wrapper over the LIBRARY's gridded pipeline
@@ -93,4 +96,5 @@ def gridded_experiment(blocks, obs, n_iters: int, gp_init=None):
         jnp.ones((m, c, r), bool),
         n_optim_nits=n_iters,
         gp_init=gp_init,
+        optimizer=optimizer,
     )

@@ -33,10 +33,12 @@ ap.add_argument("--warm-stride", type=int, default=0)
 ap.add_argument("--fine-nits", type=int, default=0)
 ap.add_argument("--lat", type=int, default=180)
 ap.add_argument("--lon", type=int, default=360)
+ap.add_argument("--optimizer", default="adam", choices=("adam", "bfgs", "lbfgs"))
 args = ap.parse_args()
 N_ITERS, N_CELLS = args.n_iters, args.n_cells
 WARM = args.warm_stride
 FINE = args.fine_nits or max(N_ITERS // 5, 50)
+OPT = args.optimizer
 
 block, obs = gc.make_workload(N_CELLS, dtype=np.float64)
 import jax.numpy as jnp
@@ -46,16 +48,19 @@ if WARM:
     # cells serving this subset (per-cell fits are independent, so the
     # subset's params are bit-identical to a full-grid coarse pass).
     gp_init = gc.coarse_params_for(
-        np.arange(N_CELLS), args.lat, args.lon, WARM, N_ITERS, np.float64
+        np.arange(N_CELLS), args.lat, args.lon, WARM, N_ITERS, np.float64,
+        optimizer=OPT,
     )
     mean, std, w = jax.jit(
-        lambda b, o, gi: gc.gridded_experiment(b, o, FINE, gp_init=gi)
+        lambda b, o, gi: gc.gridded_experiment(
+            b, o, FINE, gp_init=gi, optimizer=OPT
+        )
     )(jnp.asarray(block), jnp.asarray(obs), gp_init)
     fname = "gridded_oracle_warm.json"
 else:
-    mean, std, w = jax.jit(lambda b, o: gc.gridded_experiment(b, o, N_ITERS))(
-        jnp.asarray(block), jnp.asarray(obs)
-    )
+    mean, std, w = jax.jit(
+        lambda b, o: gc.gridded_experiment(b, o, N_ITERS, optimizer=OPT)
+    )(jnp.asarray(block), jnp.asarray(obs))
     fname = "gridded_oracle.json"
 out = {
     "n_optim_nits": N_ITERS,
@@ -64,22 +69,28 @@ out = {
     "fine_nits": FINE if WARM else None,
     "lat": args.lat if WARM else None,
     "lon": args.lon if WARM else None,
+    "optimizer": OPT,
     "bary_mean": np.round(np.asarray(mean), 8).tolist(),
     "bary_std": np.round(np.asarray(std), 8).tolist(),
 }
 path = os.path.join(os.path.dirname(__file__), fname)
-if WARM:
-    # The warm oracle keeps one entry per configuration so parity gates for
-    # several --fine-nits settings can coexist (the bench picks the match).
-    entries = []
-    if os.path.exists(path):
-        with open(path) as f:
-            prev = json.load(f)
-        entries = prev["entries"] if "entries" in prev else [prev]
-    key = ("n_optim_nits", "n_cells", "warm_stride", "fine_nits", "lat", "lon")
-    entries = [e for e in entries if tuple(e.get(k) for k in key) != tuple(out[k] for k in key)]
-    entries.append(out)
-    out = {"entries": entries}
+# Both oracle files keep one entry per configuration so parity gates for
+# several settings can coexist (the bench picks the match; a legacy bare
+# non-warm file is absorbed as the first entry).
+entries = []
+if os.path.exists(path):
+    with open(path) as f:
+        prev = json.load(f)
+    entries = prev["entries"] if "entries" in prev else [prev]
+key = ("n_optim_nits", "n_cells", "warm_stride", "fine_nits", "lat", "lon")
+entries = [
+    e
+    for e in entries
+    if (tuple(e.get(k) for k in key), e.get("optimizer", "adam"))
+    != (tuple(out[k] for k in key), OPT)
+]
+entries.append(out)
+out = {"entries": entries}
 with open(path, "w") as f:
     json.dump(out, f)
 print(json.dumps({"n_cells": N_CELLS, "warm_stride": WARM, "written": True}))

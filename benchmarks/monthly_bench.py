@@ -13,9 +13,11 @@ heteroskedastic GP per member at monthly resolution, CRPS weights vs monthly
 HadCRUT5, W2 barycentre.  Prints one JSON line.
 
 Usage: python benchmarks/monthly_bench.py [ssp] [n_optim_nits] [dba_iters]
-           [time_stride] [fine_steps]
+           [time_stride] [fine_steps] [optimizer]
        python benchmarks/monthly_bench.py all [n_optim_nits] [dba_iters] [hist_chunk]
-           [time_stride] [fine_steps]    (stride > 1 = coarse-to-fine in time)
+           [time_stride] [fine_steps] [optimizer]
+           (stride > 1 = coarse-to-fine in time; optimizer "bfgs" = the
+            per-model damped quasi-Newton, ops/gp._build_batch_step)
        python benchmarks/monthly_bench.py all-nodedup ...   (replicated layout)
 
 ``all`` runs the ENTIRE 7-SSP experiment at native monthly resolution,
@@ -58,13 +60,24 @@ def main():
     if ssp in ("all", "all-nodedup"):
         hist_chunk = int(sys.argv[4]) if len(sys.argv) > 4 else 28
         time_stride = int(sys.argv[5]) if len(sys.argv) > 5 else 1
-        fine_steps = int(sys.argv[6]) if len(sys.argv) > 6 else None
+        fine_steps = (
+            int(sys.argv[6])
+            if len(sys.argv) > 6 and sys.argv[6] not in ("0", "none")
+            else None
+        )
+        optimizer = sys.argv[7] if len(sys.argv) > 7 else "adam"
         return run_all_ssps(
             n_iters, dba_iters, hist_chunk, dedup=ssp == "all",
             time_stride=time_stride, fine_steps=fine_steps,
+            optimizer=optimizer,
         )
     s_stride = int(sys.argv[4]) if len(sys.argv) > 4 else 1
-    s_fine = int(sys.argv[5]) if len(sys.argv) > 5 else None
+    s_fine = (
+        int(sys.argv[5])
+        if len(sys.argv) > 5 and sys.argv[5] not in ("0", "none")
+        else None
+    )
+    s_opt = sys.argv[6] if len(sys.argv) > 6 else "adam"
 
     obs_pm = pipeline.load_observations(resample_freq=None)
     obs = jnp.asarray(obs_pm.data.values, dtype=jnp.float32)
@@ -88,6 +101,7 @@ def main():
             dba_iterations=dba_iters,
             time_stride=s_stride,
             fine_steps=s_fine,
+            optimizer=s_opt,
         )
     )
     args = (
@@ -119,6 +133,8 @@ def main():
         file=sys.stderr,
     )
     warm_tag = f"_warm{s_stride}x{s_fine}" if s_stride > 1 else ""
+    if s_opt != "adam":
+        warm_tag += f"_{s_opt}"
     print(json.dumps({
         "metric": f"monthly_{ssp}_M{m}_Th{t_hist}_fit{n_iters}{warm_tag}",
         "value": round(elapsed, 3),
@@ -129,7 +145,7 @@ def main():
 
 def build_all_ssps_runner(
     scenarios, obs, n_iters: int, dba_iters: int, hist_chunk: int, dedup: bool,
-    time_stride: int = 1, fine_steps=None,
+    time_stride: int = 1, fine_steps=None, optimizer: str = "adam",
 ):
     """Pack the scenario collections and build the campaign runner.
 
@@ -185,6 +201,7 @@ def build_all_ssps_runner(
             dba_iterations=dba_iters,
             time_stride=time_stride,
             fine_steps=fine_steps,
+            optimizer=optimizer,
         )
     )
     tail = jax.jit(multi_scenario_tail)
@@ -275,7 +292,7 @@ def build_all_ssps_runner(
 
 def run_all_ssps(
     n_iters: int, dba_iters: int, hist_chunk: int = 28, dedup: bool = True,
-    time_stride: int = 1, fine_steps=None,
+    time_stride: int = 1, fine_steps=None, optimizer: str = "adam",
 ):
     """Full 7-SSP experiment at native monthly resolution.
 
@@ -312,7 +329,7 @@ def run_all_ssps(
         scenarios.append((ssp, hist, ssp_mc))
     run_once, meta = build_all_ssps_runner(
         scenarios, obs, n_iters, dba_iters, hist_chunk=hist_chunk, dedup=dedup,
-        time_stride=time_stride, fine_steps=fine_steps,
+        time_stride=time_stride, fine_steps=fine_steps, optimizer=optimizer,
     )
     print(
         f"devices: {jax.devices()}\nworkload: {meta['desc']}, "
@@ -337,6 +354,8 @@ def run_all_ssps(
             file=sys.stderr,
         )
     warm_tag = f"_warm{time_stride}x{fine_steps}" if time_stride > 1 else ""
+    if optimizer != "adam":
+        warm_tag += f"_{optimizer}"
     print(json.dumps({
         "metric": f"monthly_all7ssp_{'dedup' if dedup else 'merged'}"
                   f"{meta['n_fits']}fits_opt{n_iters}{warm_tag}",

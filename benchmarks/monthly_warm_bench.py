@@ -25,8 +25,10 @@ Data: the dedup campaign's unique historical models (one per distinct CMIP6
 model across all 7 SSPs — the same ~20 fits run_all_ssps(dedup=True) pays
 for; reference workload shapes from experiments/data/gmst/).
 
-Usage: python benchmarks/monthly_warm_bench.py [fine_steps_csv] [stride]
-       (defaults: 50,100,250  12)
+Usage: python benchmarks/monthly_warm_bench.py [fine_steps_csv] [stride] [bfgs_csv]
+       (defaults: 50,100,250  12  20,40 — bfgs_csv are scratch step counts
+        for the per-model damped quasi-Newton candidates, '' = skip; a
+        combined coarse-bfgs + fine-bfgs variant runs alongside)
 """
 
 import json
@@ -76,6 +78,11 @@ def main():
 
     fine_list = [int(a) for a in (sys.argv[1] if len(sys.argv) > 1 else "50,100,250").split(",")]
     stride = int(sys.argv[2]) if len(sys.argv) > 2 else 12
+    bfgs_list = [
+        int(a)
+        for a in (sys.argv[3] if len(sys.argv) > 3 else "20,40").split(",")
+        if a
+    ]
 
     block_np, mask_np = unique_hist_models()
     b, r, t = block_np.shape
@@ -100,9 +107,10 @@ def main():
     # fresh program per distinct n_optim_nits — minutes of compile for a
     # quality measurement; chunking costs ~1% at monthly T, and all
     # variants pay it identically so the wall comparison stays fair).
-    def monthly_fit(nits, init=None):
+    def monthly_fit(nits, init=None, optimizer="adam"):
         return gp.fit_gp_batch_chunked(
-            x, y_mean, y_var, n_optim_nits=nits, chunk_steps=50, init=init
+            x, y_mean, y_var, n_optim_nits=nits, chunk_steps=50, init=init,
+            optimizer=optimizer,
         )
 
     # Converged truth: 2000 monthly steps (chunking also keeps each device
@@ -148,6 +156,29 @@ def main():
         t_fine = time.perf_counter() - t0
         dm, ds = closeness(p_w)
         rows.append((f"warm stride-{stride}, {fine} fine", t_coarse + t_fine, fine, dm, ds))
+
+    # Per-model damped quasi-Newton candidates (ops/gp._build_batch_step):
+    # scratch at full monthly T, plus one combined coarse-bfgs + fine-bfgs.
+    for nits in bfgs_list:
+        t0 = time.perf_counter()
+        p_b, _ = monthly_fit(nits, optimizer="bfgs")
+        sync(p_b)
+        t_b = time.perf_counter() - t0
+        dm, ds = closeness(p_b)
+        rows.append((f"bfgs {nits} (scratch)", t_b, nits, dm, ds))
+    if bfgs_list:
+        t0 = time.perf_counter()
+        p_cb, _ = gp.fit_gp_batch(xc, yc, nc, n_optim_nits=30, optimizer="bfgs")
+        sync(p_cb)
+        t_cb = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        p_wb, _ = monthly_fit(10, init=p_cb, optimizer="bfgs")
+        sync(p_wb)
+        t_wb = time.perf_counter() - t0
+        dm, ds = closeness(p_wb)
+        rows.append(
+            (f"warm-bfgs stride-{stride}, c30 f10", t_cb + t_wb, 10, dm, ds)
+        )
 
     print(f"{'variant':32s} {'monthly-T steps':>15s} {'wall':>8s} {'max dmean':>10s} {'max dstd':>10s}", file=sys.stderr)
     for name, wall, steps, dm, ds in rows:

@@ -45,6 +45,9 @@ def main():
     ap.add_argument("--fine", default="30,50,100,150")
     ap.add_argument("--truth-nits", type=int, default=2000)
     ap.add_argument("--base-nits", type=int, default=500)
+    ap.add_argument("--bfgs", default="30,60",
+                    help="scratch step counts for the per-model damped "
+                    "quasi-Newton candidates ('' = skip)")
     args = ap.parse_args()
     la, lo = args.lat, args.lon
     c = la * lo
@@ -61,9 +64,11 @@ def main():
     block_dev = jax.device_put(block)
     obs_dev = jax.device_put(obs)
 
-    def run(n_iters, gp_init=None):
+    def run(n_iters, gp_init=None, optimizer="adam"):
         step = jax.jit(
-            lambda b, o, gi: gc.gridded_experiment(b, o, n_iters, gp_init=gi)
+            lambda b, o, gi: gc.gridded_experiment(
+                b, o, n_iters, gp_init=gi, optimizer=optimizer
+            )
         )
         sync(step(block_dev, obs_dev, gp_init))  # compile
         t0 = time.perf_counter()
@@ -105,6 +110,12 @@ def main():
     for f in fine_counts:
         m_, s_, dt = run(f, gp_init=gp_init)
         record(f"warm{args.stride}x{f}", m_, s_, dt, coarse_s)
+
+    # Per-model damped quasi-Newton, scratch (no coarse pass at all): the
+    # fewest-FLOPs route if its quality clears the scratch baseline.
+    for n in (int(s) for s in args.bfgs.split(",") if s):
+        m_, s_, dt = run(n, optimizer="bfgs")
+        record(f"bfgs{n}", m_, s_, dt)
 
     base = rows[0]
     ok = [
