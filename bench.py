@@ -174,54 +174,71 @@ def main():
         s = np.asarray(bstd[i])
         log(f"{ssp}: 2100 warming {m[-1]:.3f} (+-2sd {m[-1]-2*s[-1]:.3f}..{m[-1]+2*s[-1]:.3f})")
 
+    def _anchored_figure(cfg, anchor_name, label, env_flag):
+        """Run the SAME experiment under ``cfg`` and gate it by
+        algorithm-identity parity against the f64 CPU anchor that ran the
+        IDENTICAL configuration (benchmarks/cpu_baseline.py writes them).
+        Returns (seconds, parity_mean, anchor_dict) or (None, None, None)
+        when opted out / anchor absent / anchor config mismatch."""
+        anchor_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "benchmarks", anchor_name,
+        )
+        if not (
+            os.environ.get(env_flag, "1") != "0"
+            and N_ITERS == 2000  # only meaningful next to the faithful workload
+            and os.path.exists(anchor_path)
+        ):
+            return None, None, None
+        with open(anchor_path) as f:
+            anchor = json.load(f)
+        if not (
+            all(anchor.get(k) == v for k, v in cfg.items())
+            and anchor.get("dba_iterations", 10) == DBA_ITERS
+        ):
+            log(f"{label} anchor config mismatch — skipping {label} figure")
+            return None, None, None
+        fig_step = jax.jit(
+            functools.partial(
+                ensemble_multi_scenario_step,
+                dba_iterations=DBA_ITERS,
+                **cfg,
+            )
+        )
+        sync(fig_step(hb, hm, sb, sm, obs, mmask))  # compile + warm
+        secs, fout = _min_over_reps(
+            fig_step, reps, hb, hm, sb, sm, obs, mmask, sync,
+            label=label + " ",
+        )
+        pm, ps = _parity_vs_anchor(
+            anchor, ssp_names, fout[0], fout[1], anchor_path
+        )
+        log(
+            f"{label} parity vs f64 CPU {label} anchor: max |dmean| "
+            f"{pm:.5f} degC, max |dstd| {ps:.5f} degC"
+        )
+        assert pm < 0.01 and ps < 0.01, (label, pm, ps)
+        return secs, pm, anchor
+
     # Second headline figure: the coarse-to-fine-in-time schedule
     # (ops/gp.fit_gp_batch_warm_time) runs the SAME experiment to
     # equal-or-better closeness to the converged optimum in ~0.3 s
     # (benchmarks/annual_warm_bench.py measured the quality claim against a
-    # 10,000-step truth).  Gated here by algorithm-identity parity against a
-    # float64 CPU anchor running the IDENTICAL warm schedule
-    # (benchmarks/cpu_baseline_warm.json).  Opt out with BENCH_WARM=0.
-    warm_s = None
-    warm_parity_mean = None
-    warm_cfg = {"n_optim_nits": 1000, "time_stride": 12, "fine_steps": 250}
-    warm_anchor_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "benchmarks", "cpu_baseline_warm.json",
+    # 10,000-step truth).  Opt out with BENCH_WARM=0.
+    warm_s, warm_parity_mean, warm_cpu = _anchored_figure(
+        {"n_optim_nits": 1000, "time_stride": 12, "fine_steps": 250},
+        "cpu_baseline_warm.json", "warm", "BENCH_WARM",
     )
-    run_warm = (
-        os.environ.get("BENCH_WARM", "1") != "0"
-        and N_ITERS == 2000  # only meaningful next to the faithful workload
-        and os.path.exists(warm_anchor_path)
+
+    # Third headline figure: the per-model damped quasi-Newton
+    # (ops/gp._build_batch_step optimizer="bfgs") converges in ~30 steps —
+    # strictly better barycentre moments than the faithful scratch-2000 at
+    # ~6x less wall (benchmarks/annual_warm_bench.py measured the quality
+    # claim against a 10,000-step truth).  Opt out with BENCH_BFGS=0.
+    bfgs_s, bfgs_parity_mean, bfgs_cpu = _anchored_figure(
+        {"n_optim_nits": 30, "optimizer": "bfgs"},
+        "cpu_baseline_bfgs.json", "bfgs", "BENCH_BFGS",
     )
-    if run_warm:
-        with open(warm_anchor_path) as f:
-            warm_cpu = json.load(f)
-        if all(warm_cpu.get(k) == v for k, v in warm_cfg.items()) and (
-            warm_cpu.get("dba_iterations", 10) == DBA_ITERS
-        ):
-            warm_step = jax.jit(
-                functools.partial(
-                    ensemble_multi_scenario_step,
-                    dba_iterations=DBA_ITERS,
-                    **warm_cfg,
-                )
-            )
-            sync(warm_step(hb, hm, sb, sm, obs, mmask))  # compile + warm
-            warm_s, wout = _min_over_reps(
-                warm_step, reps, hb, hm, sb, sm, obs, mmask, sync, label="warm "
-            )
-            warm_parity_mean, warm_parity_std = _parity_vs_anchor(
-                warm_cpu, ssp_names, wout[0], wout[1], warm_anchor_path
-            )
-            log(
-                f"warm parity vs f64 CPU warm anchor: max |dmean| "
-                f"{warm_parity_mean:.5f} degC, max |dstd| "
-                f"{warm_parity_std:.5f} degC"
-            )
-            assert warm_parity_mean < 0.01 and warm_parity_std < 0.01, (
-                warm_parity_mean, warm_parity_std)
-        else:
-            log("warm anchor config mismatch — skipping warm figure")
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "benchmarks", "cpu_baseline.json")
@@ -285,6 +302,23 @@ def main():
         ),
         "warm_parity_pointwise_mean_degC": (
             round(warm_parity_mean, 6) if warm_parity_mean is not None else None
+        ),
+        # Per-model damped quasi-Newton (optimizer="bfgs", ~30 steps):
+        # strictly better converged moments than scratch-2000 at ~6x less
+        # wall (BASELINE.md "Fewer-steps route, revisited"); speedups vs
+        # the f64 CPU anchor running the IDENTICAL bfgs fit and vs the
+        # scratch-2000 CPU anchor.
+        "bfgs_s": round(bfgs_s, 3) if bfgs_s is not None else None,
+        "bfgs_vs_cpu_bfgs_anchor": (
+            round(bfgs_cpu["total_seconds"] / bfgs_s, 2)
+            if bfgs_s is not None else None
+        ),
+        "bfgs_vs_scratch_anchor": (
+            round(cpu["total_seconds"] / bfgs_s, 2)
+            if bfgs_s is not None and vs is not None else None
+        ),
+        "bfgs_parity_pointwise_mean_degC": (
+            round(bfgs_parity_mean, 6) if bfgs_parity_mean is not None else None
         ),
     }))
 
