@@ -416,7 +416,15 @@ def _build_batch_step(opt, x, y, noise_var, kernel_name, jitter, optimizer):
             # curvature condition sᵀy > 0 keeps B positive definite.
             yv = g - g_prev
             sy = jnp.sum(s_pend * yv, axis=-1)
-            ok = pend_ok & (sy > 1e-12)
+            # SCALE-RELATIVE curvature condition: an absolute floor admits
+            # a near-orthogonal pair (tiny sᵀy, O(1) |y|) whose rank-one
+            # term ‖y yᵀ/sᵀy‖ = |y|²/sᵀy inflates B beyond what the λ-clip
+            # ceiling (1e10) can ever dominate again, permanently stalling
+            # that lane.  Requiring sᵀy > 1e-8·|y|² bounds the added term
+            # at 1e8, which damping always dominates, while staying far
+            # below any curvature a genuine descent pair produces.
+            y_sq = jnp.sum(yv * yv, axis=-1)
+            ok = pend_ok & (sy > 1e-8 * y_sq) & (sy > 1e-12)
             bs = jnp.einsum("mij,mj->mi", hess, s_pend)
             sbs = jnp.maximum(jnp.sum(s_pend * bs, axis=-1), 1e-30)
             upd = (

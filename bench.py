@@ -36,7 +36,10 @@ def _probe_backend(timeout_s: int = 180) -> None:
     The tunnelled TPU plugin can block ~30 minutes inside backend init when
     the chip/tunnel is down; a subprocess probe with a hard timeout turns
     that into a loud, quick failure instead of silently eating the whole
-    measurement window.  Skippable via BENCH_SKIP_PROBE=1."""
+    measurement window.  A healthy-but-congested tunnel has been measured
+    to take >2 minutes for backend init, so one timeout is retried once
+    with a larger budget before giving up.  Skippable via
+    BENCH_SKIP_PROBE=1."""
     if os.environ.get("BENCH_SKIP_PROBE"):
         return
     import subprocess
@@ -46,23 +49,33 @@ def _probe_backend(timeout_s: int = 180) -> None:
         "np.asarray(jax.jit(lambda a: a + 1)(jnp.ones(8)));"
         "print(jax.devices())"
     )
-    try:
-        proc = subprocess.run(
-            [sys.executable, "-c", code],
-            capture_output=True,
-            text=True,
-            timeout=timeout_s,
-        )
-    except subprocess.TimeoutExpired:
-        raise SystemExit(
-            f"bench: accelerator backend unreachable (probe exceeded "
-            f"{timeout_s}s — tunnel/chip down?). Set BENCH_SKIP_PROBE=1 to "
-            "bypass."
-        )
-    if proc.returncode != 0:
-        raise SystemExit(
-            "bench: accelerator backend probe failed:\n" + proc.stderr[-2000:]
-        )
+    for attempt, budget_s in enumerate((timeout_s, 2 * timeout_s)):
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", code],
+                capture_output=True,
+                text=True,
+                timeout=budget_s,
+            )
+        except subprocess.TimeoutExpired:
+            if attempt == 0:
+                print(
+                    f"bench: backend probe exceeded {budget_s}s; retrying "
+                    f"once with {2 * timeout_s}s (congested tunnel?)",
+                    file=sys.stderr,
+                )
+                continue
+            raise SystemExit(
+                f"bench: accelerator backend unreachable (probe exceeded "
+                f"{budget_s}s after a retry — tunnel/chip down?). Set "
+                "BENCH_SKIP_PROBE=1 to bypass."
+            )
+        if proc.returncode != 0:
+            raise SystemExit(
+                "bench: accelerator backend probe failed:\n"
+                + proc.stderr[-2000:]
+            )
+        return
 
 
 _probe_backend()
@@ -192,8 +205,21 @@ def main():
             return None, None, None
         with open(anchor_path) as f:
             anchor = json.load(f)
+        # Compare the FULL fit configuration, not just cfg's keys: the
+        # anchor writer (benchmarks/cpu_baseline.py) omits default-valued
+        # keys, and an anchor regenerated with e.g. a warm schedule must
+        # not pass as a match for a scratch figure (it would fail the
+        # parity assert after the expensive measurements instead of
+        # skipping gracefully here).
+        fit_defaults = {
+            "n_optim_nits": None, "time_stride": 1, "fine_steps": None,
+            "optimizer": "adam",
+        }
         if not (
-            all(anchor.get(k) == v for k, v in cfg.items())
+            all(
+                anchor.get(k, d) == cfg.get(k, d)
+                for k, d in fit_defaults.items()
+            )
             and anchor.get("dba_iterations", 10) == DBA_ITERS
         ):
             log(f"{label} anchor config mismatch — skipping {label} figure")

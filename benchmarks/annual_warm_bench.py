@@ -15,16 +15,18 @@ be short.  Measured (v5e single chip, min over fresh-buffer reps; closeness
 = max |Δ| of the final barycentre moments vs a 10,000-step converged truth):
 
     scratch-2000 (headline)    1.207 s   dmean 0.0191  dstd 0.0091
-    warm s12 c1000 f250        0.311 s   dmean 0.0183  dstd 0.0097
-    warm s12 c2000 f500        0.454 s   dmean 0.0148  dstd 0.0054
-    bfgs-30                    0.184 s   dmean 0.0162  dstd 0.0053
-    bfgs-60                    0.214 s   dmean 0.0163  dstd 0.0053
-    warm s12 bfgs c30 f20      0.184 s   dmean 0.0138  dstd 0.0024
+    warm s12 c1000 f250        0.304 s   dmean 0.0183  dstd 0.0097
+    warm s12 c2000 f500        0.442 s   dmean 0.0148  dstd 0.0054
+    bfgs-30                    0.201 s   dmean 0.0162  dstd 0.0053
+    bfgs-60                    0.225 s   dmean 0.0163  dstd 0.0053
+    warm s12 bfgs c30 f20      0.192 s   dmean 0.0138  dstd 0.0024
 
-i.e. the warm fit matches the reference-workload convergence at 4.1x less
-wall, and strictly beats it on both moments at 2.7x less; the per-model
-damped quasi-Newton (optimizer="bfgs", ops/gp._build_batch_step) strictly
-beats the headline on both moments at 6.6x less wall, with its own
+(one 2026-08-19 run; the tunnelled link adds ~±10% run-to-run on the
+sub-second rows — BASELINE.md carries the SAME run so the two documents
+agree.)  i.e. the warm fit matches the reference-workload convergence at
+4.0x less wall, and strictly beats it on both moments at 2.7x less; the
+per-model damped quasi-Newton (optimizer="bfgs", ops/gp._build_batch_step)
+strictly beats the headline on both moments at 6.0x less wall, with its own
 algorithm-identity parity gate against a float64 CPU anchor running the
 IDENTICAL bfgs-30 fit (cpu_baseline.py 30 1 none bfgs ->
 cpu_baseline_bfgs.json, 54.5 s CPU).  (Side measurement: the reference's

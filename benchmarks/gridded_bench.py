@@ -98,11 +98,9 @@ def main():
                     help="timed repetitions; report the minimum (the "
                     "tunnelled link's throughput fluctuates and the slab "
                     "mode is transfer-bound at the margins)")
-    ap.add_argument("--optimizer", default="adam",
-                    choices=("adam", "bfgs", "lbfgs"),
-                    help="hyperparameter optimiser (ops/gp.fit_gp_batch); "
-                    "'bfgs' = per-model damped quasi-Newton, which reaches "
-                    "adam-500 quality in ~30 steps (annual_warm_bench.py)")
+    from bayesian_ensembling_tpu.utils.cli import add_optimizer_arg
+
+    add_optimizer_arg(ap)
     args = ap.parse_args()
     n_iters, la, lo, slab = args.n_iters, args.lat, args.lon, args.slab
     warm_stride = args.warm_stride

@@ -98,3 +98,33 @@ def gridded_experiment(blocks, obs, n_iters: int, gp_init=None,
         gp_init=gp_init,
         optimizer=optimizer,
     )
+
+
+# One entry per configuration lives in each oracle JSON.  Legacy entries
+# predate some keys, so both the oracle writer's dedup and the bench's
+# entry selection must compare under the SAME defaults — otherwise
+# regenerating a legacy configuration keeps the stale entry, which the
+# bench then silently prefers.
+ORACLE_KEY_DEFAULTS = {
+    "warm_stride": 0,
+    "fine_nits": None,
+    "lat": None,
+    "lon": None,
+    "optimizer": "adam",
+}
+
+
+def oracle_entry_key(entry):
+    """Canonical identity of an oracle entry's fit configuration."""
+    return tuple(
+        entry.get(k, ORACLE_KEY_DEFAULTS.get(k))
+        for k in ("n_optim_nits", "n_cells", "warm_stride", "fine_nits",
+                  "lat", "lon", "optimizer")
+    )
+
+
+def replace_oracle_entry(entries, new_entry):
+    """Drop any entry with ``new_entry``'s configuration, append the new one."""
+    kept = [e for e in entries if oracle_entry_key(e) != oracle_entry_key(new_entry)]
+    kept.append(new_entry)
+    return kept

@@ -33,7 +33,9 @@ ap.add_argument("--warm-stride", type=int, default=0)
 ap.add_argument("--fine-nits", type=int, default=0)
 ap.add_argument("--lat", type=int, default=180)
 ap.add_argument("--lon", type=int, default=360)
-ap.add_argument("--optimizer", default="adam", choices=("adam", "bfgs", "lbfgs"))
+from bayesian_ensembling_tpu.utils.cli import add_optimizer_arg  # noqa: E402
+
+add_optimizer_arg(ap)
 args = ap.parse_args()
 N_ITERS, N_CELLS = args.n_iters, args.n_cells
 WARM = args.warm_stride
@@ -82,14 +84,7 @@ if os.path.exists(path):
     with open(path) as f:
         prev = json.load(f)
     entries = prev["entries"] if "entries" in prev else [prev]
-key = ("n_optim_nits", "n_cells", "warm_stride", "fine_nits", "lat", "lon")
-entries = [
-    e
-    for e in entries
-    if (tuple(e.get(k) for k in key), e.get("optimizer", "adam"))
-    != (tuple(out[k] for k in key), OPT)
-]
-entries.append(out)
+entries = gc.replace_oracle_entry(entries, out)
 out = {"entries": entries}
 with open(path, "w") as f:
     json.dump(out, f)

@@ -115,9 +115,13 @@ def test_fit_gp_batch_lbfgs_converges_faster(rng):
 
 
 def test_fit_gp_batch_chunked_matches_merged(rng):
-    """Host-chunked fit == merged single-program fit, for both optimisers
-    and for chunk sizes that do / don't divide n_optim_nits (a boundary
-    mid-run and a short tail chunk)."""
+    """Host-chunked fit == merged single-program fit, for all three
+    optimisers (bfgs additionally exercises the Hessian/damping/pending-pair
+    state carry across chunk boundaries) and for chunk sizes that do /
+    don't divide n_optim_nits (a boundary mid-run and a short tail chunk).
+    The tolerance is rtol=1e-8, not bit-exactness: the merged and chunked
+    scans are differently-compiled XLA programs and may order float ops
+    differently on some backends."""
     xs, ys, noises = [], [], []
     for _ in range(3):
         x, y, noise = make_problem(rng, t=16, d=2)
@@ -125,7 +129,7 @@ def test_fit_gp_batch_chunked_matches_merged(rng):
     xb = jnp.asarray(np.stack(xs))
     yb = jnp.asarray(np.stack(ys))
     nb = jnp.asarray(np.stack(noises))
-    for optimizer, nits in (("adam", 30), ("lbfgs", 12)):
+    for optimizer, nits in (("adam", 30), ("lbfgs", 12), ("bfgs", 20)):
         mparams, mlosses = gp.fit_gp_batch(
             xb, yb, nb, n_optim_nits=nits, optimizer=optimizer
         )
@@ -211,29 +215,6 @@ def test_fit_gp_batch_bfgs_matches_adam_quality(rng):
     bfgs_final = np.asarray(bfgs_losses)[:, -1]
     assert np.isfinite(bfgs_final).all()
     assert (bfgs_final <= adam_final + 0.05).all(), (bfgs_final, adam_final)
-
-
-def test_fit_gp_batch_bfgs_chunked_matches_merged(rng):
-    """The BFGS optimiser state (Hessian approx, damping, pending pair)
-    carries exactly across host-chunk boundaries."""
-    xs, ys, noises = [], [], []
-    for _ in range(3):
-        x, y, noise = make_problem(rng, t=16, d=2)
-        xs.append(x), ys.append(y), noises.append(noise)
-    xb = jnp.asarray(np.stack(xs))
-    yb = jnp.asarray(np.stack(ys))
-    nb = jnp.asarray(np.stack(noises))
-    mparams, mlosses = gp.fit_gp_batch(xb, yb, nb, n_optim_nits=20, optimizer="bfgs")
-    cparams, closses = gp.fit_gp_batch_chunked(
-        xb, yb, nb, n_optim_nits=20, optimizer="bfgs", chunk_steps=7
-    )
-    np.testing.assert_array_equal(np.asarray(mlosses), np.asarray(closses))
-    np.testing.assert_array_equal(
-        np.asarray(mparams.raw_lengthscale), np.asarray(cparams.raw_lengthscale)
-    )
-    np.testing.assert_array_equal(
-        np.asarray(mparams.raw_variance), np.asarray(cparams.raw_variance)
-    )
 
 
 def test_fit_gp_batch_bfgs_nan_rescue(rng):

@@ -116,3 +116,21 @@ def test_oracle_writer_replaces_matching_entry(tmp_path):
         fine_nits=100, lat=180, lon=360,
     )
     assert got["bary_mean"][0] == 9.0
+
+
+def test_replace_oracle_entry_replaces_legacy_keyless_entry():
+    """Regenerating a configuration recorded by a LEGACY entry (written
+    before warm_stride/optimizer/... keys existed) must replace it, not
+    append a duplicate the bench would then silently prefer."""
+    from gridded_common import replace_oracle_entry
+
+    legacy = {"n_optim_nits": 500, "n_cells": 64,
+              "bary_mean": [0.0], "bary_std": [1.0]}
+    fresh = {"n_optim_nits": 500, "n_cells": 64, "warm_stride": 0,
+             "fine_nits": None, "lat": None, "lon": None,
+             "optimizer": "adam", "bary_mean": [0.5], "bary_std": [1.5]}
+    got = replace_oracle_entry([legacy], fresh)
+    assert got == [fresh]
+    # a DIFFERENT configuration coexists
+    other = dict(fresh, optimizer="bfgs", n_optim_nits=30)
+    assert replace_oracle_entry(got, other) == [fresh, other]
