@@ -54,16 +54,20 @@ def test_sharded_step_matches_unsharded():
         np.testing.assert_allclose(np.asarray(g), np.asarray(w_), rtol=2e-4, atol=1e-7)
 
 
-def test_sharded_step_warm_time_matches_unsharded():
+@pytest.mark.parametrize("optimizer", ["adam", "bfgs"])
+def test_sharded_step_warm_time_matches_unsharded(optimizer):
     """Coarse-to-fine-in-time composes with the model-sharded step: the
     time axis is unsharded, so the stride slice is device-local and the
-    sharded result equals the unsharded one."""
+    sharded result equals the unsharded one.  The bfgs variant additionally
+    checks the per-model quasi-Newton state (Hessian, damping, pending
+    pair, accept flags) shards cleanly along the model axis."""
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
     hb, hm, sb, sm, obs = toy()
     mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("model",))
     mm = np.ones(8)
-    kw = dict(n_optim_nits=3, dba_iterations=2, time_stride=2, fine_steps=2)
+    kw = dict(n_optim_nits=3, dba_iterations=2, time_stride=2, fine_steps=2,
+              optimizer=optimizer)
     step = make_sharded_step(mesh, **kw)
     got = step(
         jnp.asarray(hb), jnp.asarray(hm), jnp.asarray(sb), jnp.asarray(sm),
