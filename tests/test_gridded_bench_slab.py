@@ -1,0 +1,84 @@
+"""The gridded bench's slab driver (``gridded_bench.slabbed_run``) must be a
+pure dispatch strategy: streaming and resident modes, any slab size, and the
+padded ragged final slab all have to reproduce the unslabbed result exactly,
+and the warm-start init tree must be sliced in lockstep with the cells.
+"""
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(
+    0,
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "benchmarks"
+    ),
+)
+
+from gridded_bench import slabbed_run  # noqa: E402
+
+M, C, R, T = 3, 13, 4, 8
+
+
+def _workload():
+    rng = np.random.default_rng(7)
+    block = rng.normal(size=(M, C, R, T)).astype(np.float32)
+    obs = rng.normal(size=(C, R, T)).astype(np.float32)
+    return block, obs
+
+
+@jax.jit
+def _step(b, o):
+    # Cheap stand-in with cell-dependent outputs of the real step's shape
+    # ((C, T) mean/std with the cell axis leading).
+    return b.mean(axis=(0, 2)) + o.mean(axis=1), b.std(axis=(0, 2))
+
+
+@jax.jit
+def _step_init(b, o, g):
+    m, s = _step(b, o)
+    return m + g["off"].mean(axis=0)[:, None], s * g["scale"].mean(axis=0)[:, None]
+
+
+def _direct(step, block, obs, gp_init=None):
+    args = (jnp.asarray(block), jnp.asarray(obs))
+    out = step(*args, gp_init) if gp_init is not None else step(*args)
+    return np.asarray(out[0], np.float64), np.asarray(out[1], np.float64)
+
+
+@pytest.mark.parametrize("slab", [4, 5, 13])  # 13 % 4 != 0 exercises the pad
+@pytest.mark.parametrize("resident", [False, True])
+def test_slabbed_matches_direct(slab, resident):
+    block, obs = _workload()
+    want_m, want_s = _direct(_step, block, obs)
+    kw = {}
+    if resident:
+        kw = dict(block_dev=jax.device_put(block), obs_dev=jax.device_put(obs))
+    got_m, got_s = slabbed_run(
+        _step, block, obs, slab, resident=resident, **kw
+    )
+    np.testing.assert_array_equal(got_m, want_m)
+    np.testing.assert_array_equal(got_s, want_s)
+
+
+@pytest.mark.parametrize("resident", [False, True])
+def test_slabbed_slices_gp_init_with_cells(resident):
+    block, obs = _workload()
+    rng = np.random.default_rng(8)
+    gp_init = {
+        "off": rng.normal(size=(M, C)).astype(np.float32),
+        "scale": rng.uniform(0.5, 2.0, size=(M, C)).astype(np.float32),
+    }
+    want_m, want_s = _direct(_step_init, block, obs, gp_init)
+    kw = {}
+    if resident:
+        kw = dict(block_dev=jax.device_put(block), obs_dev=jax.device_put(obs))
+    got_m, got_s = slabbed_run(
+        _step_init, block, obs, 5, gp_init=gp_init, resident=resident, **kw
+    )
+    np.testing.assert_array_equal(got_m, want_m)
+    np.testing.assert_array_equal(got_s, want_s)
