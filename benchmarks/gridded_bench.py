@@ -105,6 +105,17 @@ def slabbed_run(step, block, obs, slab, *, gp_init=None, resident=False,
     osrc = obs_dev if resident else obs
     cat = jnp.concatenate if resident else np.concatenate
     c = block.shape[1]
+    if slab > c:
+        # The ragged-slab pad wraps cells from the array head; a slab larger
+        # than the grid would need pad > c and silently truncate.  Callers
+        # with slab >= c want the unslabbed whole-grid path instead.
+        raise ValueError(f"slab ({slab}) must be <= the cell count ({c})")
+    if resident and gp_init is not None:
+        # Stage the warm-start tree too, so the per-slab slices below are
+        # on-device like the block/obs slices (otherwise the tree streams
+        # through the link inside the timed loop, which is exactly what
+        # resident mode exists to exclude).
+        gp_init = jax.device_put(gp_init)
 
     pending = []  # (out, pad) one slab deep
     means, stds = [], []
@@ -131,7 +142,7 @@ def slabbed_run(step, block, obs, slab, *, gp_init=None, resident=False,
             osl = cat([osl, osrc[:pad]], axis=0)
             if gsl is not None:
                 gsl = jax.tree.map(
-                    lambda p, q: np.concatenate([p, q[:, :pad]], axis=1),
+                    lambda p, q: cat([p, q[:, :pad]], axis=1),
                     gsl,
                     gp_init,
                 )

@@ -1,7 +1,10 @@
 """The gridded bench's slab driver (``gridded_bench.slabbed_run``) must be a
-pure dispatch strategy: streaming and resident modes, any slab size, and the
-padded ragged final slab all have to reproduce the unslabbed result exactly,
-and the warm-start init tree must be sliced in lockstep with the cells.
+pure dispatch strategy: streaming and resident modes, any slab size up to
+the cell count, and the padded ragged final slab all have to reproduce the
+unslabbed result exactly, and the warm-start init tree must be sliced in
+lockstep with the cells (staged on-device under ``resident``).  Slabs larger
+than the grid are rejected loudly — the head-wrap pad would silently
+truncate there; callers want the unslabbed path instead.
 """
 
 import os
@@ -63,6 +66,12 @@ def test_slabbed_matches_direct(slab, resident):
     )
     np.testing.assert_array_equal(got_m, want_m)
     np.testing.assert_array_equal(got_s, want_s)
+
+
+def test_slab_larger_than_grid_rejected():
+    block, obs = _workload()
+    with pytest.raises(ValueError, match="slab"):
+        slabbed_run(_step, block, obs, C + 1)
 
 
 @pytest.mark.parametrize("resident", [False, True])
