@@ -50,6 +50,12 @@ import gridded_common as gc
 MEAN_TOL = float(os.environ.get("BENCH_PARITY_MEAN_TOL", "1e-3"))
 STD_TOL = float(os.environ.get("BENCH_PARITY_STD_TOL", "1e-3"))
 
+# --gate quality reference configurations (both f64 CPU, gridded_oracle.json):
+# the converged-truth entry and the production scratch baseline whose
+# closeness the gated run must match or beat.
+QUALITY_TRUTH_NITS = int(os.environ.get("BENCH_QUALITY_TRUTH_NITS", "2000"))
+QUALITY_BASELINE_NITS = int(os.environ.get("BENCH_QUALITY_BASELINE_NITS", "500"))
+
 
 def select_oracle_entry(loaded, *, n_iters, n_cells, warm_stride, fine_nits, lat, lon,
                         optimizer="adam"):
@@ -74,6 +80,60 @@ def select_oracle_entry(loaded, *, n_iters, n_cells, warm_stride, fine_nits, lat
         ),
         None,
     )
+
+
+def quality_gate_check(loaded, bary_mean, bary_std, *, n_cells, lat, lon):
+    """Closeness-to-converged-truth gate (``--gate quality``).
+
+    The run's first-N-cell moments must sit at least as close to the f64
+    adam-``QUALITY_TRUTH_NITS`` converged oracle as the f64
+    scratch-``QUALITY_BASELINE_NITS`` production config's own moments do —
+    the ``warm_quality.py`` acceptability criterion, evaluated in-bench on
+    the oracle subset.  Both reference entries live in
+    ``gridded_oracle.json``; regenerate with::
+
+        python benchmarks/gridded_oracle.py 2000 64
+        python benchmarks/gridded_oracle.py 500 64
+
+    Returns ``(quality_mean, quality_std)`` (the run's max pointwise
+    distances to the truth entry); raises on a gate failure or missing
+    reference entries.
+    """
+    truth = select_oracle_entry(
+        loaded, n_iters=QUALITY_TRUTH_NITS, n_cells=n_cells,
+        warm_stride=0, fine_nits=None, lat=lat, lon=lon, optimizer="adam",
+    )
+    baseline = select_oracle_entry(
+        loaded, n_iters=QUALITY_BASELINE_NITS, n_cells=n_cells,
+        warm_stride=0, fine_nits=None, lat=lat, lon=lon, optimizer="adam",
+    )
+    if truth is None or baseline is None:
+        raise SystemExit(
+            "--gate quality needs adam oracle entries at "
+            f"{QUALITY_TRUTH_NITS} (truth) and {QUALITY_BASELINE_NITS} "
+            "(baseline) steps in gridded_oracle.json"
+        )
+    nc = min(truth["n_cells"], baseline["n_cells"])
+    tm = np.asarray(truth["bary_mean"])[:nc]
+    ts = np.asarray(truth["bary_std"])[:nc]
+    quality_mean = float(np.abs(bary_mean[:nc] - tm).max())
+    quality_std = float(np.abs(bary_std[:nc] - ts).max())
+    base_mean = float(np.abs(np.asarray(baseline["bary_mean"])[:nc] - tm).max())
+    base_std = float(np.abs(np.asarray(baseline["bary_std"])[:nc] - ts).max())
+    print(
+        f"gridded quality vs f64 converged truth ({nc} cells): "
+        f"max |dmean| {quality_mean:.5f} (scratch-{QUALITY_BASELINE_NITS}"
+        f" baseline {base_mean:.5f}), max |dstd| {quality_std:.5f} "
+        f"(baseline {base_std:.5f})",
+        file=sys.stderr,
+    )
+    assert quality_mean <= base_mean, (
+        f"quality gate: {quality_mean} vs scratch baseline {base_mean}"
+    )
+    assert quality_std <= base_std, (
+        f"quality gate: {quality_std} vs scratch baseline {base_std}"
+    )
+    return quality_mean, quality_std
 
 
 def slabbed_run(step, block, obs, slab, *, gp_init=None, resident=False,
@@ -196,6 +256,21 @@ def main():
                     "staging reported separately as h2d_s.  Identical "
                     "numerics and oracle; the default streams slabs from "
                     "host, which includes the tunnelled link in the timing.")
+    ap.add_argument("--gate", choices=("identity", "quality"),
+                    default="identity",
+                    help="parity gate: 'identity' asserts pointwise "
+                    "agreement with an f64 oracle running the IDENTICAL "
+                    "algorithm (the default; right for branch-free fits, "
+                    "whose f32/f64 trajectories track to ~1e-5).  "
+                    "'quality' asserts closeness to the f64 CONVERGED "
+                    "truth (adam-2000 oracle entry) no worse than the "
+                    "scratch-500 production config's own closeness — the "
+                    "right gate for few-step branchy optimiser configs "
+                    "(warm-started bfgs), whose accept/reject branches "
+                    "freeze f32-vs-f64 init scatter into the endpoint "
+                    "(~2e-3) without it being an error in either run.  "
+                    "Identity parity is still computed and reported when "
+                    "a matching oracle entry exists.")
     from bayesian_ensembling_tpu.utils.cli import add_optimizer_arg
 
     add_optimizer_arg(ap)
@@ -311,8 +386,18 @@ def main():
                 f"max |dmean| {parity_mean:.5f}, max |dstd| {parity_std:.5f}",
                 file=sys.stderr,
             )
-            assert parity_mean < MEAN_TOL, f"gridded mean divergence {parity_mean}"
-            assert parity_std < STD_TOL, f"gridded std divergence {parity_std}"
+            if args.gate == "identity":
+                assert parity_mean < MEAN_TOL, f"gridded mean divergence {parity_mean}"
+                assert parity_std < STD_TOL, f"gridded std divergence {parity_std}"
+
+    quality_mean = quality_std = None
+    if args.gate == "quality":
+        base_path = os.path.join(os.path.dirname(__file__), "gridded_oracle.json")
+        with open(base_path) as f:
+            base_loaded = json.load(f)
+        quality_mean, quality_std = quality_gate_check(
+            base_loaded, bary_mean, bary_std, n_cells=c, lat=la, lon=lo,
+        )
 
     warm_tag = f"_warm{warm_stride}x{fine_nits}" if warm_stride else ""
     if opt != "adam":
@@ -327,6 +412,9 @@ def main():
         "v5e8_estimate": round(elapsed / 8, 3),
         "parity_pointwise_mean": round(parity_mean, 6) if parity_mean is not None else None,
         "parity_pointwise_std": round(parity_std, 6) if parity_std is not None else None,
+        "gate": args.gate,
+        "quality_vs_truth_mean": round(quality_mean, 6) if quality_mean is not None else None,
+        "quality_vs_truth_std": round(quality_std, 6) if quality_std is not None else None,
     }))
 
 

@@ -48,6 +48,11 @@ def main():
     ap.add_argument("--bfgs", default="30,60",
                     help="scratch step counts for the per-model damped "
                     "quasi-Newton candidates ('' = skip)")
+    ap.add_argument("--warm-bfgs", default="5,10,15",
+                    help="fine step counts for coarse-to-fine bfgs (coarse "
+                    "pass = bfgs at --warm-bfgs-coarse steps; '' = skip)")
+    ap.add_argument("--warm-bfgs-coarse", type=int, default=30,
+                    help="coarse-pass bfgs step count for --warm-bfgs")
     args = ap.parse_args()
     la, lo = args.lat, args.lon
     c = la * lo
@@ -116,6 +121,21 @@ def main():
     for n in (int(s) for s in args.bfgs.split(",") if s):
         m_, s_, dt = run(n, optimizer="bfgs")
         record(f"bfgs{n}", m_, s_, dt)
+
+    # Coarse-to-fine bfgs: neighbouring cells share near-identical optima,
+    # so a bfgs fine pass warm-started from a stride-S bfgs coarse fit
+    # should need only a handful of damped quasi-Newton steps per cell.
+    warm_bfgs = [int(s) for s in args.warm_bfgs.split(",") if s]
+    if warm_bfgs:
+        t0 = time.perf_counter()
+        gp_init_b = gc.coarse_params_for(
+            np.arange(c), la, lo, args.stride, args.warm_bfgs_coarse,
+            np.float32, optimizer="bfgs",
+        )
+        coarse_b = time.perf_counter() - t0
+        for f in warm_bfgs:
+            m_, s_, dt = run(f, gp_init=gp_init_b, optimizer="bfgs")
+            record(f"warmbfgs{args.stride}x{f}", m_, s_, dt, coarse_b)
 
     base = rows[0]
     ok = [

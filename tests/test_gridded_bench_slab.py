@@ -91,3 +91,54 @@ def test_slabbed_slices_gp_init_with_cells(resident):
     )
     np.testing.assert_array_equal(got_m, want_m)
     np.testing.assert_array_equal(got_s, want_s)
+
+
+# ---------------------------------------------------------------------------
+# --gate quality (gridded_bench.quality_gate_check): closeness to the f64
+# converged-truth oracle entry, gated against the scratch-500 baseline
+# entry's own closeness.
+
+
+def _fake_oracle(nc=4, t=6):
+    rng = np.random.default_rng(3)
+    truth_m = rng.normal(size=(nc, t))
+    truth_s = rng.uniform(0.5, 1.0, size=(nc, t))
+    base_m = truth_m + 0.05  # baseline sits 5e-2 from truth everywhere
+    base_s = truth_s + 0.02
+    return {
+        "entries": [
+            {"n_optim_nits": 2000, "n_cells": nc, "warm_stride": 0,
+             "optimizer": "adam", "bary_mean": truth_m.tolist(),
+             "bary_std": truth_s.tolist()},
+            {"n_optim_nits": 500, "n_cells": nc, "warm_stride": 0,
+             "optimizer": "adam", "bary_mean": base_m.tolist(),
+             "bary_std": base_s.tolist()},
+        ]
+    }, truth_m, truth_s
+
+
+def test_quality_gate_passes_closer_than_baseline():
+    from gridded_bench import quality_gate_check
+
+    loaded, tm, ts = _fake_oracle()
+    qm, qs = quality_gate_check(
+        loaded, tm + 0.01, ts + 0.01, n_cells=100, lat=10, lon=10
+    )
+    assert abs(qm - 0.01) < 1e-12 and abs(qs - 0.01) < 1e-12
+
+
+def test_quality_gate_rejects_worse_than_baseline():
+    from gridded_bench import quality_gate_check
+
+    loaded, tm, ts = _fake_oracle()
+    with pytest.raises(AssertionError, match="quality gate"):
+        quality_gate_check(loaded, tm + 0.2, ts, n_cells=100, lat=10, lon=10)
+
+
+def test_quality_gate_missing_entries_is_loud():
+    from gridded_bench import quality_gate_check
+
+    loaded, tm, ts = _fake_oracle()
+    loaded["entries"] = loaded["entries"][:1]  # drop the baseline entry
+    with pytest.raises(SystemExit, match="gate quality"):
+        quality_gate_check(loaded, tm, ts, n_cells=100, lat=10, lon=10)

@@ -100,6 +100,44 @@ def test_warm_start_beats_scratch_at_fifth_the_steps(rng):
     assert dist(warm) <= dist(scratch) * 1.2, (dist(warm), dist(scratch))
 
 
+def test_warm_bfgs_beats_scratch_bfgs_at_third_the_steps(rng):
+    """Coarse-to-fine composed with the per-model damped quasi-Newton:
+    a bfgs fine pass warm-started from a stride-S bfgs coarse fit must
+    land at least as close to the converged optimum as the scratch bfgs
+    fit at the full step count (the fine pass rebuilds its 2x2 Hessian
+    from identity, so this asserts the warm INIT carries the value even
+    without carried curvature)."""
+    la, lo = 3, 4
+    block, obs = _grid_workload(rng, la, lo, m=2, t=40)
+    m, c, r, t = block.shape
+    mask = jnp.ones((m, c, r), bool)
+    nits = 30
+
+    truth = gridded_ensemble_step(
+        jnp.asarray(block), jnp.asarray(obs), mask, n_optim_nits=3000
+    )
+    scratch = gridded_ensemble_step(
+        jnp.asarray(block), jnp.asarray(obs), mask, n_optim_nits=nits,
+        optimizer="bfgs",
+    )
+    gp_init = coarse_warm_start(
+        jnp.asarray(block), mask, la, lo, 2, n_optim_nits=nits,
+        optimizer="bfgs",
+    )
+    warm = gridded_ensemble_step(
+        jnp.asarray(block), jnp.asarray(obs), mask, n_optim_nits=nits // 3,
+        gp_init=gp_init, optimizer="bfgs",
+    )
+
+    def dist(x):
+        return max(
+            float(np.abs(np.asarray(x[0]) - np.asarray(truth[0])).max()),
+            float(np.abs(np.asarray(x[1]) - np.asarray(truth[1])).max()),
+        )
+
+    assert dist(warm) <= dist(scratch) * 1.2, (dist(warm), dist(scratch))
+
+
 def test_warm_start_shape_checks():
     block = jnp.zeros((2, 10, 3, 8))
     mask = jnp.ones((2, 10, 3), bool)
