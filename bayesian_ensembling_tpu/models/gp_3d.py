@@ -119,6 +119,8 @@ class GPDTW3D(AbstractEmulator):
         learning_rate: float,
         dba_iterations: int,
         jitter: float = 1e-6,
+        dba_method: str = "classic",
+        dba_tol: tp.Optional[float] = None,
     ) -> tp.List[Posterior]:
         posts = []
         for pm in collection:  # models may have different R; cells batch inside
@@ -136,6 +138,8 @@ class GPDTW3D(AbstractEmulator):
                 n_optim_nits=n_optim_nits,
                 learning_rate=learning_rate,
                 dba_iterations=dba_iterations,
+                dba_method=dba_method,
+                dba_tol=dba_tol,
                 jitter=jitter,
             )  # (C, T) each
             # Back to flattened (time, lat, lon) order for the template.
@@ -160,6 +164,8 @@ class GPDTW3D(AbstractEmulator):
         dba_iterations: int,
         n_inducing: int,
         minibatch_size: int,
+        dba_method: str = "classic",
+        dba_tol: tp.Optional[float] = None,
     ) -> tp.List[Posterior]:
         from bayesian_ensembling_tpu.ops import svgp as svgp_ops
         from bayesian_ensembling_tpu.ops import dtw as dtw_ops
@@ -174,14 +180,27 @@ class GPDTW3D(AbstractEmulator):
             # the batched entry point: stable jit cache across models (a
             # fresh jit(vmap(...)) per model recompiled every iteration) and
             # the fused Pallas pairwise-cost path on TPU.
-            y_mean = np.asarray(
-                dtw_ops.dba_batch(
-                    jnp.asarray(cell_block),
-                    jnp.ones((c, r), bool),
-                    n_iterations=dba_iterations,
-                    init="medoid",
+            if dba_method == "subgradient":
+                # The variant the reference's 3-D emulator actually calls
+                # per cell (models.py:251-253, max_iter=50 tol=1e-3).
+                y_mean = np.asarray(
+                    dtw_ops.dba_subgradient_batch(
+                        jnp.asarray(cell_block),
+                        jnp.ones((c, r), bool),
+                        max_iter=dba_iterations,
+                        tol=1e-3 if dba_tol is None else dba_tol,
+                    )
                 )
-            )  # (C, T)
+            else:
+                y_mean = np.asarray(
+                    dtw_ops.dba_batch(
+                        jnp.asarray(cell_block),
+                        jnp.ones((c, r), bool),
+                        n_iterations=dba_iterations,
+                        init="medoid",
+                        tol=dba_tol,
+                    )
+                )  # (C, T)
             y_var = cell_block.var(axis=1)  # (C, T)
             y_mean_f = y_mean.T.reshape(-1)  # (T*C,) in (time, cell) order
             y_var_f = np.maximum(y_var.T.reshape(-1), 1e-8)
@@ -228,6 +247,8 @@ class GPDTW3D(AbstractEmulator):
         n_optim_nits: tp.Optional[int] = None,
         learning_rate: tp.Optional[float] = None,
         dba_iterations: tp.Optional[int] = None,
+        dba_method: tp.Optional[str] = None,
+        dba_tol: tp.Optional[float] = None,
         n_inducing: tp.Optional[int] = None,
         minibatch_size: tp.Optional[int] = None,
         jitter: tp.Optional[float] = None,
@@ -239,6 +260,11 @@ class GPDTW3D(AbstractEmulator):
         dba_iterations = (
             getattr(cfg, "dba_iterations", 10) if dba_iterations is None else dba_iterations
         )
+        dba_method = (
+            getattr(cfg, "dba_method", "classic")
+            if dba_method is None
+            else dba_method
+        )
         n_inducing = getattr(cfg, "n_inducing", 400) if n_inducing is None else n_inducing
         minibatch_size = (
             getattr(cfg, "minibatch_size", 500) if minibatch_size is None else minibatch_size
@@ -248,7 +274,8 @@ class GPDTW3D(AbstractEmulator):
             _check_dims(pm)
         if self.mode == "batched":
             return self._fit_batched(
-                collection, n_optim_nits, learning_rate, dba_iterations, jitter
+                collection, n_optim_nits, learning_rate, dba_iterations,
+                jitter, dba_method=dba_method, dba_tol=dba_tol,
             )
         if self.mode == "svgp":
             return self._fit_svgp(
@@ -258,5 +285,7 @@ class GPDTW3D(AbstractEmulator):
                 dba_iterations,
                 n_inducing,
                 minibatch_size,
+                dba_method=dba_method,
+                dba_tol=dba_tol,
             )
         raise ValueError(f"unknown mode {self.mode!r}")

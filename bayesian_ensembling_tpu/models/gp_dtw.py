@@ -57,7 +57,7 @@ def _posterior_with_noise(
     jax.jit,
     static_argnames=(
         "kernel_name", "n_optim_nits", "learning_rate", "dba_iterations",
-        "optimizer", "time_stride", "fine_steps",
+        "dba_method", "dba_tol", "optimizer", "time_stride", "fine_steps",
     ),
 )
 def emulate_batch(
@@ -67,6 +67,8 @@ def emulate_batch(
     n_optim_nits: int = 500,
     learning_rate: float = 0.01,
     dba_iterations: int = 10,
+    dba_method: str = "classic",
+    dba_tol: tp.Optional[float] = None,
     jitter: float = 1e-6,
     optimizer: str = "adam",
     time_stride: int = 1,
@@ -87,7 +89,10 @@ def emulate_batch(
     steps at full T — the measured-better configuration at monthly
     resolution (benchmarks/monthly_warm_bench.py).
     """
-    x, y_mean, y_var = _prepare_emulation(block, mask, dba_iterations=dba_iterations)
+    x, y_mean, y_var = _prepare_emulation(
+        block, mask, dba_iterations=dba_iterations,
+        dba_method=dba_method, dba_tol=dba_tol,
+    )
 
     # (d)+(e) hyperparameter optimisation on the exact NLML — one batched
     # scan through the Pallas cholesky/solve kernels (ops/linalg_pallas.py).
@@ -115,6 +120,8 @@ def emulate_batch_chunked(
     n_optim_nits: int = 500,
     learning_rate: float = 0.01,
     dba_iterations: int = 10,
+    dba_method: str = "classic",
+    dba_tol: tp.Optional[float] = None,
     jitter: float = 1e-6,
     optimizer: str = "adam",
     fit_chunk_steps: int = 250,
@@ -131,7 +138,10 @@ def emulate_batch_chunked(
     when executions are unconstrained: the merged program saves the
     inter-stage HBM round-trips.
     """
-    x, y_mean, y_var = _prepare_emulation(block, mask, dba_iterations=dba_iterations)
+    x, y_mean, y_var = _prepare_emulation(
+        block, mask, dba_iterations=dba_iterations,
+        dba_method=dba_method, dba_tol=dba_tol,
+    )
     params, losses = gp_ops.fit_gp_batch_dispatch(
         x, y_mean, y_var,
         kernel_name=kernel_name,
@@ -177,6 +187,8 @@ class GPDTW1D(AbstractEmulator):
         n_optim_nits: tp.Optional[int] = None,
         learning_rate: tp.Optional[float] = None,
         dba_iterations: tp.Optional[int] = None,
+        dba_method: tp.Optional[str] = None,
+        dba_tol: tp.Optional[float] = None,
         jitter: tp.Optional[float] = None,
         optimizer: str = "adam",
         fit_chunk_steps: tp.Optional[int] = None,
@@ -188,6 +200,11 @@ class GPDTW1D(AbstractEmulator):
         n_optim_nits = cfg.n_optim_nits if n_optim_nits is None else n_optim_nits
         learning_rate = cfg.learning_rate if learning_rate is None else learning_rate
         dba_iterations = cfg.dba_iterations if dba_iterations is None else dba_iterations
+        dba_method = (
+            getattr(cfg, "dba_method", "classic")
+            if dba_method is None
+            else dba_method
+        )
         jitter = getattr(cfg, "jitter", 1e-6) if jitter is None else jitter
         if collection[0].ndim > 2:
             raise NotImplementedError(
@@ -207,6 +224,8 @@ class GPDTW1D(AbstractEmulator):
                 n_optim_nits=n_optim_nits,
                 learning_rate=learning_rate,
                 dba_iterations=dba_iterations,
+                dba_method=dba_method,
+                dba_tol=dba_tol,
                 jitter=jitter,
                 optimizer=optimizer,
                 fit_chunk_steps=fit_chunk_steps,
@@ -221,6 +240,8 @@ class GPDTW1D(AbstractEmulator):
                 n_optim_nits=n_optim_nits,
                 learning_rate=learning_rate,
                 dba_iterations=dba_iterations,
+                dba_method=dba_method,
+                dba_tol=dba_tol,
                 jitter=jitter,
                 optimizer=optimizer,
                 time_stride=time_stride,

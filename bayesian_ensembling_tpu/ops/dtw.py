@@ -36,6 +36,7 @@ __all__ = [
     "dtw_pairwise_sq",
     "dba",
     "dba_batch",
+    "dba_subgradient_batch",
 ]
 
 _BIG = jnp.inf
@@ -238,19 +239,26 @@ def dba(
     mask: tp.Optional[jnp.ndarray] = None,
     n_iterations: int = 10,
     init: str = "medoid",
+    tol: tp.Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """DTW Barycenter Averaging of a stack of equal-length series.
 
     Args:
       series: ``(R, T)`` stack of realisations (padded rows allowed).
       mask: optional ``(R,)`` bool validity of each row.
-      n_iterations: fixed DBA iterations (reference default: dtwa.py:6).
+      n_iterations: fixed DBA iterations (reference default: dtwa.py:6) —
+        or, when ``tol`` is given, the iteration CAP.
       init: ``"medoid"`` — the dtwa.py:14 initialisation (exact over all
         candidates; the reference samples 50 when R > 50, workloads here
         have R <= 200) — or ``"mean"``, the masked euclidean mean, which is
         tslearn's default init for the subgradient DBA the flagship emulator
         actually calls (models.py:176) and skips the O(R^2 T^2) pairwise
         medoid search entirely.
+      tol: optional convergence tolerance on the barycentre's movement
+        (``max |Δcentre|`` between iterations).  The reference's classic DBA
+        has NO stopping rule (dtwa.py:6 fixed ``n_iterations``); this opt-in
+        gives a *converged* mean target — BASELINE.md measured the fixed
+        10-iteration convention still moving ~0.1 °C at monthly T.
 
     Returns:
       ``(T,)`` barycentre series.
@@ -271,10 +279,25 @@ def dba(
     else:
         raise ValueError(f"unknown init {init!r}")
 
-    def body(c, _):
-        return _dba_update(c, series, mask), None
+    if tol is None:
+        def body(c, _):
+            return _dba_update(c, series, mask), None
 
-    center, _ = jax.lax.scan(body, center, None, length=n_iterations)
+        center, _ = jax.lax.scan(body, center, None, length=n_iterations)
+        return center
+
+    def cond(st):
+        _, it, moved = st
+        return (it < n_iterations) & (moved >= tol)
+
+    def wbody(st):
+        c, it, _ = st
+        new = _dba_update(c, series, mask)
+        return new, it + 1, jnp.max(jnp.abs(new - c))
+
+    center, _, _ = jax.lax.while_loop(
+        cond, wbody, (center, jnp.int32(0), jnp.asarray(jnp.inf, center.dtype))
+    )
     return center
 
 
@@ -284,6 +307,7 @@ def dba_batch(
     mask: tp.Optional[jnp.ndarray] = None,
     n_iterations: int = 10,
     init: str = "mean",
+    tol: tp.Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """DBA for a whole batch of models at once: ``(B, R, T) -> (B, T)``.
 
@@ -293,6 +317,10 @@ def dba_batch(
     ``dba_update_batch``) instead of ``B*R`` vmapped 2T-1-step scans — the
     scan path's per-diagonal loop overhead was ~19% of the full-experiment
     bench (VERDICT r1 item 3).  Off-TPU it falls back to ``vmap(dba)``.
+
+    ``tol`` (opt-in) turns ``n_iterations`` into a CAP and stops each model
+    once its barycentre moves less than ``tol`` (max |Δ|) in an iteration —
+    the converged-mean-target mode (see :func:`dba`).
     """
     b, r, t = series.shape
     if mask is None:
@@ -312,7 +340,7 @@ def dba_batch(
     # no (T, lanes) residency; the move planes live in HBM).
     if jax.default_backend() != "tpu" or not split_dba_fits(t):
         return jax.vmap(
-            functools.partial(dba, n_iterations=n_iterations, init=init)
+            lambda s, m: dba(s, m, n_iterations=n_iterations, init=init, tol=tol)
         )(series, mask)
 
     w = mask.astype(series.dtype)
@@ -351,13 +379,180 @@ def dba_batch(
 
     s_flat = series.reshape(b * r, t)
 
-    def body(centers, _):
+    def update(centers):
         c_flat = jnp.repeat(centers, r, axis=0)
         sums, counts = dba_update_batch(c_flat, s_flat)
         m = w[:, :, None]
         tot = jnp.sum(sums.reshape(b, r, t) * m, axis=1)
         cnt = jnp.sum(counts.reshape(b, r, t) * m, axis=1)
-        return tot / jnp.maximum(cnt, 1.0), None
+        return tot / jnp.maximum(cnt, 1.0)
 
-    centers, _ = jax.lax.scan(body, centers, None, length=n_iterations)
+    if tol is None:
+        centers, _ = jax.lax.scan(
+            lambda c, _: (update(c), None), centers, None, length=n_iterations
+        )
+        return centers
+
+    def cond(st):
+        _, done, it = st
+        return (it < n_iterations) & ~jnp.all(done)
+
+    def wbody(st):
+        centers, done, it = st
+        new = update(centers)
+        new = jnp.where(done[:, None], centers, new)  # freeze converged models
+        moved = jnp.max(jnp.abs(new - centers), axis=1)
+        return new, done | (moved < tol), it + 1
+
+    centers, _, _ = jax.lax.while_loop(
+        cond, wbody, (centers, jnp.zeros((b,), bool), jnp.int32(0))
+    )
+    return centers
+
+
+def _dba_sums_counts(centers: jnp.ndarray, xs: jnp.ndarray):
+    """Aligned-value sums + visit counts for N (centre, series) pairs.
+
+    ``(N, T), (N, T) -> ((N, T), (N, T))`` — the valence diagonal V and the
+    warped sum W·x of the subgradient update, identical quantities to the
+    classic DBA update's accumulators.  Dispatches to the fused/split Pallas
+    wavefront kernels on TPU, the vmapped scan elsewhere.
+    """
+    t = centers.shape[1]
+    from bayesian_ensembling_tpu.ops.dtw_pallas import (
+        dba_update_batch,
+        split_dba_fits,
+    )
+
+    if jax.default_backend() == "tpu" and split_dba_fits(t):
+        return dba_update_batch(centers, xs)
+
+    def one(c, s):
+        _, path = squared_dtw_with_path(c, s)
+        return _backtrack_accumulate(path, s)
+
+    return jax.vmap(one)(centers, xs)
+
+
+def _sq_dtw_costs(centers: jnp.ndarray, xs: jnp.ndarray) -> jnp.ndarray:
+    """Squared-DTW costs for N (centre, series) pairs: ``(N, T) x 2 -> (N,)``."""
+    n, t = xs.shape
+    from bayesian_ensembling_tpu.ops.dtw_pallas import (
+        dtw_cost_fits,
+        squared_dtw_cost_batch,
+    )
+
+    if jax.default_backend() == "tpu" and dtw_cost_fits(t, n=n):
+        return squared_dtw_cost_batch(centers, xs)
+    return jax.vmap(squared_dtw)(centers, xs)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter", "return_info"))
+def dba_subgradient_batch(
+    series: jnp.ndarray,
+    mask: tp.Optional[jnp.ndarray] = None,
+    max_iter: int = 50,
+    tol: float = 1e-3,
+    initial_step_size: float = 0.05,
+    final_step_size: float = 0.005,
+    seed: int = 0,
+    return_info: bool = False,
+):
+    """Stochastic subgradient DBA — the variant the reference flagship calls.
+
+    ``GPDTW1D.fit`` uses tslearn's ``dtw_barycenter_averaging_subgradient``
+    with ``max_iter=50, tol=1e-3`` (reference ``ensembles/models.py:176-178``)
+    — Schultz & Jain (2018) Algorithm 3, NOT the classic exact-mean-update
+    DBA of ``ensembles/dtwa.py`` — so this implements those semantics,
+    batched over models: ``(B, R, T) -> (B, T)``.
+
+    Per epoch, each model visits its series in a fresh random order and takes
+    one subgradient step per series::
+
+        centre <- centre - eta * (V ∘ centre - W·x)
+
+    where V (valence) counts the centre slots' visits along the optimal
+    warping path against that series and W·x sums the aligned series values
+    — exactly the accumulators of the classic update, so the same wavefront
+    kernels serve both.  ``eta`` decays linearly from ``initial_step_size``
+    to ``final_step_size`` over ``max_iter * R`` steps (tslearn's schedule).
+    After each epoch the Petitjean cost (mean squared-DTW of the centre to
+    all series) stops a model when it changes by less than ``tol`` or
+    increases (tslearn's ConvergenceWarning break).
+
+    Deliberate deviations from tslearn, both measure-zero or interleaving-
+    only on real data: (a) the random epoch order comes from JAX's
+    threefry PRNG (the reference passes no ``random_state``, so its own
+    sequence is nondeterministic); (b) padded realisation slots are skipped
+    mid-epoch rather than never drawn — the same multiset of updates in a
+    different interleaving; (c) DP tie-breaks prefer diag/left/top
+    (dtwa.py's convention) where tslearn's backtracking differs on exact
+    cost ties.
+
+    Args:
+      series: ``(B, R, T)`` padded realisation stacks.
+      mask: ``(B, R)`` validity.
+      max_iter: epoch cap (the reference passes 50).
+      tol: epoch-to-epoch cost tolerance (the reference passes 1e-3).
+      initial_step_size / final_step_size: tslearn's defaults 0.05 / 0.005.
+      seed: PRNG seed for the per-epoch series orders.
+      return_info: also return ``{"epochs", "cost", "converged"}``.
+
+    Returns:
+      ``(B, T)`` barycentres — plus the info dict when ``return_info``.
+    """
+    b, r, t = series.shape
+    if mask is None:
+        mask = jnp.ones((b, r), bool)
+    dtype = jnp.result_type(series.dtype, jnp.float32)
+    series = series.astype(dtype)
+    w = mask.astype(dtype)
+    n_valid = jnp.maximum(jnp.sum(w, axis=1), 1.0)  # (B,)
+
+    # tslearn _init_avg: the euclidean mean (series are equal-length here).
+    centers0 = jnp.sum(series * w[:, :, None], axis=1) / n_valid[:, None]
+    eta0 = jnp.full((b,), initial_step_size, dtype)
+    decay = (initial_step_size - final_step_size) / (max_iter * n_valid)
+    s_flat = series.reshape(b * r, t)
+    base_key = jax.random.PRNGKey(seed)
+
+    def epoch_cost(centers):
+        crep = jnp.repeat(centers, r, axis=0)
+        costs = _sq_dtw_costs(crep, s_flat).reshape(b, r)
+        return jnp.sum(costs * w, axis=1) / n_valid
+
+    def cond(st):
+        _, _, _, done, it = st
+        return (it < max_iter) & ~jnp.all(done)
+
+    def body(st):
+        centers, eta, cost_prev, done, it = st
+        keys = jax.random.split(jax.random.fold_in(base_key, it), b)
+        perm = jax.vmap(lambda k: jax.random.permutation(k, r))(keys)  # (B, R)
+
+        def inner(carry, idx):
+            centers, eta = carry
+            xs = series[jnp.arange(b), idx]  # (B, T)
+            valid = mask[jnp.arange(b), idx] & ~done
+            sums, counts = _dba_sums_counts(centers, xs)
+            g = counts * centers - sums
+            centers = jnp.where(valid[:, None], centers - eta[:, None] * g, centers)
+            eta = jnp.where(valid, eta - decay, eta)
+            return (centers, eta), None
+
+        (centers, eta), _ = jax.lax.scan(inner, (centers, eta), perm.T)
+        cost = epoch_cost(centers)
+        done = done | (jnp.abs(cost_prev - cost) < tol) | (cost > cost_prev)
+        return centers, eta, cost, done, it + 1
+
+    state0 = (
+        centers0,
+        eta0,
+        jnp.full((b,), jnp.inf, dtype),
+        jnp.zeros((b,), bool),
+        jnp.int32(0),
+    )
+    centers, _, cost, done, it = jax.lax.while_loop(cond, body, state0)
+    if return_info:
+        return centers, {"epochs": it, "cost": cost, "converged": done}
     return centers

@@ -707,11 +707,15 @@ def fit_gp_batch_warm_time(
     return params, jnp.concatenate([coarse_losses, fine_losses], axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("dba_iterations",))
+@functools.partial(
+    jax.jit, static_argnames=("dba_iterations", "dba_method", "dba_tol")
+)
 def prepare_gp_inputs(
     block: jnp.ndarray,  # (M, R, T) zero-padded realisations
     mask: jnp.ndarray,  # (M, R) validity
     dba_iterations: int = 10,
+    dba_method: str = "classic",
+    dba_tol: tp.Optional[float] = None,
 ):
     """GPDTW stages (a)-(c): DBA target mean, known noise, feature matrix.
 
@@ -722,14 +726,38 @@ def prepare_gp_inputs(
     time-major → features ``x``.  Shared by models/gp_dtw.emulate_batch,
     parallel/step.emulate_marginals, and the warm-start benches so they
     provably run the identical preamble.
+
+    ``dba_method`` selects the mean-target algorithm:
+
+    * ``"classic"`` (default) — the exact-mean-update DBA of the
+      reference's own from-scratch ``dtwa.py`` at a fixed
+      ``dba_iterations`` (the established workload-parity convention);
+      ``dba_tol`` turns the count into a cap with movement-based stopping
+      (converged mean target).
+    * ``"subgradient"`` — the tslearn stochastic subgradient variant the
+      reference flagship ACTUALLY calls (``models.py:176-178``,
+      ``max_iter=50, tol=1e-3``): pass ``dba_iterations=50`` for the
+      reference's convention; ``dba_tol`` defaults to 1e-3 here.
     """
     from bayesian_ensembling_tpu.ops import dtw as dtw_ops
 
     w = mask.astype(block.dtype)  # (M, R)
     n = jnp.maximum(jnp.sum(w, axis=1), 1.0)  # (M,)
-    y_mean = dtw_ops.dba_batch(
-        block, mask, n_iterations=dba_iterations, init="mean"
-    )
+    if dba_method == "classic":
+        y_mean = dtw_ops.dba_batch(
+            block, mask, n_iterations=dba_iterations, init="mean", tol=dba_tol
+        )
+    elif dba_method == "subgradient":
+        y_mean = dtw_ops.dba_subgradient_batch(
+            block,
+            mask,
+            max_iter=dba_iterations,
+            tol=1e-3 if dba_tol is None else dba_tol,
+        )
+    else:
+        raise ValueError(
+            f"dba_method must be 'classic' or 'subgradient', got {dba_method!r}"
+        )
     mu_r = jnp.einsum("mrt,mr->mt", block, w) / n[:, None]
     y_var = (
         jnp.einsum("mrt,mr->mt", jnp.square(block - mu_r[:, None, :]), w)

@@ -191,6 +191,8 @@ def emulate_marginals(
     n_optim_nits: int = 500,
     learning_rate: float = 0.01,
     dba_iterations: int = 10,
+    dba_method: str = "classic",
+    dba_tol: tp.Optional[float] = None,
     jitter: float = 1e-6,
     optimizer: str = "adam",
     gp_init=None,
@@ -218,7 +220,8 @@ def emulate_marginals(
     posterior extraction always run at full resolution.
     """
     x, y_mean, y_var = gp_ops.prepare_gp_inputs(
-        block, mask, dba_iterations=dba_iterations
+        block, mask, dba_iterations=dba_iterations,
+        dba_method=dba_method, dba_tol=dba_tol,
     )
 
     params, _ = gp_ops.fit_gp_batch_dispatch(
@@ -295,6 +298,8 @@ def ensemble_scenario_step(
     n_optim_nits: int = 500,
     learning_rate: float = 0.01,
     dba_iterations: int = 10,
+    dba_method: str = "classic",
+    dba_tol: tp.Optional[float] = None,
     weight_kind: str = "crps",
     optimizer: str = "adam",
     model_axis: tp.Optional[str] = None,
@@ -328,6 +333,8 @@ def ensemble_scenario_step(
         n_optim_nits=n_optim_nits,
         learning_rate=learning_rate,
         dba_iterations=dba_iterations,
+        dba_method=dba_method,
+        dba_tol=dba_tol,
         optimizer=optimizer,
         time_stride=time_stride,
         fine_steps=fine_steps,
@@ -379,6 +386,8 @@ def ensemble_multi_scenario_step(
     n_optim_nits: int = 500,
     learning_rate: float = 0.01,
     dba_iterations: int = 10,
+    dba_method: str = "classic",
+    dba_tol: tp.Optional[float] = None,
     weight_kind: str = "crps",
     optimizer: str = "adam",
     model_axis: tp.Optional[str] = None,
@@ -407,6 +416,8 @@ def ensemble_multi_scenario_step(
         n_optim_nits=n_optim_nits,
         learning_rate=learning_rate,
         dba_iterations=dba_iterations,
+        dba_method=dba_method,
+        dba_tol=dba_tol,
         optimizer=optimizer,
         time_stride=time_stride,
         fine_steps=fine_steps,
@@ -501,6 +512,8 @@ def make_sharded_multi_scenario_step(
     n_optim_nits: int = 500,
     learning_rate: float = 0.01,
     dba_iterations: int = 10,
+    dba_method: str = "classic",
+    dba_tol: tp.Optional[float] = None,
     weight_kind: str = "crps",
     optimizer: str = "adam",
     sigma_mode: str = "w2",
@@ -526,6 +539,8 @@ def make_sharded_multi_scenario_step(
         n_optim_nits=n_optim_nits,
         learning_rate=learning_rate,
         dba_iterations=dba_iterations,
+        dba_method=dba_method,
+        dba_tol=dba_tol,
         weight_kind=weight_kind,
         optimizer=optimizer,
         model_axis=model_axis,
@@ -555,6 +570,8 @@ def make_sharded_step(
     n_optim_nits: int = 500,
     learning_rate: float = 0.01,
     dba_iterations: int = 10,
+    dba_method: str = "classic",
+    dba_tol: tp.Optional[float] = None,
     weight_kind: str = "crps",
     optimizer: str = "adam",
     sigma_mode: str = "w2",
@@ -583,6 +600,8 @@ def make_sharded_step(
         n_optim_nits=n_optim_nits,
         learning_rate=learning_rate,
         dba_iterations=dba_iterations,
+        dba_method=dba_method,
+        dba_tol=dba_tol,
         weight_kind=weight_kind,
         optimizer=optimizer,
         model_axis=model_axis,

@@ -247,6 +247,8 @@ def run_scenario(
     emulator: tp.Optional[tp.Any] = None,
     n_optim_nits: int = 2000,
     dba_iterations: int = 10,
+    dba_method: str = "classic",
+    dba_tol: tp.Optional[float] = None,
     sigma_mode: str = "w2",
     fit_chunk_steps: tp.Optional[int] = None,
     time_stride: int = 1,
@@ -274,6 +276,8 @@ def run_scenario(
     fit_kw = dict(
         n_optim_nits=n_optim_nits,
         dba_iterations=dba_iterations,
+        dba_method=dba_method,
+        dba_tol=dba_tol,
         fit_chunk_steps=fit_chunk_steps,
         time_stride=time_stride,
         fine_steps=fine_steps,
@@ -302,6 +306,8 @@ def run_gridded_scenario(
     emulator: tp.Optional[tp.Any] = None,
     n_optim_nits: int = 500,
     dba_iterations: int = 10,
+    dba_method: str = "classic",
+    dba_tol: tp.Optional[float] = None,
     sigma_mode: str = "w2",
 ) -> tp.Tuple[tp.Any, Posterior]:
     """Gridded fit -> weight -> combine (the GPDTW3D capability end-to-end).
@@ -317,7 +323,8 @@ def run_gridded_scenario(
     weighter = weighter or CRPSWeight()
     emulator = emulator or GPDTW3D()
     collection.fit(
-        emulator, n_optim_nits=n_optim_nits, dba_iterations=dba_iterations
+        emulator, n_optim_nits=n_optim_nits, dba_iterations=dba_iterations,
+        dba_method=dba_method, dba_tol=dba_tol,
     )
     weights = weighter(collection, observations)
     bary = Barycentre()(collection, weights, sigma_mode=sigma_mode)

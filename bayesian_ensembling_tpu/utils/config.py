@@ -47,12 +47,23 @@ class GPRParameters(Parameters):
 
     kernel: str = "matern32"
     dba_iterations: int = 10
+    # Mean-target algorithm: "classic" (dtwa.py exact-mean-update DBA, the
+    # established workload-parity convention) or "subgradient" (the tslearn
+    # stochastic variant the reference flagship actually calls,
+    # models.py:176-178 — pair with dba_iterations=50, dba_tol=1e-3).
+    dba_method: str = "classic"
+    dba_tol: tp.Optional[float] = None
     jitter: float = 1e-6
 
     def __post_init__(self):
         super().__post_init__()
         if self.dba_iterations <= 0:
             raise ValueError("dba_iterations must be positive")
+        if self.dba_method not in ("classic", "subgradient"):
+            raise ValueError(
+                "dba_method must be 'classic' or 'subgradient', got "
+                f"{self.dba_method!r}"
+            )
 
 
 @dataclasses.dataclass(frozen=True)

@@ -30,18 +30,45 @@ from bayesian_ensembling_tpu.utils.compile_cache import enable_persistent_cache
 _CACHE_DIR = enable_persistent_cache()
 
 
+def _fail_soft(status: str, probe_s: float | None, detail: str) -> None:
+    """Emit a structured, parseable JSON line and exit 0.
+
+    The round-3 driver artifact was EMPTY (rc=1, nothing parsed) because the
+    probe raised SystemExit with a prose message when the tunnel was down —
+    the bench must always leave a machine-readable record, even when it
+    cannot measure (VERDICT r3 "Next round" item 1)."""
+    print(detail, file=sys.stderr, flush=True)
+    print(json.dumps({
+        "metric": "gmst_full_experiment_7ssp_fit2000_weight_barycentre",
+        "value": None,
+        "unit": "s",
+        "vs_baseline": None,
+        "status": status,
+        "probe_s": round(probe_s, 1) if probe_s is not None else None,
+        "warmup_s": None,
+        "detail": detail[-500:],
+        # Last driver-verified figure for reference (BENCH_r02.json) plus the
+        # builder-measured round-3/4 steady state, so an unreachable-backend
+        # round still records what the framework measures when the chip is up.
+        "last_known_good": {"value": 1.226, "round": "r02",
+                            "builder_measured_r03": 1.22},
+    }))
+    raise SystemExit(0)
+
+
 def _probe_backend(timeout_s: int = 180) -> None:
-    """Fail fast when the accelerator is unreachable.
+    """Probe the accelerator; on failure emit structured JSON and exit 0.
 
     The tunnelled TPU plugin can block ~30 minutes inside backend init when
     the chip/tunnel is down; a subprocess probe with a hard timeout turns
-    that into a loud, quick failure instead of silently eating the whole
-    measurement window.  A healthy-but-congested tunnel has been measured
-    to take >2 minutes for backend init, so one timeout is retried once
-    with a larger budget before giving up.  Skippable via
-    BENCH_SKIP_PROBE=1."""
+    that into a quick, *parseable* failure record instead of silently eating
+    the whole measurement window.  A healthy-but-congested tunnel has been
+    measured to take >2 minutes for backend init, so the probe escalates
+    through three budgets (default 180/360/720 s) before giving up.
+    Skippable via BENCH_SKIP_PROBE=1."""
     if os.environ.get("BENCH_SKIP_PROBE"):
         return
+    timeout_s = float(os.environ.get("BENCH_PROBE_TIMEOUT_S", timeout_s))
     import subprocess
 
     code = (
@@ -49,7 +76,9 @@ def _probe_backend(timeout_s: int = 180) -> None:
         "np.asarray(jax.jit(lambda a: a + 1)(jnp.ones(8)));"
         "print(jax.devices())"
     )
-    for attempt, budget_s in enumerate((timeout_s, 2 * timeout_s)):
+    budgets = (timeout_s, 2 * timeout_s, 4 * timeout_s)
+    t_start = time.perf_counter()
+    for attempt, budget_s in enumerate(budgets):
         try:
             proc = subprocess.run(
                 [sys.executable, "-c", code],
@@ -58,22 +87,26 @@ def _probe_backend(timeout_s: int = 180) -> None:
                 timeout=budget_s,
             )
         except subprocess.TimeoutExpired:
-            if attempt == 0:
+            if attempt < len(budgets) - 1:
                 print(
                     f"bench: backend probe exceeded {budget_s}s; retrying "
-                    f"once with {2 * timeout_s}s (congested tunnel?)",
+                    f"with {budgets[attempt + 1]}s (congested tunnel?)",
                     file=sys.stderr,
                 )
                 continue
-            raise SystemExit(
+            _fail_soft(
+                "backend_unreachable",
+                time.perf_counter() - t_start,
                 f"bench: accelerator backend unreachable (probe exceeded "
-                f"{budget_s}s after a retry — tunnel/chip down?). Set "
-                "BENCH_SKIP_PROBE=1 to bypass."
+                f"{budget_s}s after {len(budgets)} attempts — tunnel/chip "
+                "down?). Set BENCH_SKIP_PROBE=1 to bypass.",
             )
         if proc.returncode != 0:
-            raise SystemExit(
+            _fail_soft(
+                "backend_probe_failed",
+                time.perf_counter() - t_start,
                 "bench: accelerator backend probe failed:\n"
-                + proc.stderr[-2000:]
+                + proc.stderr[-2000:],
             )
         return
 

@@ -108,10 +108,28 @@ def quality_gate_check(loaded, bary_mean, bary_std, *, n_cells, lat, lon):
         warm_stride=0, fine_nits=None, lat=lat, lon=lon, optimizer="adam",
     )
     if truth is None or baseline is None:
+        # Distinguish "entry absent" from "entry present but its oracle
+        # subset exceeds this run's grid" (select_oracle_entry requires
+        # n_cells <= the run's cells, so a 32-cell smoke run cannot use
+        # 64-cell entries) — ADVICE r3.
+        entries = loaded["entries"] if "entries" in loaded else [loaded]
+        any_bigger = any(
+            o.get("n_optim_nits") in (QUALITY_TRUTH_NITS, QUALITY_BASELINE_NITS)
+            and o.get("warm_stride", 0) == 0
+            and o.get("optimizer", "adam") == "adam"
+            and o["n_cells"] > n_cells
+            for o in entries
+        )
+        hint = (
+            f" (entries exist but their oracle subsets exceed this run's "
+            f"{n_cells} cells — oracle entries must not exceed the run's "
+            f"cell count; regenerate with n_cells <= {n_cells})"
+            if any_bigger else ""
+        )
         raise SystemExit(
             "--gate quality needs adam oracle entries at "
             f"{QUALITY_TRUTH_NITS} (truth) and {QUALITY_BASELINE_NITS} "
-            "(baseline) steps in gridded_oracle.json"
+            f"(baseline) steps in gridded_oracle.json{hint}"
         )
     nc = min(truth["n_cells"], baseline["n_cells"])
     tm = np.asarray(truth["bary_mean"])[:nc]
@@ -127,12 +145,20 @@ def quality_gate_check(loaded, bary_mean, bary_std, *, n_cells, lat, lon):
         f"(baseline {base_std:.5f})",
         file=sys.stderr,
     )
-    assert quality_mean <= base_mean, (
-        f"quality gate: {quality_mean} vs scratch baseline {base_mean}"
-    )
-    assert quality_std <= base_std, (
-        f"quality gate: {quality_std} vs scratch baseline {base_std}"
-    )
+    # SystemExit (not assert) so the gate survives `python -O`, and a small
+    # relative slack so a config sitting exactly at baseline quality cannot
+    # flap across jax/compiler versions from f32 scatter alone (ADVICE r3).
+    slack = 1.0 + float(os.environ.get("BENCH_QUALITY_SLACK", "0.02"))
+    if quality_mean > base_mean * slack:
+        raise SystemExit(
+            f"quality gate: mean {quality_mean} vs scratch baseline "
+            f"{base_mean} (x{slack:.2f} slack)"
+        )
+    if quality_std > base_std * slack:
+        raise SystemExit(
+            f"quality gate: std {quality_std} vs scratch baseline "
+            f"{base_std} (x{slack:.2f} slack)"
+        )
     return quality_mean, quality_std
 
 
@@ -387,12 +413,29 @@ def main():
                 file=sys.stderr,
             )
             if args.gate == "identity":
-                assert parity_mean < MEAN_TOL, f"gridded mean divergence {parity_mean}"
-                assert parity_std < STD_TOL, f"gridded std divergence {parity_std}"
+                # SystemExit, not assert: the gate must survive python -O
+                # (ADVICE r3).
+                if parity_mean >= MEAN_TOL:
+                    raise SystemExit(
+                        f"gridded mean divergence {parity_mean} >= {MEAN_TOL}"
+                    )
+                if parity_std >= STD_TOL:
+                    raise SystemExit(
+                        f"gridded std divergence {parity_std} >= {STD_TOL}"
+                    )
 
     quality_mean = quality_std = None
     if args.gate == "quality":
         base_path = os.path.join(os.path.dirname(__file__), "gridded_oracle.json")
+        if not os.path.exists(base_path):
+            raise SystemExit(
+                "--gate quality needs adam oracle entries at "
+                f"{QUALITY_TRUTH_NITS} (truth) and {QUALITY_BASELINE_NITS} "
+                f"(baseline) steps in gridded_oracle.json — {base_path} "
+                "does not exist; generate it with "
+                f"`python benchmarks/gridded_oracle.py {QUALITY_TRUTH_NITS} 64` "
+                f"and `python benchmarks/gridded_oracle.py {QUALITY_BASELINE_NITS} 64`"
+            )
         with open(base_path) as f:
             base_loaded = json.load(f)
         quality_mean, quality_std = quality_gate_check(

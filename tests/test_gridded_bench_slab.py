@@ -131,8 +131,28 @@ def test_quality_gate_rejects_worse_than_baseline():
     from gridded_bench import quality_gate_check
 
     loaded, tm, ts = _fake_oracle()
-    with pytest.raises(AssertionError, match="quality gate"):
+    # SystemExit (survives python -O), not assert — ADVICE r3.
+    with pytest.raises(SystemExit, match="quality gate"):
         quality_gate_check(loaded, tm + 0.2, ts, n_cells=100, lat=10, lon=10)
+
+
+def test_quality_gate_slack_tolerates_marginal_config():
+    """A run sitting *exactly* at baseline quality (or a hair over) passes:
+    the gate carries a small relative slack so marginal configs cannot flap
+    on f32 scatter across compiler versions (ADVICE r3)."""
+    from gridded_bench import quality_gate_check
+
+    loaded, tm, ts = _fake_oracle()
+    # baseline closeness is 0.05 mean / 0.02 std; 1% over still passes the
+    # default 2% slack, 5% over does not.
+    qm, _ = quality_gate_check(
+        loaded, tm + 0.0505, ts + 0.02, n_cells=100, lat=10, lon=10
+    )
+    assert abs(qm - 0.0505) < 1e-12
+    with pytest.raises(SystemExit, match="quality gate"):
+        quality_gate_check(
+            loaded, tm + 0.0525, ts + 0.02, n_cells=100, lat=10, lon=10
+        )
 
 
 def test_quality_gate_missing_entries_is_loud():
@@ -142,3 +162,14 @@ def test_quality_gate_missing_entries_is_loud():
     loaded["entries"] = loaded["entries"][:1]  # drop the baseline entry
     with pytest.raises(SystemExit, match="gate quality"):
         quality_gate_check(loaded, tm, ts, n_cells=100, lat=10, lon=10)
+
+
+def test_quality_gate_smaller_grid_than_oracle_hints():
+    """Entries exist but this run's grid is SMALLER than the oracle subset:
+    the message must say so instead of claiming the entries are missing
+    (ADVICE r3)."""
+    from gridded_bench import quality_gate_check
+
+    loaded, tm, ts = _fake_oracle()  # entries carry n_cells=4
+    with pytest.raises(SystemExit, match="exceed this run's 2 cells"):
+        quality_gate_check(loaded, tm[:2], ts[:2], n_cells=2, lat=1, lon=2)
