@@ -254,6 +254,7 @@ def run_scenario(
     time_stride: int = 1,
     fine_steps: tp.Optional[int] = None,
     optimizer: str = "adam",
+    profile: tp.Optional[str] = None,
 ) -> ScenarioResult:
     """Fit + weight + combine one scenario (script :87-143).
 
@@ -268,9 +269,40 @@ def run_scenario(
     closer to the converged optimum than the scratch fit at monthly T).
     ``optimizer``: "adam" (reference-faithful default) | "lbfgs" |
     "bfgs" (per-model damped quasi-Newton; use with n_optim_nits ~ 30-60).
+    ``profile``: "faithful" (default, no changes) | "fast" — one switch for
+    the measured-best schedule of the workload's regime (utils/profiles.py;
+    resolution inferred from the historical time axis).  Mutually exclusive
+    with setting the fit knobs explicitly.
     """
     weighter = weighter or CRPSWeight()
     emulator = emulator or GPDTW1D()
+
+    if profile is not None and profile != "faithful":
+        # One-switch measured-best schedule (utils/profiles.py).  The
+        # profile OWNS the fit knobs, so it must not silently fight
+        # explicit values — callers choose one or the other.
+        from bayesian_ensembling_tpu.utils.profiles import resolve_profile
+
+        explicit = {
+            "n_optim_nits": n_optim_nits != 2000,
+            "optimizer": optimizer != "adam",
+            "time_stride": time_stride != 1,
+            "fine_steps": fine_steps is not None,
+        }
+        clash = [k for k, v in explicit.items() if v]
+        if clash:
+            raise ValueError(
+                f"profile={profile!r} sets {clash} itself; pass either the "
+                "profile or the explicit fit knobs, not both"
+            )
+        # Native monthly = the large-T regime (monthly historical series
+        # are ~1980 steps; anything resampled is two orders smaller).
+        native_monthly = len(hist.time) > 1000
+        kw = resolve_profile(profile, native_monthly=native_monthly)
+        n_optim_nits = kw.get("n_optim_nits", n_optim_nits)
+        optimizer = kw.get("optimizer", optimizer)
+        time_stride = kw.get("time_stride", time_stride)
+        fine_steps = kw.get("fine_steps", fine_steps)
 
     t0 = _time.perf_counter()
     fit_kw = dict(

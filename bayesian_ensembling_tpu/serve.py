@@ -239,12 +239,15 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None):
     )
     from bayesian_ensembling_tpu.utils.cli import (
         add_optimizer_arg,
+        add_profile_arg,
         add_warm_time_args,
+        apply_profile,
         validate_warm_time_args,
     )
 
     add_optimizer_arg(b)
     add_warm_time_args(b)
+    add_profile_arg(b)
     b.add_argument(
         "--fit-chunk-steps", type=int, default=None,
         help="bound each fit execution at this many optimisation steps "
@@ -261,6 +264,7 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None):
         from bayesian_ensembling_tpu.utils.compile_cache import enable_persistent_cache
 
         enable_persistent_cache()
+        apply_profile(b, args, resample_freq=args.resample_freq)
         validate_warm_time_args(ap, args, resample_freq=args.resample_freq)
         ssps = args.ssps.split(",") if args.ssps else None
         freq = None if args.resample_freq.lower() == "none" else args.resample_freq

@@ -12,7 +12,13 @@ import argparse
 import sys
 import typing as tp
 
-__all__ = ["add_optimizer_arg", "add_warm_time_args", "validate_warm_time_args"]
+__all__ = [
+    "add_optimizer_arg",
+    "add_warm_time_args",
+    "validate_warm_time_args",
+    "add_profile_arg",
+    "apply_profile",
+]
 
 
 def add_optimizer_arg(ap: argparse.ArgumentParser) -> None:
@@ -51,6 +57,57 @@ def add_warm_time_args(ap: argparse.ArgumentParser) -> None:
     )
 
 
+def add_profile_arg(ap: argparse.ArgumentParser) -> None:
+    """Add ``--profile`` with the shared help text (utils/profiles.py)."""
+    ap.add_argument(
+        "--profile",
+        choices=["faithful", "fast"],
+        default="faithful",
+        help="fit preset: 'faithful' (the reference's conventions — scratch "
+        "Adam, the surface defaults; algorithm-identity parity gates are "
+        "defined here) or 'fast' (the measured-best schedule for the "
+        "workload's regime — coarse-in-time bfgs at annual resolution, "
+        "warm stride-12 Adam at native monthly, bfgs-30 for gridded fits; "
+        "each measured faster AND at least as close to the converged "
+        "optimum, BASELINE.md).  Mutually exclusive with setting "
+        "--optimizer/--n-optim-nits/--time-stride/--fine-steps yourself.",
+    )
+
+
+def apply_profile(
+    ap: argparse.ArgumentParser,
+    args: argparse.Namespace,
+    *,
+    resample_freq: tp.Optional[str] = None,
+    gridded: bool = False,
+) -> None:
+    """Expand ``--profile`` into the fit knobs on ``args`` (in place).
+
+    The profile OWNS those knobs: if any of them was moved off its parser
+    default alongside a non-faithful profile, that is two sources of truth
+    for one setting — refuse loudly rather than guess precedence.
+    """
+    if getattr(args, "profile", "faithful") == "faithful":
+        return
+    knobs = ("n_optim_nits", "optimizer", "time_stride", "fine_steps")
+    for k in knobs:
+        if hasattr(args, k) and getattr(args, k) != ap.get_default(k):
+            ap.error(
+                f"--profile {args.profile} sets --{k.replace('_', '-')} "
+                "itself; drop the explicit flag or use --profile faithful"
+            )
+    from bayesian_ensembling_tpu.utils.profiles import resolve_profile
+
+    native_monthly = (
+        resample_freq is not None and str(resample_freq).lower() == "none"
+    )
+    for k, v in resolve_profile(
+        args.profile, native_monthly=native_monthly, gridded=gridded
+    ).items():
+        if hasattr(args, k):
+            setattr(args, k, v)
+
+
 def validate_warm_time_args(
     ap: argparse.ArgumentParser,
     args: argparse.Namespace,
@@ -82,6 +139,9 @@ def validate_warm_time_args(
         args.time_stride > 1
         and resample_freq is not None
         and str(resample_freq).lower() != "none"
+        # The fast profile's annual schedule IS a stride-12 warm fit
+        # (measured best-quality at annual resolution) — no note needed.
+        and getattr(args, "profile", "faithful") == "faithful"
     ):
         print(
             "note: --time-stride targets the native monthly path; at "

@@ -300,7 +300,29 @@ def main():
     from bayesian_ensembling_tpu.utils.cli import add_optimizer_arg
 
     add_optimizer_arg(ap)
+    ap.add_argument(
+        "--profile", choices=("faithful", "fast"), default="faithful",
+        help="'fast' = the measured-best gridded schedule in one switch: "
+        "bfgs-30 fits (utils/profiles.py), data-resident slab staging, and "
+        "the quality gate (closeness to the f64 converged truth no worse "
+        "than scratch-500's).  Mutually exclusive with setting n_iters/"
+        "--optimizer/--gate/--resident yourself.",
+    )
     args = ap.parse_args()
+    if args.profile == "fast":
+        from bayesian_ensembling_tpu.utils.profiles import resolve_profile
+
+        if (args.optimizer, args.n_iters) != ("adam", 500) or args.resident \
+                or args.gate != "identity":
+            ap.error(
+                "--profile fast sets the optimizer/step count/resident/gate "
+                "itself; drop the explicit flags or use --profile faithful"
+            )
+        kw = resolve_profile("fast", gridded=True)
+        args.optimizer = kw["optimizer"]
+        args.n_iters = kw["n_optim_nits"]
+        args.resident = bool(args.slab)  # resident staging only has a slab mode
+        args.gate = "quality"
     n_iters, la, lo, slab = args.n_iters, args.lat, args.lon, args.slab
     warm_stride = args.warm_stride
     fine_nits = args.fine_nits or max(n_iters // 5, 50)

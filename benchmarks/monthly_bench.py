@@ -19,6 +19,10 @@ Usage: python benchmarks/monthly_bench.py [ssp] [n_optim_nits] [dba_iters]
            (stride > 1 = coarse-to-fine in time; optimizer "bfgs" = the
             per-model damped quasi-Newton, ops/gp._build_batch_step)
        python benchmarks/monthly_bench.py all-nodedup ...   (replicated layout)
+       python benchmarks/monthly_bench.py all-sharded-slab [n_iters] [dba]
+           [n_way] [stride] [fine] [opt]
+           (per-device slab of the SHARDED campaign program — the v5e-8
+            estimate's measured basis; parallel/campaign.py)
 
 ``all`` runs the ENTIRE 7-SSP experiment at native monthly resolution,
 fitting each UNIQUE model once (a historical model's anomalies are
@@ -57,6 +61,19 @@ def main():
     ssp = sys.argv[1] if len(sys.argv) > 1 else "ssp585"
     n_iters = int(sys.argv[2]) if len(sys.argv) > 2 else 500
     dba_iters = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    if ssp == "all-sharded-slab":
+        n_way = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+        time_stride = int(sys.argv[5]) if len(sys.argv) > 5 else 1
+        fine_steps = (
+            int(sys.argv[6])
+            if len(sys.argv) > 6 and sys.argv[6] not in ("0", "none")
+            else None
+        )
+        optimizer = sys.argv[7] if len(sys.argv) > 7 else "adam"
+        return run_sharded_slab(
+            n_iters, dba_iters, n_way=n_way, time_stride=time_stride,
+            fine_steps=fine_steps, optimizer=optimizer,
+        )
     if ssp in ("all", "all-nodedup"):
         hist_chunk = int(sys.argv[4]) if len(sys.argv) > 4 else 28
         time_stride = int(sys.argv[5]) if len(sys.argv) > 5 else 1
@@ -167,81 +184,32 @@ def build_all_ssps_runner(
     import jax
     import jax.numpy as jnp
 
+    from bayesian_ensembling_tpu.parallel.campaign import (
+        pack_dedup_campaign,
+        run_dedup_campaign,
+    )
     from bayesian_ensembling_tpu.parallel.step import (
         chunked_marginals,
         emulate_marginals,
         multi_scenario_tail,
-        pad_models,
     )
 
-    m_max = max(len(h) for _, h, _ in scenarios)
-    r_max = max(max(h.max_realisations, s.max_realisations) for _, h, s in scenarios)
-    s = len(scenarios)
-    packed = []
-    prepad = []  # per-scenario (hb_, hm_, sb_, sm_) BEFORE model padding,
-    # kept so the dedup branch below doesn't re-run the multi-hundred-MB
-    # host-side padded_stack copies a second time.
-    for _, hist, ssp_mc in scenarios:
-        hb_, hm_ = hist.padded_stack(r_target=r_max)
-        sb_, sm_ = ssp_mc.padded_stack(r_target=r_max)
-        prepad.append((hb_, hm_, sb_, sm_))
-        hb_, hm_, mmask_ = pad_models(hb_, hm_, m_max)
-        sb_, sm_, _ = pad_models(sb_, sm_, m_max)
-        packed.append((hb_, hm_, sb_, sm_, mmask_))
-    hb, hm, sb, sm, mmask = (
-        jnp.asarray(np.stack([p[i] for p in packed])) for i in range(5)
-    )
+    pack = pack_dedup_campaign(scenarios)
+    s, m_max = pack.mmask.shape
+    r_max = pack.hb.shape[2]
     b = s * m_max
-    t_hist, t_ssp = hb.shape[-1], sb.shape[-1]
-
-    em = jax.jit(
-        functools.partial(
-            emulate_marginals,
-            n_optim_nits=n_iters,
-            dba_iterations=dba_iters,
-            time_stride=time_stride,
-            fine_steps=fine_steps,
-            optimizer=optimizer,
-        )
+    t_hist, t_ssp = pack.hb.shape[-1], pack.sb.shape[-1]
+    fit_kw = dict(
+        n_optim_nits=n_iters,
+        dba_iterations=dba_iters,
+        time_stride=time_stride,
+        fine_steps=fine_steps,
+        optimizer=optimizer,
     )
-    tail = jax.jit(multi_scenario_tail)
 
     if dedup:
-        # ---- unique-fit packing.  Historical: one row per distinct model
-        # name (anomaly data + realisation mask, asserted identical across
-        # scenarios).  SSP: one row per REAL (scenario, model) pair,
-        # dropping the pad replicas.
-        uniq: dict = {}
-        uidx = np.zeros((s, m_max), np.int64)
-        sidx = np.zeros((s, m_max), np.int64)
-        ssp_rows, ssp_masks = [], []
-        for si, (_, hist, ssp_mc) in enumerate(scenarios):
-            hb_, hm_, sb_, sm_ = prepad[si]
-            for mi, name in enumerate(hist.model_names):
-                if name in uniq:
-                    k, row, mrow = uniq[name]
-                    assert np.array_equal(row, hb_[mi]) and np.array_equal(
-                        mrow, hm_[mi]
-                    ), (
-                        f"historical anomalies for {name} differ between "
-                        "scenarios — dedup invalid"
-                    )
-                else:
-                    k = len(uniq)
-                    uniq[name] = (k, hb_[mi], hm_[mi])
-                uidx[si, mi] = k
-                sidx[si, mi] = len(ssp_rows)
-                ssp_rows.append(sb_[mi])
-                ssp_masks.append(sm_[mi])
-            # padded model slots keep index 0; mmask zeroes them downstream
-        uh = jnp.asarray(np.stack([v[1] for v in uniq.values()]))
-        um = jnp.asarray(np.stack([v[2] for v in uniq.values()]))
-        usb = jnp.asarray(np.stack(ssp_rows))
-        usm = jnp.asarray(np.stack(ssp_masks))
-        uidx_j = jnp.asarray(uidx)
-        sidx_j = jnp.asarray(sidx)
-        u, b_ssp = uh.shape[0], usb.shape[0]
-        n_fits = u + b_ssp
+        u, b_ssp = pack.uh.shape[0], pack.usb.shape[0]
+        n_fits = pack.n_fits
         desc = (
             f"ALL {s} SSPs, DEDUPED — {u} unique historical + {b_ssp} SSP "
             f"fits (replicated layout: {b}+{b}), R={r_max}, "
@@ -249,20 +217,16 @@ def build_all_ssps_runner(
         )
 
         def run_once():
-            h_mu_u, h_var_u = chunked_marginals(em, uh, um, hist_chunk)
-            s_mu_f, s_var_f = em(usb, usm)
-            return tail(
-                jnp.take(h_mu_u, uidx_j, axis=0),
-                jnp.take(h_var_u, uidx_j, axis=0),
-                jnp.take(s_mu_f, sidx_j, axis=0),
-                jnp.take(s_var_f, sidx_j, axis=0),
-                obs,
-                hb,
-                hm,
-                mmask,
+            return run_dedup_campaign(
+                pack, obs, hist_chunk=hist_chunk, **fit_kw
             )
 
     else:
+        hb, hm, sb, sm, mmask = (
+            jnp.asarray(a) for a in (pack.hb, pack.hm, pack.sb, pack.sm, pack.mmask)
+        )
+        em = jax.jit(functools.partial(emulate_marginals, **fit_kw))
+        tail = jax.jit(multi_scenario_tail)
         n_fits = 2 * b
         desc = (
             f"ALL {s} SSPs, merged batch {s}x{m_max}={b} models "
@@ -288,6 +252,95 @@ def build_all_ssps_runner(
 
     meta = {"s": s, "m_max": m_max, "r_max": r_max, "n_fits": n_fits, "desc": desc}
     return run_once, meta
+
+
+def run_sharded_slab(
+    n_iters: int, dba_iters: int, n_way: int = 8,
+    time_stride: int = 1, fine_steps=None, optimizer: str = "adam",
+):
+    """Per-device slab of the SHARDED campaign program (VERDICT r3 item 5).
+
+    Runs ``parallel.campaign.make_sharded_dedup_campaign`` — the exact
+    program the 8-way estimate cites, equality-tested against the
+    single-chip dedup campaign on the virtual mesh
+    (tests/test_campaign_sharded.py) and exercised by ``dryrun_multichip``
+    — on a ONE-device mesh whose unique-fit axes hold exactly the
+    ``n_way``-way per-device share (``ceil(U/8)`` historical +
+    ``ceil(B_ssp/8)`` SSP fits).  What this measures is what each of 8
+    chips would execute concurrently: the collective-free sharded
+    emulation stage at per-device batch size, plus the FULL production
+    tail (on real hardware the tail's collectives ride ICI at ~µs scale;
+    counting the whole single-chip tail here makes the estimate
+    conservative).  The gather maps are remapped into the slab
+    (``idx % share``) so the tail sees the production (S, M, T) layout.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from bayesian_ensembling_tpu import pipeline
+    from bayesian_ensembling_tpu.parallel.campaign import (
+        make_sharded_dedup_campaign,
+        pack_dedup_campaign,
+    )
+    from bayesian_ensembling_tpu.utils.profiling import device_sync as sync
+
+    obs_pm = pipeline.load_observations(resample_freq=None)
+    obs = jnp.asarray(obs_pm.data.values, dtype=jnp.float32)
+    scenarios = []
+    for ssp in pipeline.ALL_SSPS:
+        hist, ssp_mc = pipeline.load_scenario(ssp, resample_freq=None)
+        scenarios.append((ssp, hist, ssp_mc))
+    pack = pack_dedup_campaign(scenarios)
+    u, b_ssp = pack.uh.shape[0], pack.usb.shape[0]
+    u_share = -(-u // n_way)
+    s_share = -(-b_ssp // n_way)
+    print(
+        f"devices: {jax.devices()}\nworkload: {n_way}-way per-device slab of "
+        f"the sharded dedup campaign — {u_share}/{u} historical + "
+        f"{s_share}/{b_ssp} SSP fits on this chip, "
+        f"T_hist={pack.uh.shape[-1]}, T_ssp={pack.usb.shape[-1]}, "
+        f"{n_iters} iterations",
+        file=sys.stderr,
+    )
+
+    mesh = Mesh(np.array(jax.devices()[:1]), ("model",))
+    campaign = make_sharded_dedup_campaign(
+        mesh, n_optim_nits=n_iters, dba_iterations=dba_iters,
+        time_stride=time_stride, fine_steps=fine_steps, optimizer=optimizer,
+    )
+    args = (
+        jnp.asarray(pack.uh[:u_share]), jnp.asarray(pack.um[:u_share]),
+        jnp.asarray(pack.usb[:s_share]), jnp.asarray(pack.usm[:s_share]),
+        jnp.asarray(pack.uidx % u_share), jnp.asarray(pack.sidx % s_share),
+        obs, jnp.asarray(pack.hb), jnp.asarray(pack.hm),
+        jnp.asarray(pack.mmask),
+    )
+
+    t0 = time.perf_counter()
+    sync(campaign(*args))
+    print(f"warmup: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    elapsed = float("inf")
+    for rep in range(3):
+        t0 = time.perf_counter()
+        out = campaign(*args)
+        sync(out)
+        rep_s = time.perf_counter() - t0
+        print(f"rep {rep}: {rep_s:.2f}s", file=sys.stderr)
+        elapsed = min(elapsed, rep_s)
+    bmean = np.asarray(out[0])
+    assert np.isfinite(bmean).all()
+    warm_tag = f"_warm{time_stride}x{fine_steps}" if time_stride > 1 else ""
+    if optimizer != "adam":
+        warm_tag += f"_{optimizer}"
+    print(json.dumps({
+        "metric": f"monthly_campaign_sharded_slab_{n_way}way_opt{n_iters}"
+                  f"{warm_tag}",
+        "value": round(elapsed, 3),
+        "unit": "s",
+        "v5e8_estimate": round(elapsed, 3),
+        "note": "per-device slab of the sharded program incl. full tail",
+    }))
 
 
 def run_all_ssps(

@@ -48,13 +48,17 @@ def main():
     )
     from bayesian_ensembling_tpu.utils.cli import (
         add_optimizer_arg,
+        add_profile_arg,
         add_warm_time_args,
+        apply_profile,
         validate_warm_time_args,
     )
 
     add_optimizer_arg(ap)
     add_warm_time_args(ap)
+    add_profile_arg(ap)
     args = ap.parse_args()
+    apply_profile(ap, args, resample_freq=args.resample_freq)
     validate_warm_time_args(ap, args, resample_freq=args.resample_freq)
 
 
