@@ -17,6 +17,7 @@ __all__ = [
     "add_warm_time_args",
     "validate_warm_time_args",
     "add_profile_arg",
+    "add_dba_args",
     "apply_profile",
 ]
 
@@ -54,6 +55,33 @@ def add_warm_time_args(ap: argparse.ArgumentParser) -> None:
         type=int,
         default=None,
         help="full-resolution warm-started steps for --time-stride > 1",
+    )
+
+
+def add_dba_args(ap: argparse.ArgumentParser, default_iterations: int = 10) -> None:
+    """Add ``--dba-iterations/--dba-method/--dba-tol`` with shared help."""
+    ap.add_argument(
+        "--dba-iterations", type=int, default=default_iterations,
+        help="mean-target DBA iterations (classic: fixed count, the "
+        "reference dtwa.py convention; subgradient: the epoch cap — the "
+        "reference flagship passes 50)",
+    )
+    ap.add_argument(
+        "--dba-method",
+        choices=["classic", "subgradient"],
+        default="classic",
+        help="mean-target algorithm: 'classic' (exact-mean-update DBA, the "
+        "established workload-parity convention) or 'subgradient' (the "
+        "tslearn stochastic variant the reference flagship actually calls, "
+        "models.py:176-178 — pair with --dba-iterations 50; tol defaults "
+        "to 1e-3)",
+    )
+    ap.add_argument(
+        "--dba-tol", type=float, default=None,
+        help="convergence tolerance: classic — stop when the barycentre "
+        "moves less than this between iterations (--dba-iterations becomes "
+        "the cap; the CONVERGED mean target), subgradient — the "
+        "epoch-to-epoch cost tolerance (default 1e-3)",
     )
 
 

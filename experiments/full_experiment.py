@@ -25,7 +25,6 @@ def main():
     ap.add_argument("--data-dir", default=None)
     ap.add_argument("--out-dir", default="figures")
     ap.add_argument("--n-optim-nits", type=int, default=2000)
-    ap.add_argument("--dba-iterations", type=int, default=10)
     ap.add_argument("--ssps", default=None, help="comma-separated subset")
     ap.add_argument(
         "--resample-freq",
@@ -49,6 +48,7 @@ def main():
         "native monthly T=1980 at 2000 iterations)",
     )
     from bayesian_ensembling_tpu.utils.cli import (
+        add_dba_args,
         add_optimizer_arg,
         add_profile_arg,
         add_warm_time_args,
@@ -59,6 +59,7 @@ def main():
     add_optimizer_arg(ap)
     add_warm_time_args(ap)
     add_profile_arg(ap)
+    add_dba_args(ap)
     ap.add_argument("--cpu", action="store_true", help="run the float64 CPU path")
     args = ap.parse_args()
     apply_profile(ap, args, resample_freq=args.resample_freq)
@@ -98,6 +99,8 @@ def main():
             emulator=GPDTW1D(dtype=dtype),
             n_optim_nits=args.n_optim_nits,
             dba_iterations=args.dba_iterations,
+            dba_method=args.dba_method,
+            dba_tol=args.dba_tol,
             sigma_mode=args.sigma_mode,
             fit_chunk_steps=args.fit_chunk_steps,
             time_stride=args.time_stride,

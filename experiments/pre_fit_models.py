@@ -47,6 +47,7 @@ def main():
         "executions, e.g. ~2500 steps at native monthly T=1980)",
     )
     from bayesian_ensembling_tpu.utils.cli import (
+        add_dba_args,
         add_optimizer_arg,
         add_profile_arg,
         add_warm_time_args,
@@ -57,6 +58,7 @@ def main():
     add_optimizer_arg(ap)
     add_warm_time_args(ap)
     add_profile_arg(ap)
+    add_dba_args(ap)
     args = ap.parse_args()
     apply_profile(ap, args, resample_freq=args.resample_freq)
     validate_warm_time_args(ap, args, resample_freq=args.resample_freq)
@@ -74,6 +76,9 @@ def main():
         t0 = time.time()
         fit_kw = dict(
             n_optim_nits=args.n_optim_nits,
+            dba_iterations=args.dba_iterations,
+            dba_method=args.dba_method,
+            dba_tol=args.dba_tol,
             fit_chunk_steps=args.fit_chunk_steps,
             time_stride=args.time_stride,
             fine_steps=args.fine_steps,
