@@ -11,9 +11,12 @@ and exits, ``full_experiment_script.py:146-214``); this closes the loop from
 "research script" to "deployable artifact".
 
 Build artifacts:        python -m bayesian_ensembling_tpu.serve build --out DIR
+Gridded artifacts:      python -m bayesian_ensembling_tpu.serve build-gridded --out DIR
 Serve them:             python -m bayesian_ensembling_tpu.serve serve --artifacts DIR --port 8765
 Query:                  GET /scenarios
                         GET /project?scenario=ssp585&year=2100&interval=0.95
+                        GET /project_point?scenario=gridded&year=2100&lat=52.5&lon=0
+                        GET /map?scenario=gridded&year=2100
 """
 
 from __future__ import annotations
@@ -26,7 +29,7 @@ import typing as tp
 
 import numpy as np
 
-__all__ = ["ProjectionService", "build_artifacts"]
+__all__ = ["ProjectionService", "build_artifacts", "build_gridded_artifacts"]
 
 def _zvalue(interval: float) -> float:
     """Two-sided Gaussian quantile, exact to double precision for ANY
@@ -60,12 +63,43 @@ class ProjectionService:
         return cls(art)
 
     @classmethod
+    def from_gridded(
+        cls, posteriors: tp.Dict[str, tp.Any]
+    ) -> "ProjectionService":
+        """Build GRIDDED artifacts from fitted per-cell posteriors.
+
+        ``posteriors[name]`` is a ``Posterior`` whose template carries
+        ``(time, latitude, longitude)`` dims (the ``run_gridded_scenario``
+        output).  Gridded artifacts add ``lat``/``lon`` axes and store
+        ``mean``/``std`` as (T, La, Lo); queries go through
+        :meth:`project_point` / :meth:`map_grid`.
+        """
+        from bayesian_ensembling_tpu.io import timeutils
+
+        art = {}
+        for name, post in posteriors.items():
+            mean = post.mean  # DimArray, dims (time, latitude, longitude)
+            if mean.dims != ("time", "latitude", "longitude"):
+                raise ValueError(
+                    "gridded artifacts need (time, latitude, longitude) "
+                    f"posteriors, got dims {mean.dims} for {name!r}"
+                )
+            art[name] = {
+                "years": timeutils.years_of(post.template.time).astype(np.int64),
+                "mean": np.asarray(mean.values, np.float64),
+                "std": np.sqrt(np.asarray(post.variance.values, np.float64)),
+                "lat": np.asarray(mean.get_coord("latitude"), np.float64),
+                "lon": np.asarray(mean.get_coord("longitude"), np.float64),
+            }
+        return cls(art)
+
+    @classmethod
     def load(cls, directory: str) -> "ProjectionService":
         art = {}
         for fn in sorted(os.listdir(directory)):
             if fn.endswith(".npz"):
                 with np.load(os.path.join(directory, fn)) as z:
-                    art[fn[:-4]] = {k: z[k] for k in ("years", "mean", "std")}
+                    art[fn[:-4]] = {k: z[k] for k in z.files}
         if not art:
             raise FileNotFoundError(f"no projection artifacts under {directory}")
         return cls(art)
@@ -78,6 +112,74 @@ class ProjectionService:
     # -------------------------------------------------------------- queries
     def scenarios(self) -> tp.List[str]:
         return sorted(self._art)
+
+    def is_gridded(self, scenario: str) -> bool:
+        return scenario in self._art and "lat" in self._art[scenario]
+
+    def project_point(
+        self,
+        scenario: str,
+        year: int,
+        lat: float,
+        lon: float,
+        interval: float = 0.95,
+    ) -> tp.Dict[str, float]:
+        """Projection at the nearest grid cell and year of a GRIDDED artifact
+        (the serving form of the GPDTW3D capability — the reference's only
+        spatial query is the single-location extraction script,
+        ``data_download/extract_single_location.py:14-42``)."""
+        if scenario not in self._art:
+            raise KeyError(
+                f"unknown scenario {scenario!r}; have {self.scenarios()}"
+            )
+        if not self.is_gridded(scenario):
+            raise ValueError(
+                f"{scenario!r} is a GMST artifact — use project()"
+            )
+        if not 0.0 < interval < 1.0:
+            raise ValueError("interval must be in (0, 1)")
+        a = self._art[scenario]
+        i = int(np.argmin(np.abs(a["lat"] - float(lat))))
+        # Nearest longitude on the circle (0 and 360 are neighbours).
+        dlon = np.abs((a["lon"] - float(lon) + 180.0) % 360.0 - 180.0)
+        j = int(np.argmin(dlon))
+        ti = int(np.argmin(np.abs(a["years"] - int(year))))
+        sel = a["years"] == a["years"][ti]
+        z = _zvalue(interval)
+        mean = float(a["mean"][sel, i, j].mean())
+        std = float(a["std"][sel, i, j].mean())
+        return {
+            "scenario": scenario,
+            "year": int(a["years"][ti]),
+            "lat": float(a["lat"][i]),
+            "lon": float(a["lon"][j]),
+            "mean": mean,
+            "lo": mean - z * std,
+            "hi": mean + z * std,
+            "interval": interval,
+        }
+
+    def map_grid(self, scenario: str, year: int) -> tp.Dict[str, tp.Any]:
+        """Full lat/lon field of projected mean/std at the nearest year."""
+        if scenario not in self._art:
+            raise KeyError(
+                f"unknown scenario {scenario!r}; have {self.scenarios()}"
+            )
+        if not self.is_gridded(scenario):
+            raise ValueError(
+                f"{scenario!r} is a GMST artifact — use trajectory()"
+            )
+        a = self._art[scenario]
+        ti = int(np.argmin(np.abs(a["years"] - int(year))))
+        sel = a["years"] == a["years"][ti]
+        return {
+            "scenario": scenario,
+            "year": int(a["years"][ti]),
+            "lat": a["lat"].tolist(),
+            "lon": a["lon"].tolist(),
+            "mean": a["mean"][sel].mean(axis=0).tolist(),
+            "std": a["std"][sel].mean(axis=0).tolist(),
+        }
 
     def project(
         self, scenario: str, year: int, interval: float = 0.95
@@ -94,6 +196,10 @@ class ProjectionService:
         if scenario not in self._art:
             raise KeyError(
                 f"unknown scenario {scenario!r}; have {self.scenarios()}"
+            )
+        if self.is_gridded(scenario):
+            raise ValueError(
+                f"{scenario!r} is a gridded artifact — use project_point()"
             )
         if not 0.0 < interval < 1.0:
             raise ValueError("interval must be in (0, 1)")
@@ -117,6 +223,10 @@ class ProjectionService:
             # Same exception type as project() for the same condition.
             raise KeyError(
                 f"unknown scenario {scenario!r}; have {self.scenarios()}"
+            )
+        if self.is_gridded(scenario):
+            raise ValueError(
+                f"{scenario!r} is a gridded artifact — use map_grid()"
             )
         a = self._art[scenario]
         years = a["years"].astype(np.float64)
@@ -173,6 +283,18 @@ class ProjectionService:
                         ))
                     elif url.path == "/trajectory":
                         self._reply(200, service.trajectory(q["scenario"][0]))
+                    elif url.path == "/project_point":
+                        self._reply(200, service.project_point(
+                            q["scenario"][0],
+                            int(q["year"][0]),
+                            float(q["lat"][0]),
+                            float(q["lon"][0]),
+                            float(q.get("interval", ["0.95"])[0]),
+                        ))
+                    elif url.path == "/map":
+                        self._reply(200, service.map_grid(
+                            q["scenario"][0], int(q["year"][0])
+                        ))
                     else:
                         self._reply(404, {"error": f"unknown path {url.path}"})
                 except (KeyError, ValueError, IndexError) as e:
@@ -221,6 +343,67 @@ def build_artifacts(
     return svc
 
 
+def build_gridded_artifacts(
+    out_dir: str,
+    lat: int = 12,
+    lon: int = 24,
+    n_models: int = 5,
+    n_realisations: int = 10,
+    n_steps: int = 86,
+    n_optim_nits: int = 500,
+    sigma_mode: str = "w2",
+    name: str = "gridded",
+    seed: int = 0,
+) -> "ProjectionService":
+    """Fit the GRIDDED pipeline end-to-end and save a gridded artifact.
+
+    The bundled reference data is GMST-only (already area-averaged), so
+    this builder demonstrates the serving surface on a CMIP6-dimensioned
+    synthetic gridded workload; with real gridded netCDFs, build the
+    ``ModelCollection`` yourself and use
+    ``ProjectionService.from_gridded({name: bary})`` on the
+    ``pipeline.run_gridded_scenario`` output.
+    """
+    from bayesian_ensembling_tpu import pipeline
+    from bayesian_ensembling_tpu.coords import DimArray
+    from bayesian_ensembling_tpu.data import ModelCollection, ProcessModel
+
+    rng = np.random.default_rng(seed)
+    time = (np.datetime64("2015-01", "Y") + np.arange(n_steps)).astype(
+        "datetime64[ns]"
+    )
+    lats = np.linspace(-90 + 90 / lat, 90 - 90 / lat, lat)
+    lons = np.linspace(0, 360, lon, endpoint=False)
+    coords = {
+        "time": time, "latitude": lats, "longitude": lons,
+        "realisation": np.arange(n_realisations),
+    }
+    signal = np.sin(np.linspace(0, 3, n_steps))[:, None, None]
+
+    def pm(name_, n_real):
+        vals = (
+            signal + 0.3 * rng.normal(size=(n_real, n_steps, lat, lon))
+        ).astype(np.float32)
+        c = dict(coords)
+        c["realisation"] = np.arange(n_real)
+        return ProcessModel(
+            DimArray(
+                vals, ("realisation", "time", "latitude", "longitude"), c,
+                name="tas",
+            ),
+            name_,
+        )
+
+    mc = ModelCollection([pm(f"model{i}", n_realisations) for i in range(n_models)])
+    obs = pm("obs", n_realisations)
+    _, bary = pipeline.run_gridded_scenario(
+        mc, obs, n_optim_nits=n_optim_nits, sigma_mode=sigma_mode
+    )
+    svc = ProjectionService.from_gridded({name: bary})
+    svc.save(out_dir)
+    return svc
+
+
 def main(argv: tp.Optional[tp.Sequence[str]] = None):
     import argparse
 
@@ -254,11 +437,40 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None):
         "(host-chunked; for environments that kill long XLA executions — "
         "the default native-monthly 2000-step merged fit is one such)",
     )
+    g = sub.add_parser(
+        "build-gridded",
+        help="fit the gridded pipeline on a synthetic CMIP6-dimensioned "
+        "workload and save a gridded artifact (lat/lon point + map "
+        "queries); for real gridded netCDFs use the library path "
+        "(ProjectionService.from_gridded on run_gridded_scenario output)",
+    )
+    g.add_argument("--out", required=True)
+    g.add_argument("--lat", type=int, default=12)
+    g.add_argument("--lon", type=int, default=24)
+    g.add_argument("--models", type=int, default=5)
+    g.add_argument("--realisations", type=int, default=10)
+    g.add_argument("--steps", type=int, default=86)
+    g.add_argument("--n-optim-nits", type=int, default=500)
+    g.add_argument("--sigma-mode", choices=["w2", "compat", "mixture"], default="w2")
+    g.add_argument("--name", default="gridded")
     s = sub.add_parser("serve")
     s.add_argument("--artifacts", required=True)
     s.add_argument("--host", default="127.0.0.1")
     s.add_argument("--port", type=int, default=8765)
     args = ap.parse_args(argv)
+
+    if args.cmd == "build-gridded":
+        from bayesian_ensembling_tpu.utils.compile_cache import enable_persistent_cache
+
+        enable_persistent_cache()
+        svc = build_gridded_artifacts(
+            args.out, lat=args.lat, lon=args.lon, n_models=args.models,
+            n_realisations=args.realisations, n_steps=args.steps,
+            n_optim_nits=args.n_optim_nits, sigma_mode=args.sigma_mode,
+            name=args.name,
+        )
+        print(f"saved gridded artifacts for {svc.scenarios()} to {args.out}")
+        return
 
     if args.cmd == "build":
         from bayesian_ensembling_tpu.utils.compile_cache import enable_persistent_cache
