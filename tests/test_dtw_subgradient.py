@@ -224,3 +224,25 @@ def test_classic_dba_single_tol(rng):
     b = np.asarray(dtw_ops.dba(jnp.asarray(s), n_iterations=300, init="mean"))
     # The tol run stopped early at the same fixed point the long run reaches.
     np.testing.assert_allclose(a, b, atol=1e-10)
+
+
+def test_dba_batch_tpu_tol_branch_interpret(rng, monkeypatch):
+    """The TPU (Pallas) while_loop tol branch of dba_batch == the fixed-count
+    result once converged — exercised via interpret mode with the backend
+    check monkeypatched (the jit wrapper is bypassed so the branch decision
+    cannot be poisoned by cached CPU-branch traces)."""
+    import jax
+
+    from bayesian_ensembling_tpu.ops import dtw_pallas as dp
+
+    r, t = 4, 24
+    base = np.cos(np.linspace(0, 3, t))
+    s = jnp.asarray(base + 0.2 * rng.normal(size=(1, r, t)))
+    want = np.asarray(dtw_ops.dba_batch(s, n_iterations=120))
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(dp, "INTERPRET", True)
+    got = np.asarray(
+        dtw_ops.dba_batch.__wrapped__(s, None, n_iterations=200, tol=1e-10)
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5)
