@@ -28,7 +28,11 @@ Profiles (measurements in BASELINE.md):
       Adam steps (7-SSP campaign 42.3 s -> 11.5 s, measured CLOSER to the
       converged optimum than scratch-500).
     * gridded per-cell fits: scratch bfgs-30 (5 deg grid 8.8 -> 1.67 s;
-      1 deg `--resident` 34.1 s; gate with ``--gate quality``).
+      1 deg `--resident` 34.1 s; gated by the IDENTITY gate against the
+      f64 oracle running the identical 30-step bfgs fit — the
+      closeness-to-truth quality gate is subset-sensitive for bfgs at
+      the +-10% level, BASELINE.md — and the bench refuses to run the
+      fast profile ungated).
 """
 
 from __future__ import annotations

@@ -53,25 +53,41 @@ def _variants(block, mask, tol=1e-3):
 
     from bayesian_ensembling_tpu.ops import dtw as dtw_ops
 
+    block_np = np.asarray(block)
     block = jnp.asarray(block)
     mask = jnp.asarray(mask)
     out = {}
 
     def timed(name, fn):
-        fn()  # compile + warm
-        t0 = time.perf_counter()
-        c = fn()
+        c = fn(block)  # compile + warm
         jax.block_until_ready(c)
-        out[name] = (np.asarray(c, np.float64), time.perf_counter() - t0)
+        centres = np.asarray(c, np.float64)
+        # Timing reps re-upload the SAME real operand from a fresh host
+        # array each time: re-dispatching onto an already-seen device
+        # buffer was observed to return in ~0.04 ms on the tunnelled
+        # backend (vs ~48 ms from a fresh upload of identical values,
+        # measured in-session), and block_until_ready alone does not
+        # defeat that. Timing the real data — not a perturbed copy —
+        # keeps the walls coupled to the reported centres, which matters
+        # for the tol-stopped variants whose trip counts are
+        # data-dependent.
+        best = float("inf")
+        for _ in range(3):
+            b = jnp.asarray(block_np.copy())
+            jax.block_until_ready(b)
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(b))
+            best = min(best, time.perf_counter() - t0)
+        out[name] = (centres, best)
 
-    timed("classic10", lambda: dtw_ops.dba_batch(block, mask, n_iterations=10))
+    timed("classic10", lambda b: dtw_ops.dba_batch(b, mask, n_iterations=10))
     timed(
         "classic_tol",
-        lambda: dtw_ops.dba_batch(block, mask, n_iterations=100, tol=tol),
+        lambda b: dtw_ops.dba_batch(b, mask, n_iterations=100, tol=tol),
     )
     timed(
         "subgradient",
-        lambda: dtw_ops.dba_subgradient_batch(block, mask, max_iter=50, tol=tol),
+        lambda b: dtw_ops.dba_subgradient_batch(b, mask, max_iter=50, tol=tol),
     )
     return out
 

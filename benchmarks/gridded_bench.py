@@ -252,6 +252,38 @@ def slabbed_run(step, block, obs, slab, *, gp_init=None, resident=False,
     return np.concatenate(means), np.concatenate(stds)
 
 
+def check_identity_gate_ran(
+    profile, oracle_path, *, opt, n_iters, warm_stride, fine_nits, lat, lon
+):
+    """Handle an identity gate that found no matching oracle entry.
+
+    A requested gate that silently never ran would let a parity regression
+    pass as a success JSON with null parity fields.  The fast profile
+    PROMISES a gated run, so it hard-fails (SystemExit, surviving
+    ``python -O``); other runs (smoke grids at unanchored configs) get a
+    loud stderr note with the regeneration command.
+    """
+    hint = (
+        f"generate the matching f64 oracle entry with `python "
+        f"benchmarks/gridded_oracle.py {n_iters} 64"
+        + (f" --warm-stride {warm_stride} --fine-nits {fine_nits}"
+           f" --lat {lat} --lon {lon}" if warm_stride else "")
+        + (f" --optimizer {opt}" if opt != "adam" else "")
+        + "`"
+    )
+    if profile == "fast":
+        raise SystemExit(
+            "--profile fast requires the identity gate to run, but no "
+            f"oracle entry matches (optimizer={opt}, n_iters={n_iters}, "
+            f"warm_stride={warm_stride}) in {oracle_path}; " + hint
+        )
+    print(
+        f"identity gate SKIPPED: no matching oracle entry "
+        f"(optimizer={opt}, n_iters={n_iters}) — {hint}",
+        file=sys.stderr,
+    )
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -447,6 +479,12 @@ def main():
                     raise SystemExit(
                         f"gridded std divergence {parity_std} >= {STD_TOL}"
                     )
+
+    if args.gate == "identity" and parity_mean is None:
+        check_identity_gate_ran(
+            args.profile, oracle_path, opt=opt, n_iters=n_iters,
+            warm_stride=warm_stride, fine_nits=fine_nits, lat=la, lon=lo,
+        )
 
     quality_mean = quality_std = None
     if args.gate == "quality":

@@ -86,6 +86,46 @@ def test_committed_warm_oracle_has_default_and_fast_entries():
     assert 100 in fines and 50 in fines
 
 
+def test_committed_oracle_has_fast_profile_bfgs_entry():
+    # The fast profile (bfgs-30) hard-fails when its identity gate cannot
+    # run, so the committed oracle must carry the matching entry.
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "benchmarks",
+        "gridded_oracle.json",
+    )
+    with open(path) as f:
+        loaded = json.load(f)
+    got = select_oracle_entry(
+        loaded, n_iters=30, n_cells=2592, warm_stride=0,
+        fine_nits=0, lat=36, lon=72, optimizer="bfgs",
+    )
+    assert got is not None and got["optimizer"] == "bfgs"
+
+
+def test_fast_profile_refuses_ungated_run(capsys):
+    import pytest
+
+    from gridded_bench import check_identity_gate_ran
+
+    with pytest.raises(SystemExit) as ei:
+        check_identity_gate_ran(
+            "fast", "benchmarks/gridded_oracle.json", opt="bfgs",
+            n_iters=30, warm_stride=0, fine_nits=0, lat=36, lon=72,
+        )
+    msg = str(ei.value)
+    assert "identity gate" in msg and "gridded_oracle.py 30 64" in msg
+    assert "--optimizer bfgs" in msg
+    # The faithful profile only notes the skip (smoke runs at unanchored
+    # configs stay runnable) — with the same regeneration hint.
+    check_identity_gate_ran(
+        "faithful", "benchmarks/gridded_oracle.json", opt="adam",
+        n_iters=123, warm_stride=0, fine_nits=0, lat=36, lon=72,
+    )
+    err = capsys.readouterr().err
+    assert "SKIPPED" in err and "gridded_oracle.py 123 64" in err
+
+
 def test_oracle_writer_replaces_matching_entry(tmp_path):
     # Mirror gridded_oracle.py's merge semantics: same config key replaces,
     # different key appends.
