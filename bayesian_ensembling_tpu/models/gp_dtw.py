@@ -58,6 +58,7 @@ def _posterior_with_noise(
     static_argnames=(
         "kernel_name", "n_optim_nits", "learning_rate", "dba_iterations",
         "dba_method", "dba_tol", "optimizer", "time_stride", "fine_steps",
+        "return_params",
     ),
 )
 def emulate_batch(
@@ -73,6 +74,7 @@ def emulate_batch(
     optimizer: str = "adam",
     time_stride: int = 1,
     fine_steps: tp.Optional[int] = None,
+    return_params: bool = False,
 ):
     """Fit every model's emulator in one compiled XLA program.
 
@@ -110,6 +112,8 @@ def emulate_batch(
     mean, cov = _posterior_with_noise(
         params, x, y_mean, y_var, kernel_name=kernel_name, jitter=jitter
     )
+    if return_params:
+        return mean, cov, losses, params
     return mean, cov, losses
 
 
@@ -127,6 +131,7 @@ def emulate_batch_chunked(
     fit_chunk_steps: int = 250,
     time_stride: int = 1,
     fine_steps: tp.Optional[int] = None,
+    return_params: bool = False,
 ):
     """:func:`emulate_batch` staged as prepare → host-chunked fit → posterior.
 
@@ -156,7 +161,60 @@ def emulate_batch_chunked(
     mean, cov = _posterior_with_noise(
         params, x, y_mean, y_var, kernel_name=kernel_name, jitter=jitter
     )
+    if return_params:
+        return mean, cov, losses, params
     return mean, cov, losses
+
+
+def refine_posterior_f64(
+    block: jnp.ndarray,  # (M, R, T)
+    mask: jnp.ndarray,  # (M, R)
+    params,  # GPParams with leading (M,) axis, f32-converged
+    *,
+    kernel_name: str = "matern32",
+    dba_iterations: int = 10,
+    dba_method: str = "classic",
+    dba_tol: tp.Optional[float] = None,
+    jitter: float = 1e-6,
+):
+    """Float64 posterior recompute at f32-converged hyperparameters.
+
+    The full-covariance counterpart of
+    ``parallel/step.refined_multi_scenario_f64``: keeps the fit in f32
+    (where the speed is), then re-runs only stage (f) — gram, Cholesky,
+    solves — in float64 with the f32 fit's hyperparameters and its f32 DBA
+    targets unchanged, removing the f32 solve scatter (~2e-4 °C at the
+    real workload's conditioning, BASELINE.md "Matched-hyperparameter
+    parity") from the PUBLISHED moments.  XLA's TPU f64 is emulated but
+    exact; the cost is one O(M·T³) solve pass.
+
+    Host-level entry point — enables x64 internally; do not call under an
+    outer ``jit``.  Returns ``(mean (M,T), cov (M,T,T))`` as float64.
+    """
+    prep = jax.jit(
+        functools.partial(
+            _prepare_emulation,
+            dba_iterations=dba_iterations,
+            dba_method=dba_method,
+            dba_tol=dba_tol,
+        )
+    )
+    # The f32 targets, bit-identical to what the fit consumed.
+    x, y_mean, y_var = (np.asarray(a) for a in prep(block, mask))
+    p_np = jax.tree_util.tree_map(np.asarray, params)
+    with jax.enable_x64():
+        p64 = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, jnp.float64), p_np
+        )
+        mean, cov = _posterior_with_noise(
+            p64,
+            jnp.asarray(x, jnp.float64),
+            jnp.asarray(y_mean, jnp.float64),
+            jnp.asarray(y_var, jnp.float64),
+            kernel_name=kernel_name,
+            jitter=jitter,
+        )
+        return np.asarray(mean, np.float64), np.asarray(cov, np.float64)
 
 
 class GPDTW1D(AbstractEmulator):
@@ -194,6 +252,7 @@ class GPDTW1D(AbstractEmulator):
         fit_chunk_steps: tp.Optional[int] = None,
         time_stride: int = 1,
         fine_steps: tp.Optional[int] = None,
+        refine_f64: bool = False,
         **_: tp.Any,
     ) -> tp.List[Posterior]:
         cfg = self.config
@@ -214,38 +273,36 @@ class GPDTW1D(AbstractEmulator):
         block, mask = collection.padded_stack(dtype=np.dtype(self.dtype))
         # `is not None` so fit_chunk_steps=0 reaches the chunked fit's loud
         # ValueError instead of silently running the unbounded merged fit.
+        common = dict(
+            kernel_name=self.kernel,
+            n_optim_nits=n_optim_nits,
+            learning_rate=learning_rate,
+            dba_iterations=dba_iterations,
+            dba_method=dba_method,
+            dba_tol=dba_tol,
+            jitter=jitter,
+            optimizer=optimizer,
+            time_stride=time_stride,
+            fine_steps=fine_steps,
+            return_params=refine_f64,
+        )
         if fit_chunk_steps is not None:
             # Bounded-execution fit: host loop of fit_chunk_steps-long
             # segments instead of one merged program (same step sequence).
-            mean, cov, _ = emulate_batch_chunked(
-                jnp.asarray(block),
-                jnp.asarray(mask),
-                kernel_name=self.kernel,
-                n_optim_nits=n_optim_nits,
-                learning_rate=learning_rate,
-                dba_iterations=dba_iterations,
-                dba_method=dba_method,
-                dba_tol=dba_tol,
-                jitter=jitter,
-                optimizer=optimizer,
-                fit_chunk_steps=fit_chunk_steps,
-                time_stride=time_stride,
-                fine_steps=fine_steps,
+            out = emulate_batch_chunked(
+                jnp.asarray(block), jnp.asarray(mask),
+                fit_chunk_steps=fit_chunk_steps, **common,
             )
         else:
-            mean, cov, _ = emulate_batch(
-                jnp.asarray(block),
-                jnp.asarray(mask),
-                kernel_name=self.kernel,
-                n_optim_nits=n_optim_nits,
-                learning_rate=learning_rate,
-                dba_iterations=dba_iterations,
-                dba_method=dba_method,
-                dba_tol=dba_tol,
-                jitter=jitter,
-                optimizer=optimizer,
-                time_stride=time_stride,
-                fine_steps=fine_steps,
+            out = emulate_batch(jnp.asarray(block), jnp.asarray(mask), **common)
+        mean, cov = out[0], out[1]
+        if refine_f64:
+            # Published moments in f64 at the f32-converged hyperparameters
+            # (removes the f32 solve scatter; see refine_posterior_f64).
+            mean, cov = refine_posterior_f64(
+                jnp.asarray(block), jnp.asarray(mask), out[3],
+                kernel_name=self.kernel, dba_iterations=dba_iterations,
+                dba_method=dba_method, dba_tol=dba_tol, jitter=jitter,
             )
         posts = []
         for i, pm in enumerate(collection):

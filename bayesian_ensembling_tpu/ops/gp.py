@@ -346,7 +346,7 @@ def _build_batch_step(opt, x, y, noise_var, kernel_name, jitter, optimizer):
     precompute, apply_fn = get_kernel_precomputed(kernel_name)
     stat = jax.vmap(precompute)(x, x)  # (M, T, T), hoisted out of the scan
     eye = jnp.eye(t, dtype=y.dtype)
-    use_blocked = linalg_path(t, b=m) == "blocked"
+    use_blocked = linalg_path(t, b=m, dtype=y.dtype) == "blocked"
     if use_blocked:
         from bayesian_ensembling_tpu.ops.linalg_blocked import nlml_terms_blocked
 

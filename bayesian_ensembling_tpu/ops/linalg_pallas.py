@@ -236,7 +236,7 @@ def cholesky_batched(ky_tlb: jnp.ndarray) -> jnp.ndarray:
     Returns:
       ``(T, T, B)`` where row k holds column k of L (the L^T layout).
     """
-    if linalg_path(ky_tlb.shape[0]) == "pallas":
+    if linalg_path(ky_tlb.shape[0], dtype=ky_tlb.dtype) == "pallas":
         return _chunk_lanes(_cholesky_batched_tpu, (ky_tlb,), ky_tlb.shape[0])
     ky = jnp.transpose(ky_tlb, (2, 0, 1))
     l = jnp.linalg.cholesky(ky)
@@ -312,7 +312,7 @@ def cholesky_solve_fused(ky_tlb: jnp.ndarray, y_tb: jnp.ndarray):
     TPU: single fused Pallas kernel (lane-chunked for large batches).
     Elsewhere: composed from cholesky_batched + solve_vec_batched.
     """
-    if linalg_path(ky_tlb.shape[0]) == "pallas":
+    if linalg_path(ky_tlb.shape[0], dtype=ky_tlb.dtype) == "pallas":
         return _chunk_lanes(
             _chol_solve_fused_tpu, (ky_tlb, y_tb), ky_tlb.shape[0]
         )
@@ -398,7 +398,7 @@ def solve_vec_batched(lt: jnp.ndarray, y_tb: jnp.ndarray):
     Returns:
       (z ``(T, B)``, alpha ``(T, B)``, logdet ``(B,)``).
     """
-    if linalg_path(lt.shape[0]) == "pallas":
+    if linalg_path(lt.shape[0], dtype=lt.dtype) == "pallas":
         return _chunk_lanes(_solve_vec_batched_tpu, (lt, y_tb), lt.shape[0])
     l = jnp.transpose(lt, (2, 1, 0))  # (B, T, T) lower
     y = y_tb.T  # (B, T)
@@ -512,7 +512,10 @@ BLOCKED_MIN_BATCH = 64
 
 
 def linalg_path(
-    t: int, backend: tp.Optional[str] = None, b: tp.Optional[int] = None
+    t: int,
+    backend: tp.Optional[str] = None,
+    b: tp.Optional[int] = None,
+    dtype=None,
 ) -> str:
     """Which implementation the batched linalg kernels will use for size T.
 
@@ -536,25 +539,41 @@ def linalg_path(
     callers that pass ``b=None`` (the standalone cholesky/solve/tri-inverse
     entry points) can only choose pallas or xla, so ``b=None`` never
     returns ``"blocked"``.
+
+    ``dtype``: the TPU Pallas kernels (and the blocked hybrid's diagonal
+    blocks) are float32-only; non-f32 inputs route to XLA, whose TPU f64
+    decompositions are emulated but exact (the f64 posterior-refinement
+    path relies on this).  Interpret mode executes kernels as jnp ops, so
+    it stays dtype-generic.
     """
     backend = backend or jax.default_backend()
     sub = -(-t // 8) * 8
     fits = _vmem.fits_min_chunk(sub * sub * 4, _vmem.LINALG_BUDGET)
-    if INTERPRET or (backend == "tpu" and fits):
+    if INTERPRET:
+        return "pallas"
+    f32 = dtype is None or jnp.dtype(dtype) == jnp.float32
+    if backend == "tpu" and fits and f32:
         return "pallas"
     if backend != "tpu":
         return "xla"
     blocked_ok = (
         b is not None and b >= BLOCKED_MIN_BATCH and t <= BLOCKED_T_CAP
+        and f32
     )
     path = "blocked" if blocked_ok else "xla"
-    if (t, path) not in _warned_fallback:
-        _warned_fallback.add((t, path))
+    reason = (
+        f"batched linalg at T={t} exceeds the Pallas VMEM budget "
+        f"({_vmem_bytes(t) / 2**20:.0f} MB per (T,T,128) buffer); "
+        if not fits
+        else f"batched linalg at dtype={jnp.dtype(dtype).name} is outside "
+        "the f32-only Pallas kernels; "
+    )
+    if (t, path, f32) not in _warned_fallback:
+        _warned_fallback.add((t, path, f32))
         import warnings
 
         warnings.warn(
-            f"batched linalg at T={t} exceeds the Pallas VMEM budget "
-            f"({_vmem_bytes(t) / 2**20:.0f} MB per (T,T,128) buffer); "
+            reason
             + (
                 "NLML step using the recursive blocked hybrid (Pallas "
                 "diagonal blocks + MXU GEMMs)"
@@ -579,7 +598,7 @@ def tri_inv_batched(lt: jnp.ndarray) -> jnp.ndarray:
     double-buffered from HBM), so a single (T, T, 128) buffer must fit the
     ~16 MB budget; beyond that the XLA batched triangular solve takes over.
     """
-    if linalg_path(lt.shape[0]) == "pallas":
+    if linalg_path(lt.shape[0], dtype=lt.dtype) == "pallas":
         return _chunk_lanes(_tri_inv_streamed_tpu, (lt,), lt.shape[0])
     l = jnp.transpose(lt, (2, 1, 0))
     eye = jnp.eye(lt.shape[0], dtype=lt.dtype)

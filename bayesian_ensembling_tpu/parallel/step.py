@@ -37,6 +37,7 @@ __all__ = [
     "ensemble_scenario_step",
     "ensemble_multi_scenario_step",
     "multi_scenario_tail",
+    "refined_multi_scenario_f64",
     "make_sharded_step",
     "make_sharded_multi_scenario_step",
     "WEIGHT_KINDS",
@@ -501,6 +502,100 @@ def multi_scenario_tail(
         if model_axis is not None:
             bary_std = jax.lax.psum(bary_std, model_axis)
     return bary_mean, bary_std, weights
+
+
+def refined_multi_scenario_f64(
+    hb: jnp.ndarray,  # (S, M, R, T_hist)
+    hm: jnp.ndarray,  # (S, M, R)
+    sb: jnp.ndarray,  # (S, M, R, T_ssp)
+    sm: jnp.ndarray,  # (S, M, R)
+    obs: jnp.ndarray,  # (R_obs, T_hist)
+    model_masks: jnp.ndarray,  # (S, M)
+    hist_params,  # GPParams with leading (S*M,) axis (f32-converged)
+    ssp_params,  # GPParams with leading (S*M,) axis
+    *,
+    kernel_name: str = "matern32",
+    dba_iterations: int = 10,
+    dba_method: str = "classic",
+    dba_tol: tp.Optional[float] = None,
+    jitter: float = 1e-6,
+    weight_kind: str = "crps",
+    sigma_mode: str = "w2",
+):
+    """Float64 posterior refinement at the f32-converged hyperparameters.
+
+    The f32 pipeline's residual error against an f64 recompute at MATCHED
+    hyperparameters and DBA targets is the f32 solve scatter at the
+    workload's conditioning (~2.3e-4 °C on the real 7-SSP workload,
+    BASELINE.md "Matched-hyperparameter parity") — a computation-precision
+    floor, not trajectory divergence.  This pass removes that floor for
+    the PUBLISHED moments while keeping the fit itself in f32 (where the
+    speed is): it re-runs only the posterior extraction and the
+    weighting/barycentre tail in float64 on the same device, consuming
+    the f32 fit's hyperparameters and its f32 DBA targets unchanged.
+    XLA's TPU f64 is emulated but exact; the extra cost is one
+    O(M·T³) solve pass — milliseconds at the annual workload against a
+    ~1.2 s fit.  Closes BASELINE.json's 1e-5 parity line on the real
+    workload (measured ~1e-9 vs the f64 CPU oracle; bench.py
+    ``parity_matched_refined``).
+
+    Host-level entry point — enables x64 internally; do not call under
+    an outer ``jit``.  Returns ``(bary_mean, bary_std, weights)`` as
+    float64 numpy arrays.
+    """
+    s, m, r, t_hist = hb.shape
+    t_ssp = sb.shape[-1]
+    prep = jax.jit(
+        functools.partial(
+            gp_ops.prepare_gp_inputs,
+            dba_iterations=dba_iterations,
+            dba_method=dba_method,
+            dba_tol=dba_tol,
+        )
+    )
+    # The f32 targets, bit-identical to what the fit consumed.
+    hx, h_ym, h_yv = prep(hb.reshape(s * m, r, t_hist), hm.reshape(s * m, r))
+    sx, s_ym, s_yv = prep(sb.reshape(s * m, r, t_ssp), sm.reshape(s * m, r))
+    hx, h_ym, h_yv, sx, s_ym, s_yv = (
+        np.asarray(a) for a in (hx, h_ym, h_yv, sx, s_ym, s_yv)
+    )
+    hp_np = jax.tree_util.tree_map(np.asarray, hist_params)
+    sp_np = jax.tree_util.tree_map(np.asarray, ssp_params)
+
+    with jax.enable_x64():
+        def marginals(params_np, x, ym, yv):
+            p64 = jax.tree_util.tree_map(
+                lambda a: jnp.asarray(a, jnp.float64), params_np
+            )
+            ym64 = jnp.asarray(ym, jnp.float64)
+            yv64 = jnp.asarray(yv, jnp.float64)
+            mu, var = gp_ops.posterior_marginals_batch(
+                p64, jnp.asarray(x, jnp.float64), ym64, yv64,
+                kernel_name=kernel_name, jitter=jitter,
+            )
+            return mu, var + yv64
+
+        h_mu, h_var = jax.jit(marginals)(hp_np, hx, h_ym, h_yv)
+        s_mu, s_var = jax.jit(marginals)(sp_np, sx, s_ym, s_yv)
+        bm, bs, w = jax.jit(
+            functools.partial(
+                multi_scenario_tail,
+                weight_kind=weight_kind,
+                sigma_mode=sigma_mode,
+            )
+        )(
+            h_mu.reshape(s, m, t_hist), h_var.reshape(s, m, t_hist),
+            s_mu.reshape(s, m, t_ssp), s_var.reshape(s, m, t_ssp),
+            jnp.asarray(np.asarray(obs), jnp.float64),
+            jnp.asarray(np.asarray(hb), jnp.float64),
+            jnp.asarray(np.asarray(hm), jnp.float64),
+            jnp.asarray(np.asarray(model_masks), jnp.float64),
+        )
+        return (
+            np.asarray(bm, np.float64),
+            np.asarray(bs, np.float64),
+            np.asarray(w, np.float64),
+        )
 
 
 def make_sharded_multi_scenario_step(

@@ -255,6 +255,7 @@ def run_scenario(
     fine_steps: tp.Optional[int] = None,
     optimizer: str = "adam",
     profile: tp.Optional[str] = None,
+    refine_f64: bool = False,
 ) -> ScenarioResult:
     """Fit + weight + combine one scenario (script :87-143).
 
@@ -273,6 +274,11 @@ def run_scenario(
     the measured-best schedule of the workload's regime (utils/profiles.py;
     resolution inferred from the historical time axis).  Mutually exclusive
     with setting the fit knobs explicitly.
+    ``refine_f64``: recompute the published posterior moments in float64
+    at the f32-converged hyperparameters (models/gp_dtw.
+    refine_posterior_f64) — removes the f32 solve scatter (~2e-4 °C at
+    the real workload's conditioning) at the cost of one emulated-f64
+    solve pass; the fit itself stays f32.
     """
     weighter = weighter or CRPSWeight()
     emulator = emulator or GPDTW1D()
@@ -314,6 +320,7 @@ def run_scenario(
         time_stride=time_stride,
         fine_steps=fine_steps,
         optimizer=optimizer,
+        refine_f64=refine_f64,
     )
     hist.fit(emulator, **fit_kw)
     ssp_collection.fit(emulator, **fit_kw)

@@ -60,6 +60,14 @@ def main():
     add_warm_time_args(ap)
     add_profile_arg(ap)
     add_dba_args(ap)
+    ap.add_argument(
+        "--refine-f64",
+        action="store_true",
+        help="recompute the published posterior moments in float64 at the "
+        "f32-converged hyperparameters (one emulated-f64 solve pass; "
+        "removes the ~2e-4 degC f32 solve scatter — BASELINE.md "
+        "'Matched-hyperparameter parity')",
+    )
     ap.add_argument("--cpu", action="store_true", help="run the float64 CPU path")
     args = ap.parse_args()
     apply_profile(ap, args, resample_freq=args.resample_freq)
@@ -106,6 +114,7 @@ def main():
             time_stride=args.time_stride,
             fine_steps=args.fine_steps,
             optimizer=args.optimizer,
+            refine_f64=args.refine_f64,
         )
         results[ssp] = res
         summ = pipeline.warming_summary(res)
