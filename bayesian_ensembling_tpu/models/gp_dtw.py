@@ -186,7 +186,8 @@ def refine_posterior_f64(
     targets unchanged, removing the f32 solve scatter (~2e-4 °C at the
     real workload's conditioning, BASELINE.md "Matched-hyperparameter
     parity") from the PUBLISHED moments.  XLA's TPU f64 is emulated but
-    exact; the cost is one O(M·T³) solve pass.
+    exact; emulated-f64 solves run ~2 orders slower than f32, so this is
+    a final-artifact pass (seconds per collection), not an inner-loop one.
 
     Host-level entry point — enables x64 internally; do not call under an
     outer ``jit``.  Returns ``(mean (M,T), cov (M,T,T))`` as float64.

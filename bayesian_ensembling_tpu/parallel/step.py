@@ -533,10 +533,11 @@ def refined_multi_scenario_f64(
     speed is): it re-runs only the posterior extraction and the
     weighting/barycentre tail in float64 on the same device, consuming
     the f32 fit's hyperparameters and its f32 DBA targets unchanged.
-    XLA's TPU f64 is emulated but exact; the extra cost is one
-    O(M·T³) solve pass — milliseconds at the annual workload against a
-    ~1.2 s fit.  Closes BASELINE.json's 1e-5 parity line on the real
-    workload (measured ~1e-9 vs the f64 CPU oracle; bench.py
+    XLA's TPU f64 is emulated but exact; measured cost on the full 7-SSP
+    annual workload is ~7.4 s steady (emulated f64 solves run ~2 orders
+    slower than f32) — a final-artifact pass, not an inner-loop one.
+    Closes BASELINE.json's 1e-5 parity line on the real workload
+    (measured 1.1e-12 vs the f64 CPU oracle; bench.py
     ``parity_matched_refined``).
 
     Host-level entry point — enables x64 internally; do not call under

@@ -277,8 +277,8 @@ def run_scenario(
     ``refine_f64``: recompute the published posterior moments in float64
     at the f32-converged hyperparameters (models/gp_dtw.
     refine_posterior_f64) — removes the f32 solve scatter (~2e-4 °C at
-    the real workload's conditioning) at the cost of one emulated-f64
-    solve pass; the fit itself stays f32.
+    the real workload's conditioning) at the cost of an emulated-f64
+    solve pass (seconds per collection; the fit itself stays f32).
     """
     weighter = weighter or CRPSWeight()
     emulator = emulator or GPDTW1D()
