@@ -314,6 +314,7 @@ def build_artifacts(
     fine_steps: tp.Optional[int] = None,
     fit_chunk_steps: tp.Optional[int] = None,
     optimizer: str = "adam",
+    refine_f64: bool = False,
 ) -> "ProjectionService":
     """Run the full experiment and save serving artifacts (one fit, then
     serve forever).  ``sigma_mode`` selects the combined-sigma convention
@@ -322,7 +323,10 @@ def build_artifacts(
     ``time_stride``/``fine_steps`` select the coarse-to-fine-in-time fit
     (ops/gp.fit_gp_batch_warm_time — measured faster AND closer to the
     converged optimum than the scratch fit) and ``fit_chunk_steps`` bounds
-    each fit execution (for environments that kill long XLA executions)."""
+    each fit execution (for environments that kill long XLA executions).
+    ``refine_f64`` publishes f64-refined posterior moments (the served
+    artifacts are exactly a final-artifact build — the refinement's
+    intended use; pipeline.run_scenario)."""
     from bayesian_ensembling_tpu import pipeline
 
     ssps = list(ssps or pipeline.ALL_SSPS)
@@ -336,7 +340,7 @@ def build_artifacts(
             hist, ssp_mc, obs, ssp, n_optim_nits=n_optim_nits,
             sigma_mode=sigma_mode, time_stride=time_stride,
             fine_steps=fine_steps, fit_chunk_steps=fit_chunk_steps,
-            optimizer=optimizer,
+            optimizer=optimizer, refine_f64=refine_f64,
         )
     svc = ProjectionService.from_results(results)
     svc.save(out_dir)
@@ -437,6 +441,12 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None):
         "(host-chunked; for environments that kill long XLA executions — "
         "the default native-monthly 2000-step merged fit is one such)",
     )
+    b.add_argument(
+        "--refine-f64", action="store_true",
+        help="publish f64-refined posterior moments in the artifacts "
+        "(fit stays f32; removes the ~2e-4 degC f32 solve scatter — "
+        "seconds per scenario, the intended final-artifact use)",
+    )
     g = sub.add_parser(
         "build-gridded",
         help="fit the gridded pipeline on a synthetic CMIP6-dimensioned "
@@ -485,6 +495,7 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None):
             sigma_mode=args.sigma_mode, resample_freq=freq,
             time_stride=args.time_stride, fine_steps=args.fine_steps,
             fit_chunk_steps=args.fit_chunk_steps, optimizer=args.optimizer,
+            refine_f64=args.refine_f64,
         )
         print(f"saved artifacts for {svc.scenarios()} to {args.out}")
     else:

@@ -119,6 +119,42 @@ def test_from_results_pipeline_types(rng):
     np.testing.assert_allclose(out["mean"], 1.0)
 
 
+def test_build_artifacts_threads_refine_f64(rng, monkeypatch, tmp_path):
+    """The artifact build (the refinement's intended final-artifact use)
+    must forward refine_f64 into pipeline.run_scenario."""
+    import bayesian_ensembling_tpu.serve as serve_mod
+    from bayesian_ensembling_tpu import pipeline
+    from bayesian_ensembling_tpu.coords import DimArray
+    from bayesian_ensembling_tpu.data import Posterior
+    from bayesian_ensembling_tpu.ops.distributions import DiagGaussian
+    from bayesian_ensembling_tpu.pipeline import ScenarioResult
+
+    seen = {}
+
+    def fake_run_scenario(hist, ssp_mc, obs, name, **kw):
+        seen[name] = kw
+        t = 4
+        time = (np.datetime64("2015", "Y") + np.arange(t)).astype("datetime64[ns]")
+        template = DimArray(np.full((t,), np.nan), ("time",), {"time": time})
+        post = Posterior(
+            gaussian=DiagGaussian(mean=np.zeros(t), var=np.ones(t)),
+            template=template,
+        )
+        return ScenarioResult(name, None, post, 0.0, 0.0)
+
+    monkeypatch.setattr(pipeline, "run_scenario", fake_run_scenario)
+    monkeypatch.setattr(
+        pipeline, "load_observations", lambda *a, **k: None
+    )
+    monkeypatch.setattr(
+        pipeline, "load_scenario", lambda *a, **k: (None, None)
+    )
+    serve_mod.build_artifacts(str(tmp_path), ssps=["ssp585"], refine_f64=True)
+    assert seen["ssp585"]["refine_f64"] is True
+    serve_mod.build_artifacts(str(tmp_path), ssps=["ssp585"])
+    assert seen["ssp585"]["refine_f64"] is False
+
+
 def test_monthly_artifacts_year_aggregation():
     """Native-monthly artifacts (12 steps per year): project() averages the
     year's steps (seasonal cycle averaged out of the mean) instead of
