@@ -82,6 +82,10 @@ def emulate_batch(
     (M, n_optim_nits) for the scratch fit, (M, n_optim_nits + fine_steps)
     for the warm-in-time fit (coarse NLMLs of the strided series followed
     by full-T fine NLMLs; not comparable across the boundary).
+    ``return_params=True`` appends the fitted ``GPParams`` and the f32 DBA
+    targets: (…, params, y_mean (M,T), y_var (M,T)) — the inputs the f64
+    refinement consumes, returned from THIS fit so the refinement never
+    re-runs the DBA preamble (refine_posterior_f64 ``targets=``).
     The covariance already includes the heteroskedastic noise diagonal, i.e.
     it is the posterior over *observables*, matching models.py:220.
 
@@ -113,7 +117,7 @@ def emulate_batch(
         params, x, y_mean, y_var, kernel_name=kernel_name, jitter=jitter
     )
     if return_params:
-        return mean, cov, losses, params
+        return mean, cov, losses, params, y_mean, y_var
     return mean, cov, losses
 
 
@@ -141,7 +145,8 @@ def emulate_batch_chunked(
     few tens of seconds — for environments that kill long executions (the
     tunnelled single-chip setup does, at minutes).  Prefer ``emulate_batch``
     when executions are unconstrained: the merged program saves the
-    inter-stage HBM round-trips.
+    inter-stage HBM round-trips.  Same return contract, including the
+    ``return_params=True`` (…, params, y_mean, y_var) extension.
     """
     x, y_mean, y_var = _prepare_emulation(
         block, mask, dba_iterations=dba_iterations,
@@ -162,7 +167,7 @@ def emulate_batch_chunked(
         params, x, y_mean, y_var, kernel_name=kernel_name, jitter=jitter
     )
     if return_params:
-        return mean, cov, losses, params
+        return mean, cov, losses, params, y_mean, y_var
     return mean, cov, losses
 
 
@@ -176,6 +181,7 @@ def refine_posterior_f64(
     dba_method: str = "classic",
     dba_tol: tp.Optional[float] = None,
     jitter: float = 1e-6,
+    targets: tp.Optional[tp.Tuple[jnp.ndarray, jnp.ndarray]] = None,
 ):
     """Float64 posterior recompute at f32-converged hyperparameters.
 
@@ -189,19 +195,30 @@ def refine_posterior_f64(
     exact; emulated-f64 solves run ~2 orders slower than f32, so this is
     a final-artifact pass (seconds per collection), not an inner-loop one.
 
+    ``targets``: the fit's own f32 ``(y_mean, y_var)`` (from
+    ``emulate_batch(..., return_params=True)``) — bit-identical by
+    construction and skips re-running the DBA dynamic program, the
+    expensive part of the preamble at monthly T.  When omitted the
+    targets are recomputed through the same jitted preamble.
+
     Host-level entry point — enables x64 internally; do not call under an
     outer ``jit``.  Returns ``(mean (M,T), cov (M,T,T))`` as float64.
     """
-    prep = jax.jit(
-        functools.partial(
-            _prepare_emulation,
-            dba_iterations=dba_iterations,
-            dba_method=dba_method,
-            dba_tol=dba_tol,
+    if targets is not None:
+        y_mean, y_var = targets
+        x = jnp.swapaxes(jnp.asarray(block), 1, 2)
+        x, y_mean, y_var = (np.asarray(a) for a in (x, y_mean, y_var))
+    else:
+        prep = jax.jit(
+            functools.partial(
+                _prepare_emulation,
+                dba_iterations=dba_iterations,
+                dba_method=dba_method,
+                dba_tol=dba_tol,
+            )
         )
-    )
-    # The f32 targets, bit-identical to what the fit consumed.
-    x, y_mean, y_var = (np.asarray(a) for a in prep(block, mask))
+        # The f32 targets, recomputed through the fit's own preamble.
+        x, y_mean, y_var = (np.asarray(a) for a in prep(block, mask))
     p_np = jax.tree_util.tree_map(np.asarray, params)
     with jax.enable_x64():
         p64 = jax.tree_util.tree_map(
@@ -300,10 +317,12 @@ class GPDTW1D(AbstractEmulator):
         if refine_f64:
             # Published moments in f64 at the f32-converged hyperparameters
             # (removes the f32 solve scatter; see refine_posterior_f64).
+            # The fit's own targets skip a second DBA pass.
             mean, cov = refine_posterior_f64(
                 jnp.asarray(block), jnp.asarray(mask), out[3],
                 kernel_name=self.kernel, dba_iterations=dba_iterations,
                 dba_method=dba_method, dba_tol=dba_tol, jitter=jitter,
+                targets=(out[4], out[5]),
             )
         posts = []
         for i, pm in enumerate(collection):

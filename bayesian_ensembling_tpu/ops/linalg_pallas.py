@@ -561,13 +561,22 @@ def linalg_path(
         and f32
     )
     path = "blocked" if blocked_ok else "xla"
-    reason = (
-        f"batched linalg at T={t} exceeds the Pallas VMEM budget "
-        f"({_vmem_bytes(t) / 2**20:.0f} MB per (T,T,128) buffer); "
-        if not fits
-        else f"batched linalg at dtype={jnp.dtype(dtype).name} is outside "
-        "the f32-only Pallas kernels; "
-    )
+    # Name EVERY disqualifying reason: an f64 call at monthly T is outside
+    # both the VMEM budget and the f32-only kernels (incl. the blocked
+    # hybrid's Pallas diagonal blocks) — blaming VMEM alone would point a
+    # user debugging a slow f64 pass at batch/VMEM sizing instead of dtype.
+    reasons = []
+    if not fits:
+        reasons.append(
+            f"exceeds the Pallas VMEM budget "
+            f"({_vmem_bytes(t) / 2**20:.0f} MB per (T,T,128) buffer)"
+        )
+    if not f32:
+        reasons.append(
+            f"dtype={jnp.dtype(dtype).name} is outside the f32-only "
+            "Pallas kernels (and the blocked hybrid's diagonal blocks)"
+        )
+    reason = f"batched linalg at T={t} " + " and ".join(reasons) + "; "
     if (t, path, f32) not in _warned_fallback:
         _warned_fallback.add((t, path, f32))
         import warnings

@@ -521,6 +521,7 @@ def refined_multi_scenario_f64(
     jitter: float = 1e-6,
     weight_kind: str = "crps",
     sigma_mode: str = "w2",
+    targets=None,  # optional ((h_y_mean, h_y_var), (s_y_mean, s_y_var))
 ):
     """Float64 posterior refinement at the f32-converged hyperparameters.
 
@@ -540,23 +541,35 @@ def refined_multi_scenario_f64(
     (measured 1.1e-12 vs the f64 CPU oracle; bench.py
     ``parity_matched_refined``).
 
+    ``targets``: the fit's own f32 ``((h_y_mean, h_y_var), (s_y_mean,
+    s_y_var))`` — bit-identical by construction and skips re-running the
+    DBA dynamic program; recomputed through the same jitted preamble when
+    omitted.
+
     Host-level entry point — enables x64 internally; do not call under
     an outer ``jit``.  Returns ``(bary_mean, bary_std, weights)`` as
     float64 numpy arrays.
     """
     s, m, r, t_hist = hb.shape
     t_ssp = sb.shape[-1]
-    prep = jax.jit(
-        functools.partial(
-            gp_ops.prepare_gp_inputs,
-            dba_iterations=dba_iterations,
-            dba_method=dba_method,
-            dba_tol=dba_tol,
+    hx = jnp.swapaxes(hb.reshape(s * m, r, t_hist), 1, 2)
+    sx = jnp.swapaxes(sb.reshape(s * m, r, t_ssp), 1, 2)
+    if targets is not None:
+        (h_ym, h_yv), (s_ym, s_yv) = targets
+    else:
+        prep = jax.jit(
+            functools.partial(
+                gp_ops.prepare_gp_inputs,
+                dba_iterations=dba_iterations,
+                dba_method=dba_method,
+                dba_tol=dba_tol,
+            )
         )
-    )
-    # The f32 targets, bit-identical to what the fit consumed.
-    hx, h_ym, h_yv = prep(hb.reshape(s * m, r, t_hist), hm.reshape(s * m, r))
-    sx, s_ym, s_yv = prep(sb.reshape(s * m, r, t_ssp), sm.reshape(s * m, r))
+        # The f32 targets, recomputed through the fit's own preamble.
+        _, h_ym, h_yv = prep(
+            hb.reshape(s * m, r, t_hist), hm.reshape(s * m, r)
+        )
+        _, s_ym, s_yv = prep(sb.reshape(s * m, r, t_ssp), sm.reshape(s * m, r))
     hx, h_ym, h_yv, sx, s_ym, s_yv = (
         np.asarray(a) for a in (hx, h_ym, h_yv, sx, s_ym, s_yv)
     )

@@ -326,14 +326,27 @@ def run_scenario(
     ssp_collection.fit(emulator, **fit_kw)
     t_fit = _time.perf_counter() - t0
 
-    w = weighter(hist, observations)
-    # One weight per model: time-mean, broadcast over the forecast period
-    # (script :127-133).
-    w_mean = w.mean("time")
-    w_fore = w_mean.expand_dims(
-        "time", size=len(ssp_collection.time), coord=ssp_collection.time, axis=1
-    )
-    barycentre = Barycentre()(ssp_collection, w_fore, sigma_mode=sigma_mode)
+    # Under refine_f64 the weighting/combination tail must run with x64
+    # semantics too: the posteriors now hold f64 moments, and without it
+    # the jnp-based weighters and barycentre would silently downcast them
+    # to f32 — re-introducing exactly the solve scatter the refinement
+    # removed (the fused surface's refined_multi_scenario_f64 keeps its
+    # tail f64 the same way).
+    import contextlib
+
+    import jax
+
+    ctx = jax.enable_x64() if refine_f64 else contextlib.nullcontext()
+    with ctx:
+        w = weighter(hist, observations)
+        # One weight per model: time-mean, broadcast over the forecast
+        # period (script :127-133).
+        w_mean = w.mean("time")
+        w_fore = w_mean.expand_dims(
+            "time", size=len(ssp_collection.time), coord=ssp_collection.time,
+            axis=1,
+        )
+        barycentre = Barycentre()(ssp_collection, w_fore, sigma_mode=sigma_mode)
     total = _time.perf_counter() - t0
     return ScenarioResult(ssp_name, w_fore, barycentre, t_fit, total)
 

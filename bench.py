@@ -453,6 +453,7 @@ def main():
             rbm, rbs, _ = refined_multi_scenario_f64(
                 hb, hm, sb, sm, obs, mmask, hp, sp,
                 dba_iterations=DBA_ITERS,
+                targets=((h_ym, h_yv), (s_ym, s_yv)),
             )
             refine_s = time.perf_counter() - t_ref
             refined = max(

@@ -353,6 +353,14 @@ def main():
                 "--profile fast sets the optimizer/step count/resident "
                 "itself; drop the explicit flags or use --profile faithful"
             )
+        if args.gate != "identity":
+            # The profile OWNS the gate too: the quality gate is
+            # subset-sensitive for bfgs at the +-10% level (BASELINE.md)
+            # and would spuriously fail a healthy bfgs-30 run.
+            ap.error(
+                "--profile fast gates with the bfgs-30 identity oracle; "
+                "drop --gate or use --profile faithful"
+            )
         kw = resolve_profile("fast", gridded=True)
         args.optimizer = kw["optimizer"]
         args.n_iters = kw["n_optim_nits"]

@@ -126,6 +126,26 @@ def test_fast_profile_refuses_ungated_run(capsys):
     assert "SKIPPED" in err and "gridded_oracle.py 123 64" in err
 
 
+def test_fast_profile_rejects_explicit_gate():
+    # The profile owns the gate: the quality gate is subset-sensitive for
+    # bfgs (+-10%, BASELINE.md) and would spuriously fail a healthy run —
+    # and allowing it would bypass the fail-closed identity-gate promise.
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [
+            _sys.executable,
+            os.path.join(repo, "benchmarks", "gridded_bench.py"),
+            "500", "36", "72", "--profile", "fast", "--gate", "quality",
+        ],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 2
+    assert "identity oracle" in proc.stderr
+
+
 def test_oracle_writer_replaces_matching_entry(tmp_path):
     # Mirror gridded_oracle.py's merge semantics: same config key replaces,
     # different key appends.

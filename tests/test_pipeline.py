@@ -56,6 +56,33 @@ def test_run_scenario_end_to_end(rng):
 
 
 @needs_data
+def test_run_scenario_refine_f64_publishes_f64_tail(rng):
+    """refine_f64=True must survive the whole container pipeline: the
+    posteriors AND the weighting/combination tail stay float64 (without
+    the x64 tail context the jnp-based weighters would silently downcast
+    the refined moments back to f32)."""
+    obs = pipeline.load_observations()
+    hist, ssp = pipeline.load_scenario("ssp460")
+    kw = dict(n_optim_nits=20, dba_iterations=2)
+    res32 = pipeline.run_scenario(hist, ssp, obs, "ssp460", **kw)
+    res64 = pipeline.run_scenario(
+        hist, ssp, obs, "ssp460", refine_f64=True, **kw
+    )
+    g32, g64 = res32.barycentre.gaussian, res64.barycentre.gaussian
+    assert np.asarray(g64.mean).dtype == np.float64
+    assert np.asarray(g64.variance).dtype == np.float64
+    # Refined fitted posteriors are f64 on the collections too.
+    assert np.asarray(ssp[0].distribution.gaussian.mean).dtype == np.float64
+    # Precision upgrade, not an algorithm change.
+    assert float(
+        np.abs(np.asarray(g32.mean, np.float64) - np.asarray(g64.mean)).max()
+    ) < 1e-3
+    np.testing.assert_allclose(
+        res64.weights.values.sum(axis=0), 1.0, rtol=1e-12
+    )
+
+
+@needs_data
 def test_multi_scenario_step_matches_single(rng):
     """The merged multi-scenario program equals per-scenario steps."""
     import jax.numpy as jnp

@@ -117,13 +117,20 @@ def test_fit_collection_refine_f64(rng):
         mc, n_optim_nits=30, dba_iterations=3, refine_f64=True
     )
     block, mask = mc.padded_stack(dtype=np.dtype(np.float32))
-    _, _, _, params = emulate_batch(
+    _, _, _, params, ym, yv = emulate_batch(
         jnp.asarray(block), jnp.asarray(mask),
         n_optim_nits=30, dba_iterations=3, return_params=True,
     )
     rm, rc = refine_posterior_f64(
         jnp.asarray(block), jnp.asarray(mask), params, dba_iterations=3
     )
+    # The fit's own targets and the recomputed-preamble path agree exactly.
+    rm_t, rc_t = refine_posterior_f64(
+        jnp.asarray(block), jnp.asarray(mask), params, dba_iterations=3,
+        targets=(ym, yv),
+    )
+    np.testing.assert_array_equal(rm, rm_t)
+    np.testing.assert_array_equal(rc, rc_t)
     for i, (p32, p64) in enumerate(zip(posts32, posts64)):
         g = p64.gaussian
         assert np.asarray(g.mean).dtype == np.float64
