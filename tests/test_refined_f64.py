@@ -131,6 +131,13 @@ def test_fit_collection_refine_f64(rng):
     )
     np.testing.assert_array_equal(rm, rm_t)
     np.testing.assert_array_equal(rc, rc_t)
+    # device="cpu" (native-f64 host pass) computes the same refinement.
+    rm_c, rc_c = refine_posterior_f64(
+        jnp.asarray(block), jnp.asarray(mask), params, dba_iterations=3,
+        targets=(ym, yv), device="cpu",
+    )
+    np.testing.assert_allclose(rm_c, rm, rtol=1e-12)
+    np.testing.assert_allclose(rc_c, rc, rtol=1e-10, atol=1e-14)
     for i, (p32, p64) in enumerate(zip(posts32, posts64)):
         g = p64.gaussian
         assert np.asarray(g.mean).dtype == np.float64
