@@ -108,30 +108,31 @@ _DBA_SPLIT_BYTES_PER_ELEM = 44  # max over the fwd / bwd phase kernels
 # element — the two VMEM inputs are DOUBLE-BUFFERED by Pallas's grid
 # pipelining whenever the batch spans more than one lane chunk (2 x 2) plus
 # the two loop-carry scratch diagonals — and Mosaic's stack allocation for
-# the roll/select temporaries adds more.  The stack term is NOT a constant:
-# measured 34.0 B/elem total at T=1980 (~2.5 f32 stack; a 24 B/elem model
-# admitted 256-lane chunks there that exceeded the scoped limit by 480 KB),
-# but 49.1 B/elem at T=3000 AND T=3500 (~6.3 f32 stack — a 36 B model
-# admitted 128-lane chunks at those T that OOM'd by 2.0-4.9 MB; round-3
-# hardware boundary sweep, recorded in tests/test_vmem_budget.py).  Two measured
-# regimes with margin; the boundary is placed at the largest measured
-# low-regime t_pad (1984) so nothing between the measurements is trusted
-# to the cheaper model.
-_DTW_COST_BYTES_PER_ELEM = 36         # t_pad <= _DTW_STACK_REGIME_T
-_DTW_COST_BYTES_PER_ELEM_LARGE = 50   # t_pad >  _DTW_STACK_REGIME_T
-_DTW_STACK_REGIME_T = 1984
+# the roll/select temporaries adds more.  The stack term is NOT a constant;
+# the hardware catalogue that shaped this model: 34.0 B/elem at
+# (T=1980, 256 lanes) (a 24 B/elem model admitted chunks there that
+# exceeded the scoped limit by 480 KB), 49.1 B/elem at T=3000 AND T=3500
+# (128 lanes — a 36 B model OOM'd by 2.0-4.9 MB; round-3 boundary sweep),
+# and 47.1 B/elem at (T=1032, 384 lanes, grid=2) (round 4: a two-regime
+# model with a 36 B constant below t_pad 1984 admitted 384 lanes inside
+# the subgradient-DBA epoch loop and Mosaic demanded 18.67 MiB — the
+# growth is not confined to T > 2000).  One conservative multi-chunk
+# constant (50 B, >= every measured point) now covers ALL t_pad: every
+# dispatch boundary is unchanged (the gate at the 128-lane minimum still
+# flips between t_pad 2536 and 2544), only lane widths at monthly T
+# shrink (e.g. T=1032: 384 -> 256), and annual widths are governed by the
+# caller's request/batch caps anyway.
+_DTW_COST_BYTES_PER_ELEM = 50
 # Single-chunk (grid == 1) cost: no grid pipelining means the two inputs are
-# not double-buffered — measured 41.4 B/elem at T=4528 (the same large-T
-# stack regime minus one 2x2 f32 input copy).  42 B covers it; only
-# consulted above the regime boundary (the multi-chunk gate cannot fail
-# below it), raising the ceiling for batches that fit ONE chunk
-# (N <= 128 at T up to ~3000 on v5e vs ~2500 multi-chunk).
+# not double-buffered — measured 41.4 B/elem at T=4528.  42 B covers it;
+# consulted when the multi-chunk gate fails, raising the ceiling for
+# batches that fit ONE chunk (N <= 128 at T up to ~3000 on v5e vs ~2500
+# multi-chunk).
 _DTW_COST_BYTES_PER_ELEM_SINGLE = 42
 
 
 def _dtw_cost_bytes_per_elem(t_pad: int) -> int:
-    return (_DTW_COST_BYTES_PER_ELEM if t_pad <= _DTW_STACK_REGIME_T
-            else _DTW_COST_BYTES_PER_ELEM_LARGE)
+    return _DTW_COST_BYTES_PER_ELEM
 
 
 def dtw_cost_fits(t: int, n: tp.Optional[int] = None) -> bool:
