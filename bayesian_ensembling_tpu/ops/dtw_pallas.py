@@ -113,7 +113,7 @@ _DBA_SPLIT_BYTES_PER_ELEM = 44  # max over the fwd / bwd phase kernels
 # (T=1980, 256 lanes) (a 24 B/elem model admitted chunks there that
 # exceeded the scoped limit by 480 KB), 49.1 B/elem at T=3000 AND T=3500
 # (128 lanes — a 36 B model OOM'd by 2.0-4.9 MB; round-3 boundary sweep),
-# and 47.1 B/elem at (T=1032, 384 lanes, grid=2) (round 4: a two-regime
+# and 49.4 B/elem at (T=1032, 384 lanes, grid=2) (round 4: a two-regime
 # model with a 36 B constant below t_pad 1984 admitted 384 lanes inside
 # the subgradient-DBA epoch loop and Mosaic demanded 18.67 MiB — the
 # growth is not confined to T > 2000).  One conservative multi-chunk

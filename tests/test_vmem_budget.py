@@ -67,12 +67,12 @@ def test_dtw_cost_gate_implies_chunk_fits(t):
 # measured at T=3000 AND T=3500 with 128-lane 2-chunk grids (the 36 B model
 # admitted both; they OOM'd at 17.98 / 20.90 MiB), and 41.4 B/elem at
 # T=4528 grid=1 (no input double-buffering).  Round 4 then refuted the
-# cheap low-T regime itself: 47.1 B/elem demanded at (T=1032, 384 lanes,
+# cheap low-T regime itself: 49.4 B/elem demanded at (T=1032, 384 lanes,
 # grid=2) inside the subgradient-DBA epoch loop (18.67 MiB, OOM by
 # 2.67 MiB on the real compiler) — so ONE conservative multi-chunk
 # constant (>= every measured point) now covers all T.
 _MEASURED_COST_BYTES_MULTICHUNK = 34           # T=1980, 256 lanes
-_MEASURED_COST_BYTES_MULTICHUNK_MID = 47.1     # T=1032, 384 lanes (round 4)
+_MEASURED_COST_BYTES_MULTICHUNK_MID = 49.4     # T=1032, 384 lanes (round 4)
 _MEASURED_COST_BYTES_MULTICHUNK_LARGE = 49.1   # T=3000/3500, 128 lanes
 _MEASURED_COST_BYTES_GRID1_LARGE = 41.4        # T=4528, grid=1
 
@@ -86,7 +86,7 @@ def test_dtw_cost_model_covers_measured_points():
         assert dp._DTW_COST_BYTES_PER_ELEM >= measured
     assert dp._DTW_COST_BYTES_PER_ELEM_SINGLE >= _MEASURED_COST_BYTES_GRID1_LARGE
     # The round-4 OOM config (T=1032, batch 768) must now be sized at
-    # <= 256 lanes: 47.1 B/elem at 256 lanes = 12.4 MiB fits scoped VMEM.
+    # <= 256 lanes: 49.4 B/elem at 256 lanes = 13.1 MiB fits scoped VMEM.
     lanes = dp._lanes_for(1032, dp._dtw_cost_bytes_per_elem(1032), 2048, 768)
     assert lanes <= 256
     assert lanes * 1032 * _MEASURED_COST_BYTES_MULTICHUNK_MID <= vmem.SCOPED_VMEM_BUDGET
