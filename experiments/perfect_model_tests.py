@@ -70,6 +70,7 @@ def main():
         "--prefit-dir, whose checkpoints fix the resolution.",
     )
     from bayesian_ensembling_tpu.utils.cli import (
+        add_dba_args,
         add_optimizer_arg,
         add_profile_arg,
         add_warm_time_args,
@@ -80,6 +81,7 @@ def main():
     add_optimizer_arg(ap)
     add_warm_time_args(ap)
     add_profile_arg(ap)
+    add_dba_args(ap)
     args = ap.parse_args()
     if args.profile != "faithful" and args.prefit_dir:
         ap.error("--profile applies to fresh fits only; --prefit-dir "
@@ -160,6 +162,9 @@ def main():
                     time_stride=args.time_stride,
                     fine_steps=args.fine_steps,
                     optimizer=args.optimizer,
+                    dba_iterations=args.dba_iterations,
+                    dba_method=args.dba_method,
+                    dba_tol=args.dba_tol,
                 )
             print(f"{ssp} / {wname}:\n{df.describe().loc[['mean']]}", flush=True)
 
