@@ -121,6 +121,9 @@ class GPDTW3D(AbstractEmulator):
         jitter: float = 1e-6,
         dba_method: str = "classic",
         dba_tol: tp.Optional[float] = None,
+        refine_f64: bool = False,
+        refine_device: tp.Optional[str] = None,
+        refine_cell_chunk: tp.Optional[int] = None,
     ) -> tp.List[Posterior]:
         posts = []
         for pm in collection:  # models may have different R; cells batch inside
@@ -131,7 +134,7 @@ class GPDTW3D(AbstractEmulator):
                 pm.data.values.reshape(r, t, c), (2, 0, 1)
             ).astype(np.dtype(self.dtype))
             mask = np.ones((c, r), dtype=bool)
-            mean, var = emulate_marginals(
+            out = emulate_marginals(
                 jnp.asarray(block),
                 jnp.asarray(mask),
                 kernel_name=self.kernel,
@@ -141,15 +144,36 @@ class GPDTW3D(AbstractEmulator):
                 dba_method=dba_method,
                 dba_tol=dba_tol,
                 jitter=jitter,
+                return_params=refine_f64,
+                return_targets=refine_f64,
             )  # (C, T) each
+            mean, var = out[0], out[1]
+            if refine_f64:
+                # Published moments in f64 at the f32-converged
+                # hyperparameters — removes the f32 solve scatter from the
+                # gridded artifacts, the last surface still carrying it
+                # (VERDICT r4; see parallel/gridded.refine_marginals_f64).
+                from bayesian_ensembling_tpu.parallel.gridded import (
+                    refine_marginals_f64,
+                )
+
+                chunk = refine_cell_chunk
+                mean, var = refine_marginals_f64(
+                    block, mask, out[2], (out[3], out[4]),
+                    kernel_name=self.kernel, jitter=jitter,
+                    device=refine_device, chunk=chunk,
+                )
             # Back to flattened (time, lat, lon) order for the template.
+            # Refined moments stay f64 numpy — jnp.asarray outside an x64
+            # context would silently downcast them back to f32,
+            # re-introducing exactly the scatter the refinement removed.
             mean_f = np.asarray(mean).T.reshape(-1)
             var_f = np.asarray(var).T.reshape(-1)
+            if not refine_f64:
+                mean_f, var_f = jnp.asarray(mean_f), jnp.asarray(var_f)
             posts.append(
                 Posterior(
-                    gaussian=DiagGaussian(
-                        mean=jnp.asarray(mean_f), var=jnp.asarray(var_f)
-                    ),
+                    gaussian=DiagGaussian(mean=mean_f, var=var_f),
                     template=pm.blank_template(),
                 )
             )
@@ -252,6 +276,9 @@ class GPDTW3D(AbstractEmulator):
         n_inducing: tp.Optional[int] = None,
         minibatch_size: tp.Optional[int] = None,
         jitter: tp.Optional[float] = None,
+        refine_f64: bool = False,
+        refine_device: tp.Optional[str] = None,
+        refine_cell_chunk: tp.Optional[int] = None,
         **_: tp.Any,
     ) -> tp.List[Posterior]:
         cfg = self.config
@@ -276,6 +303,16 @@ class GPDTW3D(AbstractEmulator):
             return self._fit_batched(
                 collection, n_optim_nits, learning_rate, dba_iterations,
                 jitter, dba_method=dba_method, dba_tol=dba_tol,
+                refine_f64=refine_f64, refine_device=refine_device,
+                refine_cell_chunk=refine_cell_chunk,
+            )
+        if refine_f64:
+            raise ValueError(
+                "refine_f64 applies to GPDTW3D batched mode only — the svgp "
+                "mode's posterior is a variational approximation, so an f64 "
+                "re-solve of its predictive equations would not remove "
+                "approximation error, just solve scatter; fit in batched "
+                "mode for refined moments"
             )
         if self.mode == "svgp":
             return self._fit_svgp(

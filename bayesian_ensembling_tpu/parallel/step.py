@@ -198,6 +198,7 @@ def emulate_marginals(
     optimizer: str = "adam",
     gp_init=None,
     return_params: bool = False,
+    return_targets: bool = False,
     time_stride: int = 1,
     fine_steps: tp.Optional[int] = None,
 ):
@@ -210,7 +211,11 @@ def emulate_marginals(
     ``gp_init`` optionally warm-starts the hyperparameter optimisation from
     a batched ``GPParams`` (the gridded coarse-to-fine path);
     ``return_params=True`` additionally returns the fitted ``GPParams``
-    (for use as a later warm start).
+    (for use as a later warm start); ``return_targets=True`` (requires
+    ``return_params``) additionally returns the f32 DBA targets
+    ``(y_mean, y_var)`` — the pair the f64 refinement passes consume
+    (``refine_marginals_f64`` / ``refine_posterior_f64`` ``targets=``) so
+    they never re-run the DTW dynamic program.
 
     ``time_stride > 1`` switches the hyperparameter fit to coarse-to-fine
     IN TIME (ops/gp.fit_gp_batch_warm_time): ``n_optim_nits`` coarse steps
@@ -242,6 +247,10 @@ def emulate_marginals(
     mean, var = gp_ops.posterior_marginals_batch(
         params, x, y_mean, y_var, kernel_name=kernel_name, jitter=jitter
     )
+    if return_targets:
+        if not return_params:
+            raise ValueError("return_targets requires return_params=True")
+        return mean, var + y_var, params, y_mean, y_var
     if return_params:
         return mean, var + y_var, params
     return mean, var + y_var

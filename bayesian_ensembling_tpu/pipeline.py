@@ -371,6 +371,9 @@ def run_gridded_scenario(
     dba_method: str = "classic",
     dba_tol: tp.Optional[float] = None,
     sigma_mode: str = "w2",
+    refine_f64: bool = False,
+    refine_device: tp.Optional[str] = None,
+    refine_cell_chunk: tp.Optional[int] = None,
 ) -> tp.Tuple[tp.Any, Posterior]:
     """Gridded fit -> weight -> combine (the GPDTW3D capability end-to-end).
 
@@ -379,6 +382,13 @@ def run_gridded_scenario(
     parallel/gridded.py), weighted per point against gridded observations,
     and combined with the per-point W2 barycentre.  Returns
     (weights DimArray, barycentre Posterior).
+
+    ``refine_f64`` publishes f64-refined per-cell posterior moments (fit
+    stays f32; the per-cell posterior solves re-run in float64 at the
+    converged hyperparameters — parallel/gridded.refine_marginals_f64) and
+    runs the weighting/combination tail under x64 semantics, exactly as
+    ``run_scenario`` does for the annual surface.  ``refine_cell_chunk``
+    bounds the f64 working set for large grids.
     """
     from bayesian_ensembling_tpu.models.gp_3d import GPDTW3D
 
@@ -387,9 +397,25 @@ def run_gridded_scenario(
     collection.fit(
         emulator, n_optim_nits=n_optim_nits, dba_iterations=dba_iterations,
         dba_method=dba_method, dba_tol=dba_tol,
+        refine_f64=refine_f64, refine_device=refine_device,
+        refine_cell_chunk=refine_cell_chunk,
     )
-    weights = weighter(collection, observations)
-    bary = Barycentre()(collection, weights, sigma_mode=sigma_mode)
+    import contextlib
+
+    import jax
+
+    with contextlib.ExitStack() as stack:
+        if refine_f64:
+            # The tail must keep x64 semantics or the jnp-based weighters
+            # would downcast the refined f64 moments back to f32 (same
+            # rationale as run_scenario's refined tail).
+            stack.enter_context(jax.enable_x64())
+            if refine_device is not None:
+                stack.enter_context(
+                    jax.default_device(jax.devices(refine_device)[0])
+                )
+        weights = weighter(collection, observations)
+        bary = Barycentre()(collection, weights, sigma_mode=sigma_mode)
     return weights, bary
 
 

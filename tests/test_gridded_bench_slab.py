@@ -173,3 +173,81 @@ def test_quality_gate_smaller_grid_than_oracle_hints():
     loaded, tm, ts = _fake_oracle()  # entries carry n_cells=4
     with pytest.raises(SystemExit, match="exceed this run's 2 cells"):
         quality_gate_check(loaded, tm[:2], ts[:2], n_cells=2, lat=1, lon=2)
+
+
+@pytest.mark.parametrize("slab", [4, 13])
+def test_streamed_matches_direct(slab):
+    # --stream (background double-buffered staging) is a dispatch
+    # strategy like the others: bit-identical outputs, ragged pad
+    # included.
+    block, obs = _workload()
+    want_m, want_s = _direct(_step, block, obs)
+    got_m, got_s = slabbed_run(_step, block, obs, slab, stream=True)
+    np.testing.assert_array_equal(got_m, want_m)
+    np.testing.assert_array_equal(got_s, want_s)
+
+
+def test_streamed_collect_fit_matches_default():
+    # The refine path's fit products assemble identically under stream
+    # staging (cell-axis concat across slabs, pad sliced).
+    block, obs = _workload()
+
+    @jax.jit
+    def step6(b, o):
+        m, s = _step(b, o)
+        w = b.mean(axis=(2, 3))
+        params = {"p": b.sum(axis=(2, 3))}  # (M, C) leaf
+        ym = b.mean(axis=2)  # (M, C, T)
+        yv = b.var(axis=2)
+        return m, s, w, params, ym, yv
+
+    d_m, d_s, d_p, d_ym, d_yv = slabbed_run(
+        step6, block, obs, 4, collect_fit=True
+    )
+    s_m, s_s, s_p, s_ym, s_yv = slabbed_run(
+        step6, block, obs, 4, collect_fit=True, stream=True
+    )
+    np.testing.assert_array_equal(d_m, s_m)
+    np.testing.assert_array_equal(d_p["p"], s_p["p"])
+    np.testing.assert_array_equal(d_ym, s_ym)
+    np.testing.assert_array_equal(d_yv, s_yv)
+    # And the assembled products equal the direct (unslabbed) fit.
+    out = step6(jnp.asarray(block), jnp.asarray(obs))
+    np.testing.assert_array_equal(np.asarray(out[3]["p"]), d_p["p"])
+    np.testing.assert_array_equal(np.asarray(out[4]), d_ym)
+
+
+def test_stream_resident_mutually_exclusive():
+    block, obs = _workload()
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        slabbed_run(
+            _step, block, obs, 4, stream=True, resident=True,
+            block_dev=jnp.asarray(block), obs_dev=jnp.asarray(obs),
+        )
+
+
+def test_stream_staging_failure_surfaces():
+    # A staging-thread crash must raise in the caller, not hang the queue.
+    block, obs = _workload()
+
+    class Boom:  # breaks the producer's host slice
+        shape = block.shape
+        def __getitem__(self, *_):
+            raise RuntimeError("staged boom")
+    with pytest.raises(RuntimeError, match="staged boom"):
+        slabbed_run(_step, Boom(), obs, 4, stream=True)
+
+
+def test_cached_workload_bit_identical(tmp_path):
+    import gridded_common as gc
+
+    want_b, want_o = gc.make_workload(10)
+    got_b, got_o = gc.make_workload_cached(
+        10, cache_dir=str(tmp_path), gen_chunk=4
+    )
+    np.testing.assert_array_equal(np.asarray(got_b), want_b)
+    np.testing.assert_array_equal(np.asarray(got_o), want_o)
+    # Cache hit returns the same bytes without regeneration.
+    again_b, again_o = gc.make_workload_cached(10, cache_dir=str(tmp_path))
+    np.testing.assert_array_equal(np.asarray(again_b), want_b)
+    np.testing.assert_array_equal(np.asarray(again_o), want_o)
