@@ -1,0 +1,299 @@
+"""Collective audit for the sharded surfaces (VERDICT r4 item 3).
+
+BASELINE.md's v5e-8 estimates rest on "the collective tail is negligible".
+This script replaces the adjective with program-level evidence, on the
+virtual 8-device CPU mesh:
+
+1. **Lowered counts** — the collectives OUR code places, read from the
+   pre-optimisation StableHLO (`jit(...).lower()`): exactly the reductions
+   at the reference's cross-model couplings (weights.py:123,511;
+   wasserstein.py:86,98) and nothing else.  Deterministic; locked by
+   tests/test_collective_audit.py.
+2. **Compiled counts + payload bytes** — what actually runs after XLA's
+   all-reduce combining, with each op's payload parsed from the HLO.  The
+   payloads are O(M·T) floats (KBs) against multi-GB/s ICI links: wire
+   time is sub-microsecond, so the tail is latency-bound at ~µs per
+   collective — orders of magnitude under the <0.3 s budget asserted in
+   BASELINE.md's v5e-8 rows.
+3. **Delta timing** — the sharded program vs a collective-free twin (same
+   shard_map, psums elided via model_axis=None) at identical per-device
+   load.  On the virtual mesh all 8 devices share one CPU, so this is an
+   upper bound on program-level collective overhead (thread sync included),
+   not an ICI measurement — the counts/bytes above are the hardware story.
+
+Writes benchmarks/collective_audit.json and prints a table.
+
+Usage: python benchmarks/collective_audit.py [--quick]
+"""
+
+import functools
+import json
+import os
+import re
+import sys
+import time
+
+# Force CPU: this is a virtual-mesh program-audit tool (the session env
+# pins JAX_PLATFORMS=axon for the real chip — override, don't default).
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+# The tunnelled TPU plugin ignores the JAX_PLATFORMS env var; pin the
+# platform through the config API as well (same dance as tests/conftest.py).
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+from jax.sharding import Mesh, PartitionSpec as P  # noqa: E402
+
+# Collective mnemonics -> (StableHLO token, compiled-HLO token).
+KINDS = {
+    "all_reduce": ("stablehlo.all_reduce", "all-reduce"),
+    "all_gather": ("stablehlo.all_gather", "all-gather"),
+    "reduce_scatter": ("stablehlo.reduce_scatter", "reduce-scatter"),
+    "collective_permute": ("stablehlo.collective_permute", "collective-permute"),
+    "all_to_all": ("stablehlo.all_to_all", "all-to-all"),
+}
+
+_DTYPE_BYTES = {"f64": 8, "f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4,
+                "pred": 1, "s8": 1, "u8": 1}
+
+
+def lowered_counts(lowered_text: str):
+    """Collective-op counts in pre-optimisation StableHLO."""
+    return {
+        k: len(re.findall(re.escape(tok), lowered_text))
+        for k, (tok, _) in KINDS.items()
+    }
+
+
+def compiled_counts_and_bytes(hlo_text: str):
+    """Collective counts + total payload bytes in compiled HLO.
+
+    Payload = the op's result shape(s); async pairs (``all-reduce-start`` /
+    ``-done``) are counted once via the ``-start`` op, and plain sync ops
+    via the bare token.
+    """
+    counts = {}
+    payload = 0
+    shape_re = re.compile(r"(f64|f32|bf16|f16|s32|u32|pred|s8|u8)\[([0-9,]*)\]")
+    for k, (_, tok) in KINDS.items():
+        n = 0
+        for line in hlo_text.splitlines():
+            # Match "= f32[...] all-reduce(" or "all-reduce-start(".
+            if re.search(rf"\b{tok}(-start)?\(", line):
+                if re.search(rf"\b{tok}-done\(", line):
+                    continue
+                n += 1
+                # Result shape(s): between '=' and the op token.
+                seg = line.split("=", 1)[-1].split(tok)[0]
+                for m in shape_re.finditer(seg):
+                    dt, dims = m.groups()
+                    size = 1
+                    for d in dims.split(","):
+                        if d:
+                            size *= int(d)
+                    payload += size * _DTYPE_BYTES[dt]
+        counts[k] = n
+    return counts, payload
+
+
+def _annual_workload(m=16, r=10, t_hist=165, t_ssp=86):
+    rng = np.random.default_rng(0)
+    hb = rng.normal(size=(m, r, t_hist)).astype(np.float32).cumsum(-1) * 0.1
+    sb = rng.normal(size=(m, r, t_ssp)).astype(np.float32).cumsum(-1) * 0.1
+    hm = np.ones((m, r), np.float32)
+    sm = np.ones((m, r), np.float32)
+    obs = rng.normal(size=(r, t_hist)).astype(np.float32).cumsum(-1) * 0.1
+    mmask = np.ones((m,), np.float32)
+    return hb, hm, sb, sm, obs, mmask
+
+
+def audit_surfaces(n_optim_nits=2):
+    """(name, jitted_fn, example_args) per sharded surface."""
+    from bayesian_ensembling_tpu.parallel.step import (
+        make_sharded_multi_scenario_step,
+        make_sharded_step,
+    )
+    from bayesian_ensembling_tpu.parallel.gridded import (
+        make_sharded_gridded_step,
+    )
+
+    devices = np.array(jax.devices()[:8])
+    mesh1d = Mesh(devices, axis_names=("model",))
+    mesh2d = Mesh(devices.reshape(2, 4), axis_names=("scenario", "model"))
+    mesh_cm = Mesh(devices.reshape(4, 2), axis_names=("model", "cells"))
+
+    hb, hm, sb, sm, obs, mmask = _annual_workload()
+    annual = tuple(jnp.asarray(a) for a in (hb, hm, sb, sm, obs, mmask))
+
+    surfaces = []
+    for wk, sig in (("crps", "w2"), ("crps", "mixture"),
+                    ("loglik", "w2"), ("similarity", "w2")):
+        surfaces.append((
+            f"annual_1d_{wk}_{sig}",
+            make_sharded_step(
+                mesh1d, n_optim_nits=n_optim_nits, dba_iterations=2,
+                weight_kind=wk, sigma_mode=sig,
+            ),
+            annual,
+        ))
+
+    s = 2
+    hb2 = np.broadcast_to(hb[None], (s,) + hb.shape)
+    hm2 = np.broadcast_to(hm[None], (s,) + hm.shape)
+    sb2 = np.broadcast_to(sb[None], (s,) + sb.shape)
+    sm2 = np.broadcast_to(sm[None], (s,) + sm.shape)
+    mm2 = np.broadcast_to(mmask[None], (s,) + mmask.shape)
+    surfaces.append((
+        "multi_scenario_2d_crps_w2",
+        make_sharded_multi_scenario_step(
+            mesh2d, n_optim_nits=n_optim_nits, dba_iterations=2,
+            weight_kind="crps", sigma_mode="w2",
+        ),
+        tuple(jnp.asarray(a) for a in (hb2, hm2, sb2, sm2, obs, mm2)),
+    ))
+
+    rng = np.random.default_rng(1)
+    c, r, t = 8, 6, 30
+    gblock = rng.normal(size=(4, c, r, t)).astype(np.float32)
+    gobs = rng.normal(size=(c, r, t)).astype(np.float32)
+    gmask = np.ones((4, c, r), np.float32)
+    surfaces.append((
+        "gridded_2d_crps_w2",
+        make_sharded_gridded_step(
+            mesh_cm, n_optim_nits=n_optim_nits, dba_iterations=2,
+            weight_kind="crps",
+        ),
+        tuple(jnp.asarray(a) for a in (gblock, gobs, gmask, mmask[:4])),
+    ))
+    return surfaces, mesh1d, annual
+
+
+def delta_timing(mesh1d, annual, n_optim_nits=30, reps=5):
+    """Sharded vs collective-free twin at identical per-device load."""
+    from bayesian_ensembling_tpu.parallel.step import (
+        ensemble_scenario_step,
+        make_sharded_step,
+    )
+    from jax import shard_map
+
+    sharded = make_sharded_step(
+        mesh1d, n_optim_nits=n_optim_nits, dba_iterations=2,
+        weight_kind="crps", sigma_mode="w2",
+    )
+    # The twin: SAME shard_map partitioning and per-device program, psums
+    # elided (model_axis=None).  Its outputs are per-device partials —
+    # numerically meaningless, but the local compute is identical, so
+    # (sharded - twin) bounds the collective overhead.
+    fn = functools.partial(
+        ensemble_scenario_step, n_optim_nits=n_optim_nits, dba_iterations=2,
+        weight_kind="crps", sigma_mode="w2", model_axis=None,
+    )
+    p_model = P("model")
+    twin = jax.jit(shard_map(
+        fn, mesh=mesh1d,
+        in_specs=(p_model,) * 4 + (P(), p_model),
+        out_specs=(P(), P(), p_model),
+        check_vma=False,
+    ))
+
+    def timed(f):
+        jax.block_until_ready(f(*annual))  # compile
+        best = float("inf")
+        for _ in range(reps):
+            args = tuple(jnp.asarray(np.asarray(a).copy()) for a in annual)
+            jax.block_until_ready(args)
+            t0 = time.perf_counter()
+            jax.block_until_ready(f(*args))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_sharded = timed(sharded)
+    t_twin = timed(twin)
+
+    # Micro-probe: the MARGINAL dispatch cost of one psum on this runtime,
+    # isolated from whole-program scheduling (a bare psum vs an equal-flop
+    # local reduction, same shard_map/mesh).  The end-to-end delta above
+    # overstates the collective cost on the virtual mesh: all 8 "devices"
+    # share one CPU, and a trailing all-reduce forces lockstep scheduling
+    # of threads that otherwise drain sequentially — a host-runtime
+    # artifact with no ICI analogue.
+    p_model = P("model")
+    psum_p = jax.jit(shard_map(
+        lambda v: jax.lax.psum(v, "model"), mesh=mesh1d,
+        in_specs=p_model, out_specs=P(),
+    ))
+    local_p = jax.jit(shard_map(
+        lambda v: v.sum(0, keepdims=True) * 8.0, mesh=mesh1d,
+        in_specs=p_model, out_specs=p_model,
+    ))
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(8, 165)).astype(np.float32))
+    micro = {}
+    for name, f in (("psum", psum_p), ("local", local_p)):
+        jax.block_until_ready(f(x))
+        t0 = time.perf_counter()
+        for _ in range(200):
+            jax.block_until_ready(f(x))
+        micro[name] = (time.perf_counter() - t0) / 200
+    return {
+        "sharded_s": round(t_sharded, 4),
+        "collective_free_s": round(t_twin, 4),
+        "delta_s": round(t_sharded - t_twin, 4),
+        "delta_pct": round(100 * (t_sharded - t_twin) / t_twin, 2),
+        "psum_marginal_us": round((micro["psum"] - micro["local"]) * 1e6, 1),
+        "note": (
+            "virtual 8-device CPU mesh: the end-to-end delta is an upper "
+            "bound dominated by host thread-scheduling lockstep (all 8 "
+            "devices share one CPU), not collective work — the bare-psum "
+            "marginal cost is psum_marginal_us (~tens of us even on this "
+            "runtime); the hardware story is the counts/bytes (KB payloads "
+            "over multi-GB/s ICI = sub-us wire time, ~us latency each)"
+        ),
+    }
+
+
+def main():
+    quick = "--quick" in sys.argv
+    surfaces, mesh1d, annual = audit_surfaces()
+    results = []
+    for name, fn, args in surfaces:
+        low = fn.lower(*args)
+        lc = lowered_counts(low.as_text())
+        comp = low.compile()
+        cc, payload = compiled_counts_and_bytes(comp.as_text())
+        results.append({
+            "surface": name,
+            "lowered": {k: v for k, v in lc.items() if v},
+            "compiled": {k: v for k, v in cc.items() if v},
+            "payload_bytes": payload,
+        })
+        print(
+            f"{name:34s} lowered={ {k: v for k, v in lc.items() if v} } "
+            f"compiled={ {k: v for k, v in cc.items() if v} } "
+            f"payload={payload}B",
+            file=sys.stderr,
+        )
+    out = {"surfaces": results}
+    if not quick:
+        out["delta_timing"] = delta_timing(mesh1d, annual)
+        print(f"delta timing: {out['delta_timing']}", file=sys.stderr)
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "collective_audit.json"
+    )
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({"metric": "collective_audit", "surfaces": len(results),
+                      "artifact": path}))
+
+
+if __name__ == "__main__":
+    main()
