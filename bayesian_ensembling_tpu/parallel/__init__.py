@@ -1,0 +1,1 @@
+"""Mesh-sharded surfaces: fused scenario steps, gridded cells, dedup campaigns."""

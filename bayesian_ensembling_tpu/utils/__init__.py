@@ -1,0 +1,1 @@
+"""Support: typed configs, CLI helpers, profiling, logging, compile cache, profiles."""

@@ -1,0 +1,185 @@
+"""Settle the bfgs-30 vs scratch-500 quality question (VERDICT r4 item 5).
+
+BASELINE.md's 0.5° section records that the closeness-to-converged-truth
+comparison between bfgs-30 and scratch-500 FLIPS with the evaluation
+subset at the ±10% level (bfgs 8% worse on the 64-cell oracle subset,
+slightly better on 432 cells).  Both earlier subsets are small; this probe
+evaluates the comparison on the FULL 5° global grid — 2,592 cells =
+12,960 independent GP fits, 40× the original subset — and quantifies the
+subset sensitivity directly by bootstrapping 64-cell subsets.
+
+Truth = adam-2000 fit on TPU, published through the f64 refinement
+(``refined_gridded_f64``): the refined moments sit at the converged f32
+optimum with the solve scatter removed; the remaining f32-vs-f64
+trajectory term is ~5e-6 °C on this workload (gridded_bench.py header),
+three orders below the ~0.04 °C closeness differences under comparison.
+
+Per config the probe reports the distribution of per-cell closeness
+c_i = max_t |moment - truth| (max / p99 / median over cells), and for the
+bfgs-vs-scratch pair a bootstrap over random 64-cell subsets: the
+probability that a 64-cell subset ranks bfgs worse, and the spread of the
+subset-max ratio — the statistic whose instability motivated this probe.
+
+Writes benchmarks/bfgs_quality.json; prints one JSON line.
+
+Usage: python benchmarks/bfgs_quality_settle.py [lat] [lon] [--boot 2000]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bayesian_ensembling_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+import gridded_common as gc
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from bayesian_ensembling_tpu.parallel.gridded import refined_gridded_f64
+    from bayesian_ensembling_tpu.utils.profiling import device_sync as sync
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("lat", nargs="?", type=int, default=36)
+    ap.add_argument("lon", nargs="?", type=int, default=72)
+    ap.add_argument("--truth-nits", type=int, default=2000)
+    ap.add_argument("--boot", type=int, default=2000,
+                    help="bootstrap draws of 64-cell subsets")
+    ap.add_argument("--subset", type=int, default=64,
+                    help="bootstrap subset size (the original oracle's)")
+    args = ap.parse_args()
+    la, lo = args.lat, args.lon
+    c = la * lo
+    print(f"grid {la}x{lo} = {c} cells, {gc.M * c} fits", file=sys.stderr)
+
+    block, obs = gc.make_workload(c)
+    block_dev = jax.device_put(jnp.asarray(block))
+    obs_dev = jax.device_put(jnp.asarray(obs))
+    mask = np.ones((gc.M, c, gc.R), bool)
+
+    def run(nits, optimizer, refine=False):
+        step = jax.jit(
+            lambda b, o: gc.gridded_experiment(
+                b, o, nits, optimizer=optimizer, return_fit=refine
+            )
+        )
+        t0 = time.perf_counter()
+        out = step(block_dev, obs_dev)
+        sync(out)
+        wall = time.perf_counter() - t0
+        bm = np.asarray(out[0], np.float64)
+        bs = np.asarray(out[1], np.float64)
+        if refine:
+            fit = (jax.tree.map(np.asarray, out[3]), np.asarray(out[4]),
+                   np.asarray(out[5]))
+            t0 = time.perf_counter()
+            bm, bs, _ = refined_gridded_f64(
+                block, obs, mask, fit[0], (fit[1], fit[2]),
+                device="cpu", cell_chunk=648,
+            )
+            print(f"truth refine: {time.perf_counter() - t0:.1f}s",
+                  file=sys.stderr)
+        return bm, bs, wall
+
+    print("fitting truth (adam-2000, f64-refined)...", file=sys.stderr)
+    tm, ts, truth_wall = run(args.truth_nits, "adam", refine=True)
+
+    configs = [
+        ("scratch_500_adam", 500, "adam"),
+        ("bfgs_30", 30, "bfgs"),
+        ("scratch_1000_adam", 1000, "adam"),
+    ]
+    results = {}
+    closeness = {}
+    for name, nits, optim in configs:
+        bm, bs, wall = run(nits, optim)
+        cm = np.abs(bm - tm).max(axis=1)  # (C,) per-cell closeness, mean
+        cs = np.abs(bs - ts).max(axis=1)
+        closeness[name] = (cm, cs)
+        results[name] = {
+            "wall_s": round(wall, 3),
+            "mean": {
+                "max": float(cm.max()),
+                "p99": float(np.quantile(cm, 0.99)),
+                "median": float(np.median(cm)),
+            },
+            "std": {
+                "max": float(cs.max()),
+                "p99": float(np.quantile(cs, 0.99)),
+                "median": float(np.median(cs)),
+            },
+        }
+        print(
+            f"{name:20s} wall {wall:6.2f}s  |dmean| max {cm.max():.4f} "
+            f"p99 {np.quantile(cm, 0.99):.4f} med {np.median(cm):.4f}  "
+            f"|dstd| max {cs.max():.4f}",
+            file=sys.stderr,
+        )
+
+    # Bootstrap the ORIGINAL statistic (max closeness over a 64-cell
+    # subset) for the contested pair to quantify its flip probability.
+    rng = np.random.default_rng(0)
+    b_cm = closeness["bfgs_30"][0]
+    s_cm = closeness["scratch_500_adam"][0]
+    idx = rng.integers(0, c, size=(args.boot, args.subset))
+    b_max = b_cm[idx].max(axis=1)
+    s_max = s_cm[idx].max(axis=1)
+    ratio = b_max / s_max
+    flip = float(np.mean(b_max > s_max))
+    boot = {
+        "subset": args.subset,
+        "draws": args.boot,
+        "p_bfgs_worse_on_subset": flip,
+        "ratio_median": float(np.median(ratio)),
+        "ratio_p05": float(np.quantile(ratio, 0.05)),
+        "ratio_p95": float(np.quantile(ratio, 0.95)),
+        "full_grid_ratio_mean_max": float(b_cm.max() / s_cm.max()),
+        "full_grid_ratio_mean_median": float(
+            np.median(b_cm) / np.median(s_cm)
+        ),
+    }
+    print(
+        f"bootstrap ({args.boot} x {args.subset}-cell subsets): "
+        f"P(bfgs max worse) = {flip:.2f}, subset-max ratio "
+        f"{boot['ratio_p05']:.2f}-{boot['ratio_p95']:.2f} "
+        f"(median {boot['ratio_median']:.2f}); full-grid max ratio "
+        f"{boot['full_grid_ratio_mean_max']:.2f}, median ratio "
+        f"{boot['full_grid_ratio_mean_median']:.2f}",
+        file=sys.stderr,
+    )
+
+    out = {
+        "grid": [la, lo],
+        "cells": c,
+        "truth": {"n_optim_nits": args.truth_nits, "optimizer": "adam",
+                  "refined_f64": True, "wall_s": round(truth_wall, 3)},
+        "configs": results,
+        "bootstrap_bfgs30_vs_scratch500": boot,
+    }
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bfgs_quality.json"
+    )
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({
+        "metric": f"bfgs_quality_settle_{c}cells",
+        "bfgs30_max": results["bfgs_30"]["mean"]["max"],
+        "scratch500_max": results["scratch_500_adam"]["mean"]["max"],
+        "p_flip_64cell": flip,
+        "artifact": path,
+    }))
+
+
+if __name__ == "__main__":
+    main()

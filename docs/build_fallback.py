@@ -262,12 +262,15 @@ def parse_bib(path: str) -> dict:
     return entries
 
 
-def render_index(outdir: str, pages: list) -> None:
-    with open(os.path.join(DOCS, "index.rst"), encoding="utf-8") as f:
+def render_rst(outdir: str, stem: str, pages: list) -> None:
+    """Render one .rst source (title/automodule/toctree/bibliography
+    subset) to HTML — index.rst and any other rst page in the toctree."""
+    with open(os.path.join(DOCS, stem + ".rst"), encoding="utf-8") as f:
         rst = f.read()
     bib = parse_bib(os.path.join(DOCS, "refs.bib"))
 
     out = []
+    title = stem
     lines = rst.split("\n")
     i = 0
     para: list[str] = []
@@ -290,8 +293,9 @@ def render_index(outdir: str, pages: list) -> None:
 
     while i < len(lines):
         line = lines[i]
-        if i + 1 < len(lines) and re.match(r"^=+\s*$", lines[i + 1]):
+        if i + 1 < len(lines) and re.match(r"^=+\s*$", lines[i + 1]) and line.strip():
             flush()
+            title = line.strip()
             out.append(f"<h1>{html.escape(line)}</h1>")
             i += 2
             continue
@@ -358,7 +362,7 @@ def render_index(outdir: str, pages: list) -> None:
         para.append(line.strip())
         i += 1
     flush()
-    write_page(outdir, "index", "Bayesian Ensembling, TPU-native", "\n".join(out), pages)
+    write_page(outdir, stem, title, "\n".join(out), pages)
 
 
 def write_page(outdir: str, stem: str, title: str, body: str, pages: list) -> None:
@@ -382,14 +386,25 @@ def build(outdir: str | None = None) -> str:
     md_pages = [
         fn[:-3] for fn in sorted(os.listdir(DOCS)) if fn.endswith(".md")
     ]
-    pages = [("index", "Home")] + [(p, p.capitalize()) for p in md_pages]
+    rst_pages = [
+        fn[:-4]
+        for fn in sorted(os.listdir(DOCS))
+        if fn.endswith(".rst") and fn != "index.rst"
+    ]
+    pages = (
+        [("index", "Home")]
+        + [(p, p.capitalize()) for p in md_pages]
+        + [(p, p.capitalize()) for p in rst_pages]
+    )
     for stem in md_pages:
         with open(os.path.join(DOCS, stem + ".md"), encoding="utf-8") as f:
             text = f.read()
         m = re.match(r"^#\s+(.*)$", text.split("\n", 1)[0])
         title = m.group(1) if m else stem
         write_page(outdir, stem, title, md_to_html(text), pages)
-    render_index(outdir, pages)
+    for stem in rst_pages:
+        render_rst(outdir, stem, pages)
+    render_rst(outdir, "index", pages)
     return outdir
 
 

@@ -30,30 +30,56 @@ def _rst_sources():
 
 
 def _automodule_blocks():
-    """Yield (module_name, members_list_or_None) for every autodoc directive."""
+    """Yield (rst_stem, module_name, members_list_or_None) per directive."""
     blocks = []
-    for _, text in _rst_sources().items():
+    for fn, text in _rst_sources().items():
         for m in re.finditer(
             r"^\.\. automodule:: (\S+)\n((?:[ \t]+:.*\n)*)", text, re.M
         ):
             mod = m.group(1)
             opts = m.group(2)
             members = None
-            mm = re.search(r":members:\s*(.*)", opts)
+            mm = re.search(r":members:[ \t]*(.*)", opts)
             if mm and mm.group(1).strip():
                 members = [s.strip() for s in mm.group(1).split(",")]
-            blocks.append((mod, members))
+            blocks.append((fn[:-4], mod, members))
     return blocks
 
 
 def test_automodule_targets_import_and_members_exist():
     blocks = _automodule_blocks()
     assert blocks, "no automodule directives found in docs/"
-    for mod_name, members in blocks:
+    for _, mod_name, members in blocks:
         mod = importlib.import_module(mod_name)
         assert mod.__doc__, f"{mod_name} has no module docstring"
         for name in members or []:
             assert hasattr(mod, name), f"{mod_name} lacks documented member {name}"
+
+
+def test_every_package_module_documented():
+    """docs/modules.rst must stay exhaustive: every module file in the
+    package has an automodule directive somewhere in the doc sources
+    (VERDICT r4 item 4 — the fallback build is load-bearing, so its
+    coverage has to be the whole public surface, not a curated subset)."""
+    pkg_root = os.path.join(
+        os.path.dirname(__file__), "..", "bayesian_ensembling_tpu"
+    )
+    documented = {mod for _, mod, _ in _automodule_blocks()}
+    missing = []
+    for dirpath, _, files in os.walk(pkg_root):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            rel = os.path.relpath(os.path.join(dirpath, fn), pkg_root)
+            mod = "bayesian_ensembling_tpu"
+            parts = rel[:-3].split(os.sep)
+            if parts[-1] == "__init__":
+                parts = parts[:-1]
+            if parts:
+                mod += "." + ".".join(parts)
+            if mod not in documented:
+                missing.append(mod)
+    assert not missing, f"modules missing from docs automodules: {missing}"
 
 
 def test_toctree_entries_exist():
@@ -125,14 +151,74 @@ def test_fallback_build_produces_html(tmp_path):
                 entry = line.strip()
                 if entry and not entry.startswith(":"):
                     assert f"{entry}.html" in pages, entry
-    index = open(os.path.join(outdir, "index.html")).read()
-    # every automodule target and every :members: name is rendered
-    for modname, members in _automodule_blocks():
-        assert modname in index, f"automodule {modname} missing from HTML"
+    html_of = {
+        p[:-5]: open(os.path.join(outdir, p)).read()
+        for p in pages
+        if p.endswith(".html")
+    }
+    # every automodule target and every :members: name is rendered ON THE
+    # PAGE that declares it (modules.rst carries the exhaustive listing).
+    for stem, modname, members in _automodule_blocks():
+        page = html_of[stem]
+        assert f'id="{modname}"' in page, f"automodule {modname} missing"
         for name in members or []:
-            assert name in index, f"member {name} missing from HTML"
+            assert name in page, f"member {name} missing from {stem}.html"
+    # every PUBLIC member of every package module is rendered somewhere:
+    # the full-surface guarantee the exhaustive modules page exists for.
+    modules_page = html_of["modules"]
+    for stem, modname, members in _automodule_blocks():
+        if stem != "modules":
+            continue
+        m = importlib.import_module(modname)
+        import inspect
+
+        names = [
+            n
+            for n in (getattr(m, "__all__", None) or sorted(vars(m)))
+            if not n.startswith("_") and not inspect.ismodule(getattr(m, n))
+        ]
+        for n in names:
+            assert (
+                f'id="{modname}.{n}"' in modules_page
+            ), f"{modname}.{n} not rendered"
     # bibliography rendered with anchors for the cited keys
+    index = html_of["index"]
     for _, text in _rst_sources().items():
         for key in re.findall(r":cite:`([^`]+)`", text):
             for k in key.split(","):
                 assert f'id="bib-{k.strip()}"' in index
+
+
+def test_fallback_link_integrity(tmp_path):
+    """Every internal href in the built HTML resolves — page targets
+    exist and fragment anchors have a matching id= on the target page
+    (the crossref-integrity half of VERDICT r4 item 4)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "build_fallback", os.path.join(DOCS, "build_fallback.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    outdir = mod.build(str(tmp_path))
+
+    pages = {p: open(os.path.join(outdir, p)).read()
+             for p in os.listdir(outdir) if p.endswith(".html")}
+    ids = {
+        p: set(re.findall(r'id="([^"]+)"', text)) for p, text in pages.items()
+    }
+    checked = 0
+    for p, text in pages.items():
+        for href in re.findall(r'href="([^"]+)"', text):
+            if href.startswith(("http://", "https://", "mailto:")):
+                continue
+            if href.startswith("#"):
+                assert href[1:] in ids[p], f"{p}: dangling anchor {href}"
+                checked += 1
+                continue
+            target, _, frag = href.partition("#")
+            assert target in pages, f"{p}: dangling page link {href}"
+            if frag:
+                assert frag in ids[target], f"{p}: dangling {href}"
+            checked += 1
+    assert checked > 10  # the nav alone links every page
