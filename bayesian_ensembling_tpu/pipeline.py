@@ -350,8 +350,10 @@ def run_scenario(
                 )
         w = weighter(hist, observations)
         # One weight per model: time-mean, broadcast over the forecast
-        # period (script :127-133).
-        w_mean = w.mean("time")
+        # period (script :127-133).  Weighters that already return one
+        # weight per model (similarity mode="single" is dimensionless)
+        # skip the reduction.
+        w_mean = w.mean("time") if "time" in w.dims else w
         w_fore = w_mean.expand_dims(
             "time", size=len(ssp_collection.time), coord=ssp_collection.time,
             axis=1,

@@ -631,10 +631,12 @@ class PerfectModelTest:
 
         weight_fn = self.weight_method()
         weights = weight_fn(hindcast, pseudo_past)
-        mean_weights = weights.mean("time")
+        mean_weights = (
+            weights.mean("time") if "time" in weights.dims else weights
+        )
         if self.include_sim:
             sim = ModelSimilarityWeight()(hindcast, mode="single")
-            total = mean_weights.values * sim.values[:, 0]
+            total = mean_weights.values * np.asarray(sim.values).ravel()
             total = total / total.sum()
         else:
             total = mean_weights.values

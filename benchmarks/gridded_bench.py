@@ -164,7 +164,7 @@ def quality_gate_check(loaded, bary_mean, bary_std, *, n_cells, lat, lon):
 
 def slabbed_run(step, block, obs, slab, *, gp_init=None, resident=False,
                 block_dev=None, obs_dev=None, collect_fit=False,
-                stream=False):
+                stream=False, progress=False):
     """Drive ``step`` over cell slabs with one-deep pipelined dispatch.
 
     Device transfers and jitted computes are async, so enqueueing slab
@@ -223,6 +223,8 @@ def slabbed_run(step, block, obs, slab, *, gp_init=None, resident=False,
     means, stds = [], []
     fit_parts = []  # (params, y_mean, y_var) per slab, cell axis = 1
 
+    n_slabs = -(-c // slab) if slab else 1
+
     def drain(entry):
         out, pad_ = entry
         m_ = np.asarray(out[0], np.float64)
@@ -231,6 +233,11 @@ def slabbed_run(step, block, obs, slab, *, gp_init=None, resident=False,
             m_, s_ = m_[:-pad_], s_[:-pad_]
         means.append(m_)
         stds.append(s_)
+        if progress:
+            print(
+                f"  slab {len(means)}/{n_slabs} done",
+                file=sys.stderr, flush=True,
+            )
         if collect_fit:
             p_ = jax.tree.map(np.asarray, out[3])
             ym_, yv_ = np.asarray(out[4]), np.asarray(out[5])
@@ -474,6 +481,14 @@ def main():
                     "--resident cannot stage the block at all.  Reports "
                     "the measured per-slab compute floor and the overlap "
                     "efficiency (floor / elapsed).  Requires a slab size.")
+    ap.add_argument("--warmup-slabs", type=int, default=0,
+                    help="warm up (compile + cache) on only the first N "
+                    "slabs instead of a full extra pass over the grid — "
+                    "at 0.25 degree a full warmup pass costs ~10 minutes "
+                    "of chip+link time for nothing but the one compile")
+    ap.add_argument("--progress", action="store_true",
+                    help="print per-slab progress (stream/slab modes) so "
+                    "long runs are observable and stalls are localisable")
     ap.add_argument("--cached-workload", action="store_true",
                     help="materialise the synthetic workload once into "
                     "memory-mapped .npy files under "
@@ -662,15 +677,29 @@ def main():
             step, block, obs, slab, gp_init=gp_init, resident=args.resident,
             block_dev=block_dev if args.resident else None,
             obs_dev=obs_dev if args.resident else None,
-            collect_fit=rf, stream=args.stream,
+            collect_fit=rf, stream=args.stream, progress=args.progress,
         )
         if rf:
             return out[0], out[1], (out[2], out[3], out[4])
         return out
 
+    if args.warmup_slabs and warm_stride:
+        ap.error("--warmup-slabs supports the non-warm slab modes only")
+    if args.warmup_slabs and not (slab and slab < c):
+        ap.error("--warmup-slabs needs a slab mode")
     t0 = time.perf_counter()
-    run_once()
-    print(f"warmup: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    if args.warmup_slabs:
+        # Compile + populate the persistent cache on a short slab prefix —
+        # the program is identical for every slab, so streaming the whole
+        # grid once more buys nothing beyond the one compile.
+        wc_ = min(args.warmup_slabs * slab, c)
+        slabbed_run(
+            step, block[:, :wc_], obs[:wc_], slab,
+            collect_fit=rf, stream=args.stream, progress=args.progress,
+        )
+    else:
+        run_once()
+    print(f"warmup: {time.perf_counter() - t0:.1f}s", file=sys.stderr, flush=True)
     elapsed = float("inf")
     for rep in range(max(args.best_of, 1)):
         t0 = time.perf_counter()

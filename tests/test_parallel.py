@@ -220,10 +220,10 @@ def test_fused_weights_match_library_path(rng):
         fused = raw / raw.sum(axis=0, keepdims=True)
         lib_vals = np.asarray(lib.values)
         if kind == "similarity_single":
-            # Library single mode returns one weight per model (time coord
-            # [0]); the fused path broadcasts that weight over T.
+            # Library single mode returns one dimensionless weight per
+            # model; the fused path broadcasts that weight over T.
             assert np.allclose(fused, fused[:, :1]), "single mode not constant in t"
-            fused = fused[:, :1]
+            fused = fused[:, 0]
         np.testing.assert_allclose(
             fused, lib_vals, rtol=1e-6, atol=1e-10,
             err_msg=f"fused {kind} != library path",

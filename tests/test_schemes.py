@@ -53,7 +53,7 @@ def test_barycentre_requires_fit(rng):
 
 def test_barycentre_single_weight_broadcast(rng):
     mc = fitted_collection(rng, n_models=3, n_months=15)
-    w = bet.ModelSimilarityWeight()(mc, mode="single")  # (model, time=1)
+    w = bet.ModelSimilarityWeight()(mc, mode="single")  # ("model",)
     post = bet.Barycentre()(mc, w)
     assert np.asarray(post.gaussian.mean).shape == (15,)
 
