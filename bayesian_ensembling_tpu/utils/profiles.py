@@ -29,10 +29,19 @@ Profiles (measurements in BASELINE.md):
       converged optimum than scratch-500).
     * gridded per-cell fits: scratch bfgs-30 (5 deg grid 8.8 -> 1.67 s;
       1 deg `--resident` 34.1 s; gated by the IDENTITY gate against the
-      f64 oracle running the identical 30-step bfgs fit — the
-      closeness-to-truth quality gate is subset-sensitive for bfgs at
-      the +-10% level, BASELINE.md — and the bench refuses to run the
-      fast profile ungated).
+      f64 oracle running the identical 30-step bfgs fit).  Quality
+      settled on the FULL 2,592-cell 5 deg grid vs an f64-refined
+      adam-2000 truth (benchmarks/bfgs_quality_settle.py, round 5):
+      bfgs-30 closeness-to-truth is a consistent ~5% WORSE than
+      scratch-500 at every quantile (max 0.0536 vs 0.0508 degC, median
+      ratio 1.05) at ~1.9x less wall — quality-equivalent for practical
+      purposes (both sit ~2x from truth vs scratch-1000's 0.0276).  The
+      earlier 64-cell-subset comparisons flipping at +-10% are confirmed
+      subset noise: bootstrapping 2,000 64-cell subsets puts the
+      subset-max ratio at 0.91-1.20 (5-95%), P(bfgs worse) = 0.73 — the
+      subset statistic cannot resolve a 5% margin, which is why the
+      gridded fast profile publishes the identity gate (and the bench
+      refuses to run the fast profile ungated).
 """
 
 from __future__ import annotations

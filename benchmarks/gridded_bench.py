@@ -552,9 +552,11 @@ def main():
         "bfgs-30 fits (utils/profiles.py), data-resident slab staging, and "
         "the identity gate against the f64 oracle running the IDENTICAL "
         "30-step fit (the gate the published gridded bfgs rows use; the "
-        "closeness-to-truth quality gate is subset-sensitive for bfgs at "
-        "the +-10%% level — measured 8%% worse than scratch on the 64-cell "
-        "oracle subset vs slightly better on 432 cells, BASELINE.md).  "
+        "closeness-to-truth comparison was SETTLED on the full 2,592-cell "
+        "grid in round 5 — bfgs-30 is a consistent ~5%% worse than "
+        "scratch-500 at ~1.9x less wall, and 64-cell subsets cannot "
+        "resolve that margin: bootstrap ratio 0.91-1.20, "
+        "benchmarks/bfgs_quality_settle.py / BASELINE.md).  "
         "Mutually exclusive with setting n_iters/--optimizer/--resident "
         "yourself.",
     )
