@@ -111,7 +111,57 @@ def _probe_backend(timeout_s: int = 180) -> None:
         return
 
 
+def _arm_wedge_watchdog() -> "threading.Event":
+    """Arm a daemon watchdog against the tunnelled plugin's dispatch wedge.
+
+    Observed (round 5): a process whose backend PROBE succeeds can still
+    hang FOREVER on its own first substantial dispatch — every thread
+    futex-parked, zero CPU accrual, the plugin reconnecting underneath
+    (`axon-conn-*` threads).  A hung dispatch is uninterruptible from
+    Python, so the recovery is a watchdog thread: if the first measured
+    stage has not completed within BENCH_WEDGE_TIMEOUT_S (default 1500 s
+    — far above the worst measured HEALTHY warmup, 653 s of r02 tunnel
+    congestion, so it cannot false-trigger on slowness), emit the
+    structured fail-soft record and hard-exit 0 so the driver always gets
+    a parseable artifact instead of an rc!=0 timeout kill (the r3 empty-
+    artifact failure mode, second edition).  Call ``.set()`` on the
+    returned event once real measurements have started flowing."""
+    import threading
+
+    budget = float(os.environ.get("BENCH_WEDGE_TIMEOUT_S", "1500"))
+    done = threading.Event()
+
+    def watchdog():
+        if done.wait(budget):
+            return
+        print(
+            f"bench: first dispatch still pending after {budget:.0f}s — "
+            "tunnelled-plugin dispatch wedge; emitting fail-soft record",
+            file=sys.stderr, flush=True,
+        )
+        print(json.dumps({
+            "metric": "gmst_full_experiment_7ssp_fit2000_weight_barycentre",
+            "value": None,
+            "unit": "s",
+            "vs_baseline": None,
+            "status": "dispatch_wedge",
+            "probe_s": None,
+            "warmup_s": None,
+            "detail": (
+                f"backend probe OK but the first dispatch hung >{budget:.0f}s "
+                "(plugin wedge; kill + fresh process usually recovers)"
+            ),
+            "last_known_good": {"value": 1.216, "round": "r5-builder",
+                                "driver_verified_r04": 1.204},
+        }), flush=True)
+        os._exit(0)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+    return done
+
+
 _probe_backend()
+_warmup_done = _arm_wedge_watchdog()
 
 import jax
 import jax.numpy as jnp
@@ -201,6 +251,7 @@ def main():
     t0 = time.perf_counter()
     sync(step(hb, hm, sb, sm, obs, mmask))
     warmup_s = time.perf_counter() - t0
+    _warmup_done.set()  # first dispatch completed: disarm the wedge watchdog
     log(f"warmup (session init + compile + first run): {warmup_s:.1f}s")
 
     if os.environ.get("BENCH_TRACE"):
