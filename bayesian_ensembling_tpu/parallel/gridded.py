@@ -310,7 +310,12 @@ def refine_marginals_f64(
 
     y_mean, y_var = targets
     n = np.shape(block)[0]
-    x = np.asarray(jnp.swapaxes(jnp.asarray(block), 1, 2))
+    # Host-side zero-copy transpose — same layout prepare_gp_inputs derives
+    # (x = swapaxes(block, 1, 2)).  A jnp.swapaxes here would round-trip
+    # the WHOLE block through the default accelerator before the device
+    # context is even entered (review finding, round 5: at 0.25° that is
+    # 21 GB through the tunnelled link purely for a transpose).
+    x = np.swapaxes(np.asarray(block), 1, 2)
     y_mean, y_var = np.asarray(y_mean), np.asarray(y_var)
     del mask  # masked realisations already folded into the f32 targets
     p_np = jax.tree_util.tree_map(np.asarray, params)

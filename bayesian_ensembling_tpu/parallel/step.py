@@ -225,6 +225,10 @@ def emulate_marginals(
     (measured, benchmarks/monthly_warm_bench.py).  The DBA target and the
     posterior extraction always run at full resolution.
     """
+    if return_targets and not return_params:
+        # Validate BEFORE the fit: an eager caller must not pay a full
+        # multi-second emulation to learn the flag combination is invalid.
+        raise ValueError("return_targets requires return_params=True")
     x, y_mean, y_var = gp_ops.prepare_gp_inputs(
         block, mask, dba_iterations=dba_iterations,
         dba_method=dba_method, dba_tol=dba_tol,
@@ -248,8 +252,6 @@ def emulate_marginals(
         params, x, y_mean, y_var, kernel_name=kernel_name, jitter=jitter
     )
     if return_targets:
-        if not return_params:
-            raise ValueError("return_targets requires return_params=True")
         return mean, var + y_var, params, y_mean, y_var
     if return_params:
         return mean, var + y_var, params

@@ -34,7 +34,8 @@ Profiles (measurements in BASELINE.md):
       adam-2000 truth (benchmarks/bfgs_quality_settle.py, round 5):
       bfgs-30 closeness-to-truth is a consistent ~5% WORSE than
       scratch-500 at every quantile (max 0.0536 vs 0.0508 degC, median
-      ratio 1.05) at ~1.9x less wall — quality-equivalent for practical
+      ratio 1.05) at ~5x less steady wall (1.73 s vs 8.8 s on the 5 deg
+      grid, BASELINE.md ledger) — quality-equivalent for practical
       purposes (both sit ~2x from truth vs scratch-1000's 0.0276).  The
       earlier 64-cell-subset comparisons flipping at +-10% are confirmed
       subset noise: bootstrapping 2,000 64-cell subsets puts the

@@ -161,7 +161,11 @@ def _arm_wedge_watchdog() -> "threading.Event":
 
 
 _probe_backend()
-_warmup_done = _arm_wedge_watchdog()
+# Arm the watchdog ONLY in the script run: an importer (the fail-soft tests
+# exec this module for its helpers) must not inherit a daemon timer that
+# os._exit(0)'s the host process — under pytest that would kill the rest of
+# the suite while reporting success (review finding, round 5).
+_warmup_done = _arm_wedge_watchdog() if __name__ == "__main__" else None
 
 import jax
 import jax.numpy as jnp
@@ -251,7 +255,8 @@ def main():
     t0 = time.perf_counter()
     sync(step(hb, hm, sb, sm, obs, mmask))
     warmup_s = time.perf_counter() - t0
-    _warmup_done.set()  # first dispatch completed: disarm the wedge watchdog
+    if _warmup_done is not None:
+        _warmup_done.set()  # first dispatch completed: disarm the watchdog
     log(f"warmup (session init + compile + first run): {warmup_s:.1f}s")
 
     if os.environ.get("BENCH_TRACE"):

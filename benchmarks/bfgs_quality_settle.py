@@ -68,16 +68,29 @@ def main():
     obs_dev = jax.device_put(jnp.asarray(obs))
     mask = np.ones((gc.M, c, gc.R), bool)
 
-    def run(nits, optimizer, refine=False):
+    def run(nits, optimizer, refine=False, timed_reps=2):
         step = jax.jit(
             lambda b, o: gc.gridded_experiment(
                 b, o, nits, optimizer=optimizer, return_fit=refine
             )
         )
-        t0 = time.perf_counter()
+        # Warmup (compile) then min-over-reps on FRESH device buffers —
+        # the repo's bench convention: a single cold dispatch mixes
+        # compile/cache state and tunnel noise into the wall, and the
+        # tunnelled chip dedups re-dispatches on seen buffers (review
+        # finding, round 5: the first artifact recorded scratch-1000
+        # "faster" than scratch-500, an impossibility at steady state).
         out = step(block_dev, obs_dev)
         sync(out)
-        wall = time.perf_counter() - t0
+        wall = float("inf")
+        for _ in range(timed_reps):
+            bd = jax.device_put(jnp.asarray(block.copy()))
+            od = jax.device_put(jnp.asarray(obs.copy()))
+            sync((bd, od))
+            t0 = time.perf_counter()
+            out = step(bd, od)
+            sync(out)
+            wall = min(wall, time.perf_counter() - t0)
         bm = np.asarray(out[0], np.float64)
         bs = np.asarray(out[1], np.float64)
         if refine:
@@ -93,7 +106,9 @@ def main():
         return bm, bs, wall
 
     print("fitting truth (adam-2000, f64-refined)...", file=sys.stderr)
-    tm, ts, truth_wall = run(args.truth_nits, "adam", refine=True)
+    # Truth timing is irrelevant (one rep, refine dominates anyway).
+    tm, ts, truth_wall = run(args.truth_nits, "adam", refine=True,
+                             timed_reps=1)
 
     configs = [
         ("scratch_500_adam", 500, "adam"),

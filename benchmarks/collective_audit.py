@@ -33,22 +33,27 @@ import re
 import sys
 import time
 
-# Force CPU: this is a virtual-mesh program-audit tool (the session env
-# pins JAX_PLATFORMS=axon for the real chip — override, don't default).
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+if __name__ == "__main__":
+    # Force CPU + 8 virtual devices — but ONLY in the script run: tests
+    # import this module for its pure helpers (lowered_counts), and a
+    # platform mutation at import would silently flip the host process's
+    # backend (conftest.py documents BET_TEST_PLATFORM as the deliberate
+    # override; review finding, round 5).  Must happen before jax imports.
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
-# The tunnelled TPU plugin ignores the JAX_PLATFORMS env var; pin the
-# platform through the config API as well (same dance as tests/conftest.py).
-jax.config.update("jax_platforms", "cpu")
+if __name__ == "__main__":
+    # The tunnelled TPU plugin ignores the JAX_PLATFORMS env var; pin the
+    # platform through the config API too (same dance as tests/conftest.py).
+    jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402

@@ -283,9 +283,21 @@ def slabbed_run(step, block, obs, slab, *, gp_init=None, resident=False,
                     )
             return
         import queue
-        import threading
 
         q = queue.Queue(maxsize=1)
+
+        def put(item) -> bool:
+            """Timed put so a consumer abandonment (exception in step/
+            drain) unparks the producer: a plain q.put on the full queue
+            would otherwise block forever, pinning the staged slab's HBM
+            buffers for the process lifetime (review finding, round 5)."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
@@ -299,10 +311,11 @@ def slabbed_run(step, block, obs, slab, *, gp_init=None, resident=False,
                     # to one computing + one fully-staged slab, and the
                     # main thread never waits on an in-flight transfer.
                     jax.block_until_ready((b_dev, o_dev))
-                    q.put((b_dev, o_dev, gsl, pad))
-                q.put(None)
+                    if not put((b_dev, o_dev, gsl, pad)):
+                        return
+                put(None)
             except BaseException as e:  # surface staging failures loudly
-                q.put(e)
+                put(e)
 
         threading.Thread(target=producer, daemon=True).start()
         while True:
@@ -313,13 +326,22 @@ def slabbed_run(step, block, obs, slab, *, gp_init=None, resident=False,
                 raise item
             yield item
 
-    for b_dev, o_dev, gsl, pad in staged_slabs():
-        out = step(b_dev, o_dev, gsl) if gp_init is not None else step(b_dev, o_dev)
-        pending.append((out, pad))
-        if len(pending) > 1:
-            drain(pending.pop(0))
-    for entry in pending:
-        drain(entry)
+    stop = None
+    if stream:
+        import threading
+
+        stop = threading.Event()
+    try:
+        for b_dev, o_dev, gsl, pad in staged_slabs():
+            out = step(b_dev, o_dev, gsl) if gp_init is not None else step(b_dev, o_dev)
+            pending.append((out, pad))
+            if len(pending) > 1:
+                drain(pending.pop(0))
+        for entry in pending:
+            drain(entry)
+    finally:
+        if stop is not None:
+            stop.set()
     if collect_fit:
         params = jax.tree.map(
             lambda *leaves: np.concatenate(leaves, axis=1),
@@ -332,7 +354,7 @@ def slabbed_run(step, block, obs, slab, *, gp_init=None, resident=False,
 
 
 def run_refine(args, block, obs, fit, bary_mean_f32, bary_std_f32, *,
-               slab, c, m, r, run_nits, opt):
+               slab, c, m, r):
     """The ``--refine-f64`` final-artifact pass + matched-oracle gate.
 
     Refines the WHOLE grid's moments in float64 at the run's f32-converged
@@ -554,7 +576,7 @@ def main():
         "30-step fit (the gate the published gridded bfgs rows use; the "
         "closeness-to-truth comparison was SETTLED on the full 2,592-cell "
         "grid in round 5 — bfgs-30 is a consistent ~5%% worse than "
-        "scratch-500 at ~1.9x less wall, and 64-cell subsets cannot "
+        "scratch-500 at ~5x less steady wall, and 64-cell subsets cannot "
         "resolve that margin: bootstrap ratio 0.91-1.20, "
         "benchmarks/bfgs_quality_settle.py / BASELINE.md).  "
         "Mutually exclusive with setting n_iters/--optimizer/--resident "
@@ -753,7 +775,7 @@ def main():
     if rf:
         bary_mean, bary_std, refine_s, parity_refined_matched = run_refine(
             args, block, obs, out[2], bary_mean, bary_std,
-            slab=slab, c=c, m=m, r=r, run_nits=run_nits, opt=opt,
+            slab=slab, c=c, m=m, r=r,
         )
 
     parity_mean = parity_std = None
