@@ -33,3 +33,14 @@ def test_gridded_quickstart_runs(capsys):
     runpy.run_path(path, run_name="__main__")
     out = capsys.readouterr().out
     assert "mean weight per model" in out
+
+
+def test_gridded_refined_runs(capsys):
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "examples", "gridded_refined.py"
+    )
+    sys.argv = ["gridded_refined"]
+    runpy.run_path(path, run_name="__main__")
+    out = capsys.readouterr().out
+    assert "refined moments dtype: float64" in out
+    assert "drift removed" in out
